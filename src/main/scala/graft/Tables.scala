@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical readers for the driver-generated parquet tables (`TESTDATA.md`).
+  *
+  * All readers return lazy plans, so filters/projections composed on top are
+  * pushed down to the parquet scan by Catalyst (verify with
+  * `.explain("formatted")`: `PushedFilters` / `ReadSchema`).
+  *
+  * `events.parquet` was written with nanosecond timestamps (pandas default),
+  * which Spark's parquet reader rejects (`PARQUET_TYPE_ILLEGAL`). We read the
+  * column as raw long nanos (`spark.sql.legacy.parquet.nanosAsLong`) and
+  * convert with *integer* division (`div 1000`) to a microsecond timestamp.
+  * Floating division would silently lose precision: epoch nanos (~1.7e18)
+  * exceed a double's exact-integer range (2^53). The floor truncation matches
+  * what DuckDB does when casting TIMESTAMP_NS to TIMESTAMP, keeping the
+  * oracle comparison exact.
+  *
+  * At 100 TB scale these readers are unchanged: they describe *what* to scan;
+  * partition pruning / row-group skipping comes from the layout and the
+  * predicates composed on top, not from this code.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Runtime-settable (not a static conf); the driver's Verify/Bench
+    // sessions don't set it at build time, so set it here idempotently.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

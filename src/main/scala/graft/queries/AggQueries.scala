@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Grouped / ordered aggregations (SURVEY.md §2.4–§2.6).
+  *
+  * Scale notes (100 TB): every group-by here aggregates with map-side
+  * partial aggregation (HashAggregate partial → shuffle by group key →
+  * HashAggregate final), so shuffle volume is |groups|, not |rows|. The
+  * "latest per key" family uses a single window shuffle on the key —
+  * at scale prefer `max_by`-style one-pass aggregation when only one
+  * attribute is needed; we use row_number when the whole row is needed
+  * (deterministic tie-break included).
+  */
+object AggQueries {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem with a pushed-down
+    * shipdate predicate. Reference analogue: the email-summary scalar
+    * aggregates (fetch_transform_load_dag.py:113-136) generalized to
+    * grouped form. */
+  val q1Agg: CatalogEntry = CatalogEntry(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** `current_rates` semantics (load_to_bigquery.py:98-111): latest row per
+    * key, as a whole-table snapshot. One shuffle on the partition key;
+    * deterministic tie-break on the unique orderkey. */
+  val latestPerKeyAll: CatalogEntry = CatalogEntry(
+    "latest_per_key_all",
+    """SELECT o_custkey,
+      |  o_orderkey AS latest_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate,
+      |  round(o_totalprice, 2) AS latest_totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"o_custkey",
+        $"o_orderkey".as("latest_orderkey"),
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("latest_orderdate"),
+        round($"o_totalprice", 2).as("latest_totalprice"))
+      .orderBy($"o_custkey")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(q1Agg, latestPerKeyAll)
+}
