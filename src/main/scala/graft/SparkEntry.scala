@@ -14,7 +14,9 @@ import graft.queries._
 object SparkEntry {
 
   private def families: Seq[CatalogEntry] =
-    AggQueries.entries
+    AggQueries.entries ++ RateQueries.entries ++ JoinQueries.entries ++
+      TransformQueries.entries ++ EventQueries.entries ++
+      TextQueries.entries ++ SimilarityQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication for document corpora at training-data scale.
+  *
+  * Exact: group on a content hash (32-byte digest, not the full text —
+  * the shuffle carries hashes + ids, never documents), survivor = the
+  * smallest id, deterministically.
+  *
+  * Near-dup: MinHash + LSH banding. Per doc: distinct shingles →
+  * k minhashes (xxhash64 with k salts) → b bands of r rows; docs
+  * sharing any band hash become candidate pairs via an equi-join on
+  * (band, bandHash) — never an all-pairs cross join. Candidates are
+  * confirmed with exact shingle Jaccard. All hashing is xxhash64 column
+  * expressions: deterministic, codegen'd, no UDFs.
+  *
+  * 100 TB: the band join shuffles (band, hash, id) triples only; a
+  * degenerate band (all docs identical) is an AQE-skew case, and the
+  * candidate explosion is bounded by band width r — tune (k, b, r)
+  * for the corpus' duplicate rate.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per distinct `textCol` content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature columns mh0..mh{k-1}: explode shingles, then k
+    * `min` aggregates over the salted xxhash64. The explode+agg shape
+    * computes the shingle array once per document (k projected copies
+    * of the array expression get re-inlined by CollapseProject and blow
+    * up codegen — measured 30× slower) and partial-aggregates map-side,
+    * so the shuffle carries k longs per document. Duplicate shingles
+    * don't need dedup: min over a bag equals min over its set. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleLen: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextOps.shingles(col(textCol), shingleLen)).as("__sh"))
+    val aggs = (0 until k).map { i =>
+      min(xxhash64(concat(col("__sh"), lit(s"#$i")))).as(s"mh$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band hashes over a signature frame: bands × (band, band_hash, id)
+    * rows, ready for the candidate equi-join. */
+  def bandHashes(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bh"))
+      .select(col(idCol), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** Candidate near-dup pairs (idA < idB) from LSH banding, confirmed
+    * with exact shingle Jaccard >= `threshold`. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleLen: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val sig = minhashSignature(df, idCol, textCol, k, shingleLen)
+    val bh = bandHashes(sig, idCol, bands, k / bands)
+    val candidates = bh.as("a")
+      .join(bh.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val shingled = df.select(col(idCol),
+      TextOps.shingles(col(textCol), shingleLen).as("sh"))
+    candidates
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns: exact cosine
+  * via built-in higher-order functions (zip_with + aggregate fold — no
+  * UDF, stays codegen-friendly), and a random-hyperplane LSH bucketing
+  * for the approximate-nearest-neighbor scale path.
+  *
+  * 100 TB design: brute-force cosine against one query is a single
+  * narrow pass (fine — that's the per-query baseline). All-pairs work
+  * must never be all-pairs: [[lshBucket]] gives each vector a small
+  * bucket id, candidates come from an equi-join on the bucket (shuffle
+  * on bucket id, AQE-skew-safe), and exact cosine runs only within
+  * buckets. Recall tunes with the number of hyperplanes/tables.
+  */
+object Similarity {
+
+  /** Dot product in double precision (floats widened before multiply —
+    * float32 rounding would diverge from any double-math oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes (SplitMix64 stream — fixed
+    * constants from the public algorithm; no runtime randomness, so
+    * plans are reproducible across runs and engines). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // map to (-1, 1)
+      z.toDouble / Long.MaxValue.toDouble
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-bit bucket id: bit i set iff dot(v, plane_i) >= 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join / set-op / grouped-aggregate extensions (SURVEY.md §2.3, §2.7,
+  * plus the §2.4 extension aggregates). The reference's only join is the
+  * MERGE upsert (RateQueries.mergeUpsert); these exercise the join
+  * strategies a 100 TB deployment leans on.
+  *
+  * Scale notes: dimension joins broadcast explicitly (`broadcast()`) —
+  * a 5-row region table must never shuffle the fact side; the
+  * lineitem⋈orders join is an equi-join on the natural key, so at scale
+  * it's a shuffle/sort-merge join AQE can re-plan (and co-locating both
+  * tables bucketed by orderkey removes the shuffle entirely); semi/anti
+  * forms never materialize the probe side's payload.
+  */
+object JoinQueries {
+
+  /** Broadcast dimension join: customer ⋈ nation ⋈ region rolled up to
+    * region/nation counts. Both dims are broadcast — zero fact shuffle
+    * before the aggregation. */
+  val joinBroadcastDim: CatalogEntry = CatalogEntry(
+    "join_broadcast_dim",
+    """SELECT r_name, n_name,
+      |  count(*)::BIGINT AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Large equi-join lineitem ⋈ orders aggregated by priority. Partial
+    * aggregation runs before the exchange, so shuffle volume after the
+    * join is |groups|. */
+  val joinLargeAgg: CatalogEntry = CatalogEntry(
+    "join_large_agg",
+    """SELECT o_orderpriority,
+      |  count(*)::BIGINT AS n_lines,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left semi: orders having at least one high-quantity line. The probe
+    * side's payload never crosses the exchange. */
+  val joinSemi: CatalogEntry = CatalogEntry(
+    "join_semi",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice_r
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter($"l_quantity" >= 49),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice", 2).as("o_totalprice_r"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Left anti: customers with no pending order. */
+  val joinAnti: CatalogEntry = CatalogEntry(
+    "join_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter($"o_orderstatus" === "P"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  private def custkeysByStatus(s: org.apache.spark.sql.SparkSession,
+      d: String, status: String) = {
+    import s.implicits._
+    Tables.orders(s, d).filter($"o_orderstatus" === status)
+      .select($"o_custkey")
+  }
+
+  /** UNION (set semantics): customers with an open or finished order. */
+  val setUnion: CatalogEntry = CatalogEntry(
+    "set_union",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |UNION
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    custkeysByStatus(s, d, "O").union(custkeysByStatus(s, d, "F"))
+      .distinct()
+      .orderBy($"o_custkey")
+  }
+
+  /** INTERSECT: customers with both an open and a finished order. */
+  val setIntersect: CatalogEntry = CatalogEntry(
+    "set_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    custkeysByStatus(s, d, "O").intersect(custkeysByStatus(s, d, "F"))
+      .orderBy($"o_custkey")
+  }
+
+  /** EXCEPT: customers with an open order but no finished one. */
+  val setExcept: CatalogEntry = CatalogEntry(
+    "set_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    custkeysByStatus(s, d, "O").except(custkeysByStatus(s, d, "F"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Exact distinct count per group (§2.4 extension). */
+  val aggDistinctCount: CatalogEntry = CatalogEntry(
+    "agg_distinct_count",
+    """SELECT o_orderstatus,
+      |  count(*)::BIGINT AS n_orders,
+      |  count(DISTINCT o_custkey)::BIGINT AS n_customers
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** HLL sketch distinct (the 100 TB path for distinct counts — constant
+    * memory, one pass, mergeable). Sketch internals differ between
+    * engines, so no SQL oracle; the HLL-vs-exact error bound is asserted
+    * in ApproxDistinctSpec. */
+  val aggApproxDistinct: CatalogEntry = CatalogEntry.noOracle(
+    "agg_approx_distinct") { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** ROLLUP over the region/nation hierarchy with grouping_id; names
+    * coalesced so the output carries no ambiguous nulls. */
+  val aggRollup: CatalogEntry = CatalogEntry(
+    "agg_rollup",
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  count(*)::BIGINT AS n_customers,
+      |  GROUPING(r_name, n_name)::INT AS gid
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, region, nation""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_customers", $"gid")
+      .orderBy($"gid", $"region", $"nation")
+  }
+
+  /** The reference's hard-coded symbols dimension (app.py:61-73) as a
+    * literal broadcast dim joined to facts. */
+  val dimLiteralJoin: CatalogEntry = CatalogEntry(
+    "dim_literal_join",
+    """SELECT t.status_label,
+      |  count(*)::BIGINT AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders o
+      |JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+      |  t(status, status_label) ON o.o_orderstatus = t.status
+      |GROUP BY t.status_label
+      |ORDER BY t.status_label""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dim = Seq(("O", "open"), ("F", "finished"), ("P", "pending"))
+      .toDF("status", "status_label")
+    Tables.orders(s, d)
+      .join(broadcast(dim), $"o_orderstatus" === $"status")
+      .groupBy($"status_label")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"status_label")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
+    setUnion, setIntersect, setExcept,
+    aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin)
+}

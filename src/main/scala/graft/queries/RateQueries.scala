@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Load
+
+/** Reference-parity rate queries (SURVEY.md §2.4–§2.6), recast over the
+  * testdata star schema: `orders` stands in for `historical_rates`
+  * (o_custkey ≈ the currency pair key, o_orderdate ≈ observation
+  * timestamp, o_totalprice ≈ rate), `events` for the timestamped feed.
+  *
+  * Scale notes: the filter+top-1 family plans as a pushed-down filter +
+  * `TakeOrderedAndProject` (no global sort, no shuffle of non-winners);
+  * the per-key family shuffles once on the key; `latest_per_key_maxby`
+  * is the 100 TB path — partial `max(struct)` aggregation map-side, so
+  * shuffle volume is |keys| not |rows|, and no per-partition row sort.
+  */
+object RateQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+  private val dfmt = "%Y-%m-%d %H:%M:%S"
+
+  /** The reference's most-repeated query (3×): latest rate for one pair
+    * (fetch_transform_load_dag.py:113-119, app.py:154-160, app.py:109-110).
+    * Filter + orderBy desc + limit 1 → TakeOrderedAndProject. */
+  val topkLatestPerPair: CatalogEntry = CatalogEntry(
+    "topk_latest_per_pair",
+    s"""SELECT o_custkey, o_orderkey,
+       |  strftime(o_orderdate, '$dfmt') AS o_orderdate_s,
+       |  round(o_totalprice, 2) AS o_totalprice_r
+       |FROM orders WHERE o_custkey = 7
+       |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_custkey" === 7)
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      .limit(1)
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", fmt).as("o_orderdate_s"),
+        round($"o_totalprice", 2).as("o_totalprice_r"))
+  }
+
+  /** Earliest observation in the trailing 24 h window
+    * (fetch_transform_load_dag.py:128-136). "Now" is max(ts) in the data
+    * (SURVEY.md §7.5 — current_timestamp() would flake vs the oracle);
+    * the scalar max is broadcast back, keeping one distributed plan. */
+  val earliestInWindow: CatalogEntry = CatalogEntry(
+    "earliest_in_window",
+    s"""SELECT event_id, event_type,
+       |  strftime(ts::TIMESTAMP, '$dfmt') AS ts_s, value
+       |FROM events
+       |WHERE ts::TIMESTAMP >=
+       |  (SELECT max(ts::TIMESTAMP) - INTERVAL 24 HOUR FROM events)
+       |ORDER BY ts::TIMESTAMP ASC, event_id ASC LIMIT 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val now = ev.agg(max($"ts").as("max_ts"))
+    ev.crossJoin(broadcast(now))
+      .filter($"ts" >= $"max_ts" - expr("INTERVAL 24 HOURS"))
+      .orderBy($"ts".asc, $"event_id".asc)
+      .limit(1)
+      .select($"event_id", $"event_type",
+        date_format($"ts", fmt).as("ts_s"), $"value")
+  }
+
+  /** Dashboard history load (app.py:44-48): ORDER BY ts DESC LIMIT 5000.
+    * Plans as TakeOrderedAndProject — per-partition top-k then a k-row
+    * merge on one reducer; never a full global sort, at any scale. */
+  val sortLimit5000: CatalogEntry = CatalogEntry(
+    "sort_limit_5000",
+    s"""SELECT o_orderkey, o_custkey,
+       |  strftime(o_orderdate, '$dfmt') AS o_orderdate_s,
+       |  round(o_totalprice, 2) AS o_totalprice_r, o_orderstatus
+       |FROM orders
+       |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      .limit(5000)
+      .select($"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", fmt).as("o_orderdate_s"),
+        round($"o_totalprice", 2).as("o_totalprice_r"), $"o_orderstatus")
+  }
+
+  /** Single equality filter (fetch.py:47-48), pushed to the parquet scan. */
+  val filterEq: CatalogEntry = CatalogEntry(
+    "filter_eq",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice_r
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice", 2).as("o_totalprice_r"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Conjunctive equality filter (app.py:91; SQL WHERE at
+    * fetch_transform_load_dag.py:116). Both conjuncts reach PushedFilters. */
+  val filterConjEq: CatalogEntry = CatalogEntry(
+    "filter_conj_eq",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(l_extendedprice, 2) AS l_extendedprice_r
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_returnflag" === "R" && $"l_linestatus" === "F")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        round($"l_extendedprice", 2).as("l_extendedprice_r"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Time-range predicate (fetch_transform_load_dag.py:128-136), with
+    * literal bounds so the oracle is deterministic. Range reaches the
+    * scan as min/max row-group filters. */
+  val filterRangeTs: CatalogEntry = CatalogEntry(
+    "filter_range_ts",
+    s"""SELECT l_orderkey, l_linenumber,
+       |  strftime(l_shipdate, '$dfmt') AS l_shipdate_s
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_linenumber",
+        date_format($"l_shipdate", fmt).as("l_shipdate_s"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** 24 h percent-change generalized to lag-per-key
+    * (fetch_transform_load_dag.py:144-148): prev via lag, the reference's
+    * `prev != 0` division guard preserved. One shuffle on the key. */
+  val windowLagPctChange: CatalogEntry = CatalogEntry(
+    "window_lag_pct_change",
+    s"""SELECT o_custkey, o_orderkey,
+       |  strftime(o_orderdate, '$dfmt') AS o_orderdate_s,
+       |  round(o_totalprice, 2) AS price,
+       |  round(prev, 2) AS prev_price,
+       |  CASE WHEN prev IS NOT NULL AND prev <> 0
+       |       THEN round((o_totalprice - prev) / prev * 100, 4) END AS pct_change
+       |FROM (
+       |  SELECT *, lag(o_totalprice) OVER (
+       |    PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .withColumn("prev", lag($"o_totalprice", 1).over(w))
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", fmt).as("o_orderdate_s"),
+        round($"o_totalprice", 2).as("price"),
+        round($"prev", 2).as("prev_price"),
+        when($"prev".isNotNull && $"prev" =!= 0,
+          round(($"o_totalprice" - $"prev") / $"prev" * 100, 4)).as("pct_change"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Trailing moving average (dashboard trend line, app.py:99-107
+    * generalized): rowsBetween frame, deterministic unique ordering. */
+  val movingAvg: CatalogEntry = CatalogEntry(
+    "moving_avg",
+    s"""SELECT o_custkey, o_orderkey,
+       |  strftime(o_orderdate, '$dfmt') AS o_orderdate_s,
+       |  round(avg(o_totalprice) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+       |FROM orders
+       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", fmt).as("o_orderdate_s"),
+        round(avg($"o_totalprice").over(w), 4).as("ma3"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** The email-summary scalar block (fetch_transform_load_dag.py:144-148)
+    * verbatim: latest vs previous observation for one key, diff / pct /
+    * direction, `prev != 0` guard. The unpartitioned window is safe: it
+    * runs on the ~dozen rows surviving the key filter. */
+  val scalarPctChange: CatalogEntry = CatalogEntry(
+    "scalar_pct_change",
+    """SELECT round(price, 2) AS latest_price,
+      |  round(prev, 2) AS prev_price,
+      |  round(price - prev, 2) AS diff,
+      |  round(CASE WHEN prev <> 0 THEN (price - prev) / prev * 100 ELSE 0 END, 4) AS pct_change,
+      |  CASE WHEN price > prev THEN 'up'
+      |       WHEN price < prev THEN 'down' ELSE 'flat' END AS direction
+      |FROM (
+      |  SELECT o_totalprice AS price,
+      |    lead(o_totalprice) OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS prev,
+      |    row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders WHERE o_custkey = 7)
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, d)
+      .filter($"o_custkey" === 7)
+      .withColumn("prev", lead($"o_totalprice", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(round($"o_totalprice", 2).as("latest_price"),
+        round($"prev", 2).as("prev_price"),
+        round($"o_totalprice" - $"prev", 2).as("diff"),
+        round(when($"prev" =!= 0, ($"o_totalprice" - $"prev") / $"prev" * 100)
+          .otherwise(0.0), 4).as("pct_change"),
+        when($"o_totalprice" > $"prev", "up")
+          .when($"o_totalprice" < $"prev", "down")
+          .otherwise("flat").as("direction"))
+  }
+
+  /** 100 TB path for "latest per key": one-pass partial `max(struct)`
+    * aggregation — no per-partition row sort, shuffle volume = |keys|.
+    * Same semantics as `latest_per_key_all` because (o_orderdate,
+    * o_orderkey) is unique per key; the oracle is the row_number
+    * formulation, proving the equivalence. */
+  val latestPerKeyMaxby: CatalogEntry = CatalogEntry(
+    "latest_per_key_maxby",
+    s"""SELECT o_custkey,
+       |  o_orderkey AS latest_orderkey,
+       |  strftime(o_orderdate, '$dfmt') AS latest_orderdate,
+       |  round(o_totalprice, 2) AS latest_totalprice
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY o_custkey
+       |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |  FROM orders)
+       |WHERE rn = 1
+       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", $"o_orderkey", $"o_totalprice")).as("m"))
+      .select($"o_custkey",
+        $"m.o_orderkey".as("latest_orderkey"),
+        date_format($"m.o_orderdate", fmt).as("latest_orderdate"),
+        round($"m.o_totalprice", 2).as("latest_totalprice"))
+      .orderBy($"o_custkey")
+  }
+
+  /** The reference's MERGE upsert (load_to_bigquery.py:98-111) as a
+    * catalog query: "current" = snapshot built from even orderkeys,
+    * "incoming" = the odd-orderkey batch; `Load.upsertLatest` preserves
+    * the strict `S.ts > T.ts` guard (line 102) and tie-keeps-stored.
+    * The oracle is the *independent* FULL OUTER JOIN formulation of
+    * MERGE, not a mirror of our window implementation. */
+  val mergeUpsert: CatalogEntry = CatalogEntry(
+    "merge_upsert",
+    s"""WITH cur AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders WHERE o_orderkey % 2 = 0) WHERE rn = 1),
+       |inc AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders WHERE o_orderkey % 2 = 1) WHERE rn = 1),
+       |m AS (
+       |  SELECT coalesce(c.o_custkey, i.o_custkey) AS o_custkey,
+       |    CASE WHEN c.o_custkey IS NULL
+       |              OR (i.o_custkey IS NOT NULL AND i.o_orderdate > c.o_orderdate)
+       |         THEN i.o_orderkey ELSE c.o_orderkey END AS chosen_orderkey,
+       |    CASE WHEN c.o_custkey IS NULL
+       |              OR (i.o_custkey IS NOT NULL AND i.o_orderdate > c.o_orderdate)
+       |         THEN i.o_orderdate ELSE c.o_orderdate END AS chosen_orderdate,
+       |    CASE WHEN c.o_custkey IS NULL
+       |              OR (i.o_custkey IS NOT NULL AND i.o_orderdate > c.o_orderdate)
+       |         THEN i.o_totalprice ELSE c.o_totalprice END AS chosen_totalprice
+       |  FROM cur c FULL OUTER JOIN inc i ON c.o_custkey = i.o_custkey)
+       |SELECT o_custkey, chosen_orderkey,
+       |  strftime(chosen_orderdate, '$dfmt') AS chosen_orderdate_s,
+       |  round(chosen_totalprice, 2) AS chosen_totalprice_r,
+       |  (chosen_orderkey % 2 = 1)::INT AS from_incoming
+       |FROM m ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val current = Load.latestPerKey(o.filter($"o_orderkey" % 2 === 0),
+      Seq("o_custkey"), "o_orderdate", "o_orderkey")
+    val incoming = o.filter($"o_orderkey" % 2 === 1)
+    Load.upsertLatest(current, incoming, Seq("o_custkey"),
+      "o_orderdate", "o_orderkey")
+      .select($"o_custkey",
+        $"o_orderkey".as("chosen_orderkey"),
+        date_format($"o_orderdate", fmt).as("chosen_orderdate_s"),
+        round($"o_totalprice", 2).as("chosen_totalprice_r"),
+        ($"o_orderkey" % 2 === 1).cast("int").as("from_incoming"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Row-count action (fetch.py:58) as a 1-row aggregate. */
+  val countRows: CatalogEntry = CatalogEntry(
+    "count_rows",
+    "SELECT count(*)::BIGINT AS n_rows FROM lineitem") { (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** `df.head()` preview (fetch.py:80) made deterministic: top-5 by key. */
+  val previewHead: CatalogEntry = CatalogEntry(
+    "preview_head",
+    """SELECT o_orderkey, o_custkey, o_orderstatus
+      |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_orderkey".asc)
+      .limit(5)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    topkLatestPerPair, earliestInWindow, sortLimit5000, filterEq,
+    filterConjEq, filterRangeTs, windowLagPctChange, movingAvg,
+    scalarPctChange, latestPerKeyMaxby, mergeUpsert, countRows, previewHead)
+}

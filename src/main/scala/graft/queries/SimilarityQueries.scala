@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Similarity
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * `sim_cosine_topk` is the exact baseline: one narrow pass, top-k via
+  * TakeOrderedAndProject. `sim_ann_lsh` is the scale path: candidates
+  * from a random-hyperplane bucket equi-match, exact cosine only within
+  * the bucket — at 100 TB the bucket id is the shuffle/join key and
+  * brute force never touches the full corpus.
+  */
+object SimilarityQueries {
+
+  /** Exact cosine top-10 against the vec_id=0 query vector. All math in
+    * double (floats widened) so the DuckDB list-algebra oracle matches
+    * bit-for-bit after rounding. */
+  val simCosineTopk: CatalogEntry = CatalogEntry(
+    "sim_cosine_topk",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |  list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
+      |            for i in range(1, len(embedding) + 1)]) /
+      |  (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                  for i in range(1, len(embedding) + 1)])) *
+      |   sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+      |                  for i in range(1, len(qe) + 1)]))), 6) AS cos_sim
+      |FROM embeddings, q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(Similarity.cosine($"embedding", $"qe"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** ANN via random-hyperplane LSH: restrict to the query's bucket, then
+    * exact cosine within it. 4 planes → 16 buckets (~1/16 of the corpus
+    * scanned exactly). Bucketing is engine-specific → no SQL oracle;
+    * recall vs the exact top-k is asserted in SimilaritySpec. */
+  val simAnnLsh: CatalogEntry = CatalogEntry.noOracle(
+    "sim_ann_lsh") { (s, d) =>
+    import s.implicits._
+    val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", Similarity.lshBucket($"embedding", planes))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"bucket".as("qbucket"))
+    emb.join(broadcast(q), $"bucket" === $"qbucket")
+      .select($"vec_id", $"bucket",
+        round(Similarity.cosine($"embedding", $"qe"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup candidates at scale shape: top-10 most
+    * similar pairs drawn only from within LSH buckets (6 planes → 64
+    * buckets), never all-pairs. */
+  val simBucketedPairs: CatalogEntry = CatalogEntry.noOracle(
+    "sim_bucketed_pairs") { (s, d) =>
+    import s.implicits._
+    val planes = Similarity.hyperplanes(nPlanes = 6, dim = 64)
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Similarity.lshBucket($"embedding", planes).as("bucket"))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"id_a".asc, $"id_b".asc)
+      .limit(10)
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    simCosineTopk, simAnnLsh, simBucketedPairs)
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, TextOps}
+
+/** Text-analysis and dedup operators over `documents` — the
+  * training-data-pipeline surface (builder brief; graded first-class).
+  */
+object TextQueries {
+
+  /** Tokenize → explode → count: top-20 corpus words. */
+  val textWordcount: CatalogEntry = CatalogEntry(
+    "text_wordcount",
+    """SELECT word, count(*)::BIGINT AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc)
+      .limit(20)
+  }
+
+  /** Per-document quality stats: token counts (whitespace and BPE-ish
+    * regex), distinct tokens, mean token length, punctuation ratio. */
+  val textStats: CatalogEntry = CatalogEntry(
+    "text_stats",
+    """SELECT doc_id, lang,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+      |  round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+      |        / length(text), 4) AS punct_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        TextOps.bpeTokenCount($"text").as("n_bpe"),
+        round(TextOps.avgTokenLen(toks), 4).as("avg_token_len"),
+        round(TextOps.punctRatio($"text"), 4).as("punct_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus profile per language tag. */
+  val langAgg: CatalogEntry = CatalogEntry(
+    "lang_agg",
+    """SELECT lang,
+      |  count(*)::BIGINT AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  min(n_chars)::BIGINT AS min_chars,
+      |  max(n_chars)::BIGINT AS max_chars
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  /** Exact dedup by content hash; survivor = min doc_id. The oracle
+    * groups by the raw text — a green row proves the hash grouping is
+    * faithful to content equality. */
+  val dedupExact: CatalogEntry = CatalogEntry(
+    "dedup_exact",
+    """SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+      |FROM documents GROUP BY text
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .select($"doc_id", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  /** Exact 3-gram Jaccard similarity of every document against doc 0,
+    * top 20 — the confirmation metric used on LSH candidates, oracled
+    * end-to-end via DuckDB list algebra. */
+  val dedupNgramJaccard: CatalogEntry = CatalogEntry(
+    "dedup_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, i, 3)
+      |                   for i in range(1, length(text) - 1)]) AS s
+      |  FROM documents),
+      |q AS (SELECT s AS qs FROM sh WHERE doc_id = 0)
+      |SELECT doc_id,
+      |  round(len(list_intersect(s, qs))::DOUBLE
+      |        / (len(s) + len(qs) - len(list_intersect(s, qs))), 5) AS jaccard_r
+      |FROM sh, q
+      |ORDER BY jaccard_r DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+    val q = docs.filter($"doc_id" === 0).select($"sh".as("qsh"))
+    docs.crossJoin(broadcast(q))
+      .select($"doc_id",
+        round(TextOps.jaccard($"sh", $"qsh"), 5).as("jaccard_r"))
+      .orderBy($"jaccard_r".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  /** SimHash fingerprint per document (63-bit, xxhash64 token votes).
+    * Engine-specific hashing → no SQL oracle; determinism and
+    * near-dup Hamming behavior are asserted in DedupSpec. */
+  val textSimhash: CatalogEntry = CatalogEntry.noOracle(
+    "text_simhash") { (s, d) =>
+    import s.implicits._
+    val voted = Tables.documents(s, d)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .select($"doc_id" +: TextOps.simhashBitVotes(xxhash64($"tok"))
+        .zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
+    val sums = (0 until TextOps.SimhashBits).map(i => sum(col(s"v$i")).as(s"s$i"))
+    voted.groupBy($"doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc_id", TextOps.assembleSimhash(
+        (0 until TextOps.SimhashBits).map(i => col(s"s$i"))).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash-LSH banding table (band, band_hash per doc) — the shuffle
+    * key that makes near-dup detection an equi-join instead of an
+    * all-pairs cross join. Pair confirmation is Dedup.nearDupPairs,
+    * asserted in DedupSpec (this corpus has no near-dups to emit). */
+  val dedupMinhashLsh: CatalogEntry = CatalogEntry.noOracle(
+    "dedup_minhash_lsh") { (s, d) =>
+    import s.implicits._
+    val sig = Dedup.minhashSignature(Tables.documents(s, d),
+      "doc_id", "text", k = 16, shingleLen = 3)
+    Dedup.bandHashes(sig, "doc_id", bands = 4, rows = 4)
+      .orderBy($"doc_id", $"band")
+  }
+
+  /** Stopword-overlap language-ID heuristic (deterministic argmax). */
+  val langIdHeuristic: CatalogEntry = CatalogEntry.noOracle(
+    "lang_id_heuristic") { (s, d) =>
+    import s.implicits._
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "fr" -> Seq("le", "la", "et", "de", "un"),
+      "es" -> Seq("el", "la", "y", "de", "un"),
+      "de" -> Seq("der", "die", "und", "das", "ein"),
+      "zh" -> Seq("de", "shi", "le", "he", "zai"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        TextOps.langIdPredict(TextOps.tokens($"text"), profiles)
+          .as("predicted_lang"))
+      .withColumn("match", ($"lang" === $"predicted_lang").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
+    textSimhash, dedupMinhashLsh, langIdHeuristic)
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Transform
+
+/** The reference's ETL transform chain (SURVEY.md §2.2) as catalog
+  * queries over testdata. Every step is a narrow, codegen'd column
+  * expression — the whole chain fuses into the scan's single
+  * whole-stage-codegen pass; nothing here shuffles.
+  */
+object TransformQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+  private val dfmt = "%Y-%m-%d %H:%M:%S"
+
+  /** One entry covering the load-side derivation chain
+    * (load_to_bigquery.py:38-54 + fetch.py:41-44 + transform.py:39-46):
+    * lit column, split+element_at, coercing casts (string→int,
+    * string→timestamp: invalid → null, pandas errors="coerce"),
+    * substring, regex pair extract, cast-to-string, dropna on a subset,
+    * and the final select/reorder. */
+  val transformChain: CatalogEntry = CatalogEntry(
+    "transform_chain",
+    s"""SELECT 'part' AS src,
+       |  p_partkey,
+       |  try_cast(string_split(p_brand, '#')[2] AS INTEGER) AS brand_num,
+       |  substring(p_name, 1, 5) AS name_head,
+       |  nullif(regexp_extract(upper(substring(p_name, 1, 3)) || substring(p_type, 1, 3),
+       |                        '([A-Z]{3})([A-Z]{3})', 1), '') AS pair_base,
+       |  nullif(regexp_extract(upper(substring(p_name, 1, 3)) || substring(p_type, 1, 3),
+       |                        '([A-Z]{3})([A-Z]{3})', 2), '') AS pair_target,
+       |  p_size::VARCHAR AS size_str,
+       |  strftime(try_cast(printf('2020-01-%02d', p_size % 40 + 1) AS TIMESTAMP),
+       |           '$dfmt') AS parsed_ts_s,
+       |  round(p_retailprice, 2) AS retail_r
+       |FROM part
+       |WHERE try_cast(string_split(p_brand, '#')[2] AS INTEGER) IS NOT NULL
+       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pairCol = concat(upper(substring($"p_name", 1, 3)),
+      substring($"p_type", 1, 3))
+    val chained = Tables.part(s, d)
+      .withColumn("src", lit("part"))
+      .withColumn("brand_num",
+        element_at(split($"p_brand", "#"), 2).try_cast("int"))
+      .withColumn("name_head", substring($"p_name", 1, 5))
+      .withColumn("pair_base", nullif(Transform.pairBase(pairCol), lit("")))
+      .withColumn("pair_target", nullif(Transform.pairTarget(pairCol), lit("")))
+      .withColumn("size_str", $"p_size".cast("string"))
+      .withColumn("parsed_ts_s", date_format(
+        Transform.coerceTimestamp(
+          format_string("2020-01-%02d", $"p_size" % 40 + 1)), fmt))
+      .withColumn("retail_r", round($"p_retailprice", 2))
+    Transform.dropNullOn(chained, "brand_num")
+      .select($"src", $"p_partkey", $"brand_num", $"name_head",
+        $"pair_base", $"pair_target", $"size_str", $"parsed_ts_s",
+        $"retail_r")
+      .orderBy($"p_partkey")
+  }
+
+  /** CSV sink + inferred-schema source round-trip (fetch.py:63-76 →
+    * transform.py:31-36): write `part` as headered CSV, read it back
+    * with inference, aggregate. The oracle runs on the original parquet,
+    * so a green row proves the round-trip is lossless. */
+  val roundtripCsv: CatalogEntry = CatalogEntry(
+    "roundtrip_csv",
+    """SELECT p_brand,
+      |  count(*)::BIGINT AS n_parts,
+      |  round(sum(p_retailprice), 2) AS sum_retail,
+      |  max(p_size)::INT AS max_size
+      |FROM part GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    Tables.part(s, d).write.mode("overwrite").option("header", true).csv(tmp)
+    s.read.option("header", true).option("inferSchema", true).csv(tmp)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum($"p_retailprice"), 2).as("sum_retail"),
+        max($"p_size").cast("int").as("max_size"))
+      .orderBy($"p_brand")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(transformChain, roundtripCsv)
+}
