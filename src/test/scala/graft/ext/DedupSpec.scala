@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Exact + near-dup dedup behavior on crafted corpora (the catalog's
+  * testdata has no near-duplicates; here we make some). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep green forest before sunset tonight"
+
+  test("exact dedup: one survivor per content, min id, correct counts") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb"), (5L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select($"doc_id", $"n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash signature is deterministic and identical for identical text") {
+    val df = Seq((1L, base), (2L, base), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", k = 16, shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("nearDupPairs finds a near-duplicate and skips unrelated docs") {
+    val nearDup = base.replace("quick", "quikc") // one typo
+    val other = "entirely unrelated content about database query engines " +
+      "optimizers shuffles partitions and columnar storage formats"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.6)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("near-dup jaccard is high for the typo pair, low across docs") {
+    val nearDup = base.replace("quick", "quikc")
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val j = Dedup.nearDupPairs(df, "doc_id", "text", k = 16, bands = 8,
+      threshold = 0.0).select($"jaccard").collect().head.getDouble(0)
+    assert(j > 0.8 && j < 1.0)
+  }
+
+  test("simhash: identical texts collide, near-dups land within small hamming distance") {
+    val nearDup = base.replace("forest", "woods")
+    val other = "entirely unrelated content about database query engines"
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
+      .toDF("doc_id", "text")
+    val voted = df
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .select($"doc_id" +: TextOps.simhashBitVotes(xxhash64($"tok"))
+        .zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
+    val sums = (0 until TextOps.SimhashBits).map(i => sum(col(s"v$i")).as(s"s$i"))
+    val sim = voted.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", TextOps.assembleSimhash(
+        (0 until TextOps.SimhashBits).map(i => col(s"s$i"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sim(1L) == sim(2L))
+    assert(ham(sim(1L), sim(3L)) <= 12, s"near-dup hamming ${ham(sim(1L), sim(3L))}")
+    assert(ham(sim(1L), sim(4L)) > ham(sim(1L), sim(3L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: known values (orthogonal, identical, opposite)") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), Seq(0f, 1f)),
+      (2L, Seq(1f, 2f), Seq(1f, 2f)),
+      (3L, Seq(1f, 0f), Seq(-1f, 0f)),
+      (4L, Seq(3f, 4f), Seq(4f, 3f))).toDF("id", "a", "b")
+    val out = df.select($"id", round(Similarity.cosine($"a", $"b"), 9).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 1.0)
+    assert(out(3L) == -1.0)
+    assert(out(4L) == 0.96) // (12+12)/(5*5)
+  }
+
+  test("dot widens floats to double before multiplying") {
+    // 0.1f * 0.1f in float then widened ≠ widened-then-multiplied;
+    // the doubled path must match the double math exactly.
+    val df = Seq((Seq(0.1f), Seq(0.1f))).toDF("a", "b")
+    val got = df.select(Similarity.dot($"a", $"b")).collect().head.getDouble(0)
+    assert(got == 0.1f.toDouble * 0.1f.toDouble)
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+    assert(Similarity.hyperplanes(4, 8) != Similarity.hyperplanes(4, 8, seed = 43))
+    assert(Similarity.hyperplanes(4, 8).flatten.forall(v => v >= -1 && v <= 1))
+  }
+
+  test("lshBucket: equal vectors share a bucket; buckets are stable") {
+    val planes = Similarity.hyperplanes(4, 3)
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
+      (3L, Seq(2f, 4f, 6f)), // same direction → same signs → same bucket
+      (4L, Seq(-1f, -2f, -3f))).toDF("id", "v")
+    val out = df.select($"id", Similarity.lshBucket($"v", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) == out(3L))
+    assert(out(1L) != out(4L)) // opposite vector flips every sign bit
+    assert(out.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("ANN within query bucket contains the query itself at cosine 1") {
+    val planes = Similarity.hyperplanes(4, 4)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("bucket", Similarity.lshBucket($"embedding", planes))
+    val q = df.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"bucket".as("qb"))
+    val top = df.join(broadcast(q), $"bucket" === $"qb")
+      .select($"vec_id", Similarity.cosine($"embedding", $"qe").as("c"))
+      .orderBy($"c".desc).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12)
+  }
+}
