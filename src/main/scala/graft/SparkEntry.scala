@@ -16,7 +16,8 @@ object SparkEntry {
   private def families: Seq[CatalogEntry] =
     AggQueries.entries ++ RateQueries.entries ++ JoinQueries.entries ++
       TransformQueries.entries ++ EventQueries.entries ++
-      TextQueries.entries ++ SimilarityQueries.entries
+      TextQueries.entries ++ SimilarityQueries.entries ++
+      MediaQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families

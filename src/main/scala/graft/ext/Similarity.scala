@@ -18,15 +18,26 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product in double precision (floats widened before multiply —
-    * float32 rounding would diverge from any double-math oracle). */
+    * float32 rounding would diverge from any double-math oracle).
+    * Higher-order-function formulation: interpreted lambda eval, kept
+    * as the portable reference implementation. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Codegen'd native path (graft.functions.VecDotProduct) — bit-exact
+    * with [[dot]], proven in VecDotProductSpec. Requires
+    * `GraftFunctions.register(spark)` (idempotent). */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64 stream — fixed
     * constants from the public algorithm; no runtime randomness, so

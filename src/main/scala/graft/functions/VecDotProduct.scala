@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over two `array<float>` columns,
+  * accumulating in double (floats widened per element — identical
+  * numerics to the `zip_with`+`aggregate` fold, proven bit-exact in
+  * VecDotProductSpec).
+  *
+  * Why an Expression and not the higher-order-function composition:
+  * Catalyst's lambda functions (`zip_with`, `aggregate`) evaluate
+  * interpreted, boxing every element and allocating an intermediate
+  * array per row — in the similarity hot path that's 3 lambda chains
+  * per comparison. This expression compiles to one primitive `for`
+  * loop inside whole-stage codegen: no boxing, no intermediate array,
+  * SIMD-friendly. At 100 TB (billions of comparisons after LSH
+  * bucketing) the difference is the job.
+  *
+  * Null handling: null input array → null (BinaryExpression default);
+  * null *elements* contribute their Tungsten default (0.0f), matching
+  * the documented "embeddings carry no null elements" contract.
+  */
+case class VecDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, s) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration of graft's native SQL functions. Idempotent —
+  * safe to call from every catalog entry that needs them (the driver's
+  * session is built without `spark.sql.extensions`). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** For sessions configured with
+    * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  val vecDotInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),
+    (exprs: Seq[Expression]) => VecDotProduct(exprs(0), exprs(1)))
+}
+
+/** Session-extension installer: `--conf
+  * spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.vecDotInfo)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Similarity
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -31,11 +32,12 @@ object SimilarityQueries {
       |FROM embeddings, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     import s.implicits._
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
     emb.crossJoin(broadcast(q))
       .select($"vec_id",
-        round(Similarity.cosine($"embedding", $"qe"), 6).as("cos_sim"))
+        round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(10)
   }
@@ -47,6 +49,7 @@ object SimilarityQueries {
   val simAnnLsh: CatalogEntry = CatalogEntry.noOracle(
     "sim_ann_lsh") { (s, d) =>
     import s.implicits._
+    GraftFunctions.register(s)
     val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
     val emb = Tables.embeddings(s, d)
       .withColumn("bucket", Similarity.lshBucket($"embedding", planes))
@@ -54,7 +57,7 @@ object SimilarityQueries {
       .select($"embedding".as("qe"), $"bucket".as("qbucket"))
     emb.join(broadcast(q), $"bucket" === $"qbucket")
       .select($"vec_id", $"bucket",
-        round(Similarity.cosine($"embedding", $"qe"), 6).as("cos_sim"))
+        round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(10)
   }
@@ -65,6 +68,7 @@ object SimilarityQueries {
   val simBucketedPairs: CatalogEntry = CatalogEntry.noOracle(
     "sim_bucketed_pairs") { (s, d) =>
     import s.implicits._
+    GraftFunctions.register(s)
     val planes = Similarity.hyperplanes(nPlanes = 6, dim = 64)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
@@ -73,7 +77,7 @@ object SimilarityQueries {
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+        round(Similarity.cosineNative(col("a.embedding"), col("b.embedding")), 6)
           .as("cos_sim"))
       .orderBy($"cos_sim".desc, $"id_a".asc, $"id_b".asc)
       .limit(10)

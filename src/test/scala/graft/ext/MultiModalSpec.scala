@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultiModalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("blob transport round-trips bytes; decodeMeta is deterministic") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("id", "text")
+      .select($"id", MultiModal.textAsBlob($"text").as("blob"))
+    val metas = df.select($"id", MultiModal.decodeMeta($"blob").as("m"))
+      .select($"id", $"m.n_bytes", $"m.width", $"m.height", $"m.fingerprint")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(metas(1L) == metas(2L)) // same bytes → same metadata
+    assert(metas(1L) != metas(3L))
+    assert(metas(1L)._1 == 11)
+    assert(metas(1L)._2 >= 1 && metas(1L)._2 <= 1920)
+    assert(metas(1L)._3 >= 1 && metas(1L)._3 <= 1080)
+  }
+
+  test("frameSample: n slices, fixed width, spanning the payload") {
+    val payload = ("ab" * 50) // 100 bytes
+    val frames = Seq(payload).toDF("t")
+      .select(MultiModal.frameSample(
+        MultiModal.textAsBlob($"t"), n = 4, frameBytes = 10).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 10))
+    assert(new String(frames.head, "UTF-8") == "ababababab")
+    // last frame ends at the payload's tail: offset 1+3*30=91 → bytes 91..100
+    assert(new String(frames.last, "UTF-8") == payload.substring(90, 100))
+  }
+
+  test("decodePartitions: typed output matches the driver-side stub decoder") {
+    val rows = Seq((10L, "abc"), (11L, "defgh"))
+    val df = rows.toDF("doc_id", "text")
+      .select($"doc_id", MultiModal.textAsBlob($"text").as("blob"))
+    val got = MultiModal.decodePartitions(df, "doc_id", "blob")
+      .collect().map(m => m.id -> m).toMap
+    val dec = new MultiModal.StubDecoder
+    rows.foreach { case (id, text) =>
+      assert(got(id) == dec.decode(id, text.getBytes("UTF-8")))
+    }
+  }
+}
