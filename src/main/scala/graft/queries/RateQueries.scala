@@ -197,6 +197,7 @@ object RateQueries {
     """SELECT round(price, 2) AS latest_price,
       |  round(prev, 2) AS prev_price,
       |  round(price - prev, 2) AS diff,
+      |  round(abs(price - prev), 2) AS abs_diff,
       |  round(CASE WHEN prev <> 0 THEN (price - prev) / prev * 100 ELSE 0 END, 4) AS pct_change,
       |  CASE WHEN price > prev THEN 'up'
       |       WHEN price < prev THEN 'down' ELSE 'flat' END AS direction
@@ -216,6 +217,7 @@ object RateQueries {
       .select(round($"o_totalprice", 2).as("latest_price"),
         round($"prev", 2).as("prev_price"),
         round($"o_totalprice" - $"prev", 2).as("diff"),
+        round(abs($"o_totalprice" - $"prev"), 2).as("abs_diff"),
         round(when($"prev" =!= 0, ($"o_totalprice" - $"prev") / $"prev" * 100)
           .otherwise(0.0), 4).as("pct_change"),
         when($"o_totalprice" > $"prev", "up")

@@ -57,6 +57,12 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(snap == Map("EGP" -> 49.0, "EUR" -> 0.92, "JPY" -> 148.0))
     assert(cur2.count() == 3) // exactly one row per pair
+
+    // staging sink truncates on each load (load_to_bigquery.py:88-95)
+    val stage = s"$dir/tmp_rates"
+    Load.overwriteStaging(b1, stage)
+    Load.overwriteStaging(b2, stage)
+    assert(spark.read.parquet(stage).count() == 3) // b2 only, truncated
   }
 
   test("parseLive: failed payloads are excluded, bad rates coerce to null") {
