@@ -17,7 +17,7 @@ object SparkEntry {
     AggQueries.entries ++ RateQueries.entries ++ JoinQueries.entries ++
       TransformQueries.entries ++ EventQueries.entries ++
       TextQueries.entries ++ SimilarityQueries.entries ++
-      MediaQueries.entries
+      MediaQueries.entries ++ OperatorQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val build = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+    (1L, ts("2024-01-01 12:00:00"), 101L, 2.0),
+    (2L, ts("2024-01-01 11:00:00"), 200L, 3.0))
+    .toDF("user_id", "ts", "event_id", "value")
+
+  private def run(probe: Seq[(Long, Long, Timestamp)]) =
+    AsOfJoin.leftAsOf(
+      probe.toDF("pid", "user_id", "ts"), build,
+      "user_id", "user_id", "ts", "ts", Seq("event_id", "value"), "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+  test("picks latest at-or-before per key; inclusive equality; null when none") {
+    val out = run(Seq(
+      (1L, 1L, ts("2024-01-01 11:00:00")), // between builds → 100
+      (2L, 1L, ts("2024-01-01 12:00:00")), // exactly at build → inclusive 101
+      (3L, 1L, ts("2024-01-01 09:00:00")), // before all → null
+      (4L, 2L, ts("2024-01-02 00:00:00")), // key 2 → 200
+      (5L, 3L, ts("2024-01-02 00:00:00")))) // unseen key → null
+    assert(out == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None,
+      4L -> Some(200L), 5L -> None))
+  }
+
+  test("build-side timestamp ties resolve toward the larger tie column") {
+    val tied = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 9L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.leftAsOf(
+      Seq((1L, 1L, ts("2024-01-01 10:30:00"))).toDF("pid", "user_id", "ts"),
+      tied, "user_id", "user_id", "ts", "ts", Seq("event_id"), "event_id")
+      .collect().head.getLong(3)
+    assert(out == 9L)
+  }
+
+  test("equivalence with the naive range-join + argmax on random data") {
+    val rnd = new scala.util.Random(13)
+    def t(h: Int) = new Timestamp(1704067200000L + h * 3600000L)
+    val b = Seq.fill(60)((rnd.nextInt(5).toLong, t(rnd.nextInt(100)),
+      rnd.nextLong().abs, rnd.nextDouble()))
+      .toDF("user_id", "ts", "event_id", "value")
+    val p = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(100))))
+      .toDF("pid", "user_id", "ts")
+    val fast = AsOfJoin.leftAsOf(p, b, "user_id", "user_id", "ts", "ts",
+      Seq("event_id"), "event_id")
+      .select($"pid", $"asof_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val naive = p.as("p").join(b.as("b"),
+        col("p.user_id") === col("b.user_id") && col("p.ts") >= col("b.ts"), "left")
+      .groupBy($"pid")
+      .agg(max(struct(col("b.ts"), col("b.event_id"))).as("m"))
+      .select($"pid", $"m.event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == naive)
+  }
+}
