@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -76,6 +77,51 @@ object EventQueries {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Batch sessionization: per user, a new session starts after a
+    * >30 min gap; sessions aggregate to (count, start, end). The
+    * lag→flag→cumulative-sum shape is the standard session-window
+    * formulation; gap math in integer microseconds (exact in both
+    * engines). Streaming-wise this is `session_window()` /
+    * `flatMapGroupsWithState` — same plan per key. */
+  val eventsSessionize: CatalogEntry = CatalogEntry(
+    "events_sessionize",
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts::TIMESTAMP AS tsx,
+       |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+       |              OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+       |                 > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+       |sessions AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY tsx, event_id
+       |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |  count(*)::BIGINT AS n_events,
+       |  strftime(min(tsx), '$dfmt') AS session_start,
+       |  strftime(max(tsx), '$dfmt') AS session_end
+       |FROM sessions GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val flagged = Tables.events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    flagged.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), fmt).as("session_start"),
+        date_format(max($"ts"), fmt).as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    pivotMapToRows, jsonPropsExtract, eventsTumblingWindow)
+    pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** 100 TB layout mechanics, asserted on the physical plan: partition
+  * pruning on a partitioned parquet layout, and shuffle-free joins over
+  * bucketed tables (SURVEY.md §4 — the layout, not code, buys these). */
+class ScaleLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("partitioned layout: a partition-column filter prunes at plan time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"o_orderstatus" === "O")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("o_orderstatus"), scan)
+    // pruned scan must read only the O partition
+    val full = spark.read.parquet(dir)
+    assert(q.count() == full.filter($"o_orderstatus" === "O").count())
+    val files = q.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("o_orderstatus=O")), files.mkString("\n"))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    // merge hint forces a non-broadcast join, so bucketing (not a
+    // broadcast) is what removes the shuffle
+    val noBc = spark.table("lineitem_b").hint("merge")
+      .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    noBc.collect()
+    val plan = noBc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}
