@@ -62,4 +62,35 @@ object Similarity {
       val planeCol = array(p.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** IVF-style ANN: per-cluster element-wise mean centroids (one agg
+    * pass over posexploded vectors), probe the query's nearest centroid
+    * by cosine, exact-search only that cluster. The cluster assignment
+    * comes from `clusterCol` (a coarse quantizer's output). At 100 TB
+    * the centroid table is a broadcast dim and each query reads one
+    * cluster's partitions. Recall depends entirely on the quantizer's
+    * geometry — see SimilaritySpec for the well-clustered case.
+    * Requires GraftFunctions.register (native cosine). */
+  def ivfTopK(emb: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, queryId: Long,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val centroids = emb
+      .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(clusterCol), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col(clusterCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(clusterCol).as("c_cluster"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
+    val nearest = centroids.crossJoin(broadcast(q))
+      .select(col("c_cluster"), col("qe"),
+        cosineNative(col("centroid"), col("qe")).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("c_cluster").asc)
+      .limit(1)
+    emb.join(broadcast(nearest), col(clusterCol) === col("c_cluster"))
+      .select(col(idCol), col(clusterCol),
+        round(cosineNative(col(vecCol), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -81,5 +81,41 @@ object AggQueries {
       .orderBy($"o_custkey")
   }
 
-  def entries: Seq[CatalogEntry] = Seq(q1Agg, latestPerKeyAll)
+  /** TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    * selective filters on both ends, grouped revenue, top-10. Exercises
+    * join ordering + filter pushdown through a multi-join; the top-10
+    * is TakeOrderedAndProject over the aggregate. */
+  val q3Shipping: CatalogEntry = CatalogEntry(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(s, d)
+        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, d)
+        .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+        $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(q1Agg, latestPerKeyAll, q3Shipping)
 }

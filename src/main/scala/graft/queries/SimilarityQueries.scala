@@ -83,6 +83,19 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** IVF-style ANN: one pass computes per-cluster centroids (the
+    * `label` column stands in for a coarse quantizer's assignment), the
+    * query probes its nearest centroid, and exact cosine runs only
+    * inside that cluster — at 100 TB the centroid table is a broadcast
+    * dim and each query touches one cluster partition. Engine-specific
+    * clustering → no SQL oracle; recall behavior in SimilaritySpec. */
+  val simIvf: CatalogEntry = CatalogEntry.noOracle(
+    "sim_ivf") { (s, d) =>
+    GraftFunctions.register(s)
+    Similarity.ivfTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", queryId = 0, k = 10)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    simCosineTopk, simAnnLsh, simBucketedPairs)
+    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf)
 }

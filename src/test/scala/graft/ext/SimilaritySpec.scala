@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("ivfTopK: with a well-separated quantizer, probes the right cluster and ranks the query first") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    // three well-separated clusters around axis directions
+    def around(axis: Int) = Seq.tabulate(8)(j =>
+      (if (j == axis) 10f else 0f) + rnd.nextFloat() * 0.2f)
+    val emb = (0 until 90).map { i =>
+      (i.toLong, around(i % 3), i % 3) }.toDF("vec_id", "embedding", "cluster")
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", "cluster",
+      queryId = 0, k = 5).collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == 0L)      // the query itself, cos 1
+    assert(out.head.getDouble(2) == 1.0)
+    assert(out.forall(_.getInt(1) == 0))   // only cluster 0 scanned
+    // deterministic across runs
+    val again = Similarity.ivfTopK(emb, "vec_id", "embedding", "cluster",
+      queryId = 0, k = 5).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("ANN within query bucket contains the query itself at cosine 1") {
     val planes = Similarity.hyperplanes(4, 4)
     val rnd = new scala.util.Random(11)
