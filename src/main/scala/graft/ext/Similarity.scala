@@ -56,11 +56,16 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** Sign-bit bucket id: bit i set iff dot(v, plane_i) >= 0. */
+  /** Sign-bit bucket id: bit i set iff dot(v, plane_i) >= 0. Uses the
+    * native codegen'd dot — this is the one pass that touches the whole
+    * corpus, so it must not run interpreted lambdas per element.
+    * Requires GraftFunctions.register. Planes quantize to float to
+    * match the embedding element type (sign decisions stay
+    * deterministic). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(0L)
+      val planeCol = array(p.map(v => lit(v.toFloat)): _*)
+      when(dotNative(vec, planeCol) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
   /** IVF-style ANN: per-cluster element-wise mean centroids (one agg

@@ -36,6 +36,7 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("lshBucket: equal vectors share a bucket; buckets are stable") {
+    graft.functions.GraftFunctions.register(spark)
     val planes = Similarity.hyperplanes(4, 3)
     val df = Seq(
       (1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)),
@@ -70,6 +71,7 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("ANN within query bucket contains the query itself at cosine 1") {
+    graft.functions.GraftFunctions.register(spark)
     val planes = Similarity.hyperplanes(4, 4)
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 50L).map(i => (i, Seq.fill(4)(rnd.nextFloat() * 2 - 1)))

@@ -45,4 +45,36 @@ class MicroBatchSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(current == Map("EGP" -> 49.0, "EUR" -> 0.92, "JPY" -> 148.0))
   }
+
+  test("streaming tumbling window + watermark: closed windows emit, late rows drop") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val agg = source.toDF().toDF("ts", "etype")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"etype")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"etype", $"n")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (ts("2024-01-01 00:05:00"), "a"),
+        (ts("2024-01-01 00:20:00"), "a"),
+        (ts("2024-01-01 00:40:00"), "b"))
+      q.processAllAvailable()
+      // watermark 00:30 — the 00:00 window is still open: nothing emitted
+      assert(spark.table("win_counts").count() == 0)
+      source.addData((ts("2024-01-01 02:00:00"), "a")) // watermark → 01:50
+      q.processAllAvailable()
+      source.addData( // this batch runs with watermark 01:50 → hour 0 closes;
+        (ts("2024-01-01 00:45:00"), "a")) // and this late row is dropped
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), "a", 2L), // late "a" NOT counted
+        (ts("2024-01-01 00:00:00"), "b", 1L)))
+    } finally q.stop()
+  }
 }
