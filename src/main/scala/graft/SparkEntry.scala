@@ -17,7 +17,8 @@ object SparkEntry {
     AggQueries.entries ++ RateQueries.entries ++ JoinQueries.entries ++
       TransformQueries.entries ++ EventQueries.entries ++
       TextQueries.entries ++ SimilarityQueries.entries ++
-      MediaQueries.entries ++ OperatorQueries.entries
+      MediaQueries.entries ++ OperatorQueries.entries ++
+      ReshapeQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families
