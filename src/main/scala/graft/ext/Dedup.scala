@@ -56,6 +56,34 @@ object Dedup {
       .select(col(idCol), col("bh.band"), col("bh.band_hash"))
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-gram, then
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams; the distinct minima are the document's fingerprint set.
+    * Guarantee: any shared substring of length >= k + w - 1 contributes
+    * at least one shared fingerprint — the basis for plagiarism-style
+    * overlap detection.
+    *
+    * Shaped as posexplode → per-key window min → distinct: the window
+    * frame reads each hash once (an O(n·w) per-partition pass; the
+    * alternative — array lambdas re-evaluating the hash array per
+    * window — is O(n²) per row and blows up codegen like the minhash
+    * case documented on [[minhashSignature]]). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val hashes = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
+      i => xxhash64(col(textCol).substr(i, lit(k))))
+    val exploded = df.select(col(idCol), posexplode(hashes).as(Seq("pos", "h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    exploded
+      .select(col(idCol), min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(win).as("wn"))
+      .filter(col("wn") === w) // only full windows fingerprint
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
   /** Candidate near-dup pairs (idA < idB) from LSH banding, confirmed
     * with exact shingle Jaccard >= `threshold`. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,

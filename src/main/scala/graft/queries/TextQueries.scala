@@ -144,6 +144,20 @@ object TextQueries {
       .orderBy($"doc_id", $"band")
   }
 
+  /** Winnowing (rolling k-gram hash) fingerprint profile per document.
+    * Engine-specific hashing → no SQL oracle; the substring-sharing
+    * guarantee is asserted in DedupSpec. */
+  val docWinnowFingerprint: CatalogEntry = CatalogEntry.noOracle(
+    "doc_winnow_fingerprint") { (s, d) =>
+    import s.implicits._
+    Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+      k = 5, w = 4)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** Stopword-overlap language-ID heuristic (deterministic argmax). */
   val langIdHeuristic: CatalogEntry = CatalogEntry.noOracle(
     "lang_id_heuristic") { (s, d) =>
@@ -164,5 +178,5 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
-    textSimhash, dedupMinhashLsh, langIdHeuristic)
+    textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic)
 }

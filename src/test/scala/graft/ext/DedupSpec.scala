@@ -50,6 +50,24 @@ class DedupSpec extends SparkTestBase {
     assert(j > 0.8 && j < 1.0)
   }
 
+  test("winnowing: identical texts share all fingerprints; near-dups share most; shared substrings guarantee overlap") {
+    val nearDup = base.replace("quick", "quikc")
+    val other = "entirely unrelated content about database query engines " +
+      "optimizers shuffles partitions and columnar storage formats today"
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    assert(fps(1L) == fps(2L))
+    val overlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.6, s"near-dup overlap $overlap")
+    // winnowing guarantee: a shared >= k+w-1 substring shares a fingerprint
+    assert(fps(1L).intersect(fps(3L)).nonEmpty)
+    val crossOverlap = fps(1L).intersect(fps(4L)).size.toDouble / fps(1L).size
+    assert(crossOverlap < overlap)
+  }
+
   test("simhash: identical texts collide, near-dups land within small hamming distance") {
     val nearDup = base.replace("forest", "woods")
     val other = "entirely unrelated content about database query engines"
