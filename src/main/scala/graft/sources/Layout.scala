@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Warehouse layout sinks — where 100 TB performance is actually won
+  * (SURVEY.md §4): a date/key-partitioned layout gives partition
+  * pruning (static + dynamic) on every downstream scan; bucketed +
+  * sorted tables make repeated equi-joins and aggregations on the
+  * bucket key shuffle-free. Mechanics asserted in ScaleLayoutSpec.
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet layout (e.g. historical_rates
+    * partitioned by observation date). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table (bucket count fixed at write time;
+    * choose it for target-cluster parallelism, not current data size). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

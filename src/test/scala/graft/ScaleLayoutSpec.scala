@@ -12,8 +12,8 @@ class ScaleLayoutSpec extends SparkTestBase {
 
   test("partitioned layout: a partition-column filter prunes at plan time") {
     val dir = Files.createTempDirectory("graft_part").toString
-    Tables.orders(spark, "/root/testdata/sf0.001")
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    graft.sources.Layout.writePartitioned(
+      Tables.orders(spark, "/root/testdata/sf0.001"), dir, Seq("o_orderstatus"))
     val q = spark.read.parquet(dir).filter($"o_orderstatus" === "O")
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
@@ -29,12 +29,10 @@ class ScaleLayoutSpec extends SparkTestBase {
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
-    Tables.orders(spark, "/root/testdata/sf0.001")
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("orders_b")
-    Tables.lineitem(spark, "/root/testdata/sf0.001")
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("lineitem_b")
+    graft.sources.Layout.writeBucketed(
+      Tables.orders(spark, "/root/testdata/sf0.001"), "orders_b", 4, Seq("o_orderkey"))
+    graft.sources.Layout.writeBucketed(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"), "lineitem_b", 4, Seq("l_orderkey"))
     // merge hint forces a non-broadcast join, so bucketing (not a
     // broadcast) is what removes the shuffle
     val noBc = spark.table("lineitem_b").hint("merge")

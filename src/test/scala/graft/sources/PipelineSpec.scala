@@ -65,10 +65,11 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(stage).count() == 3) // b2 only, truncated
   }
 
-  test("parseLive: failed payloads are excluded, bad rates coerce to null") {
+  test("parseLive: failed payloads and corrupt JSON are excluded") {
     val rows = Seq(
       fixture(1704153600L, """"USDEGP": 48.0"""),
-      """{"success": false, "error": {"code": 104}}""").toDF("value")
+      """{"success": false, "error": {"code": 104}}""",
+      """not json at all {{{""").toDF("value")
     val out = Fetch.parseLive(rows, "value", "USD")
     assert(out.count() == 1)
     assert(out.select($"target_currency").as[String].collect().toSeq == Seq("EGP"))
