@@ -96,6 +96,34 @@ object SimilarityQueries {
       "vec_id", "embedding", "label", queryId = 0, k = 10)
   }
 
+  /** Array-function surface over the embedding column (SURVEY.md §2.8
+    * extension): element min/max/mean and L2 norm, all in widened
+    * double so the DuckDB list-algebra oracle matches exactly. */
+  val arrayStats: CatalogEntry = CatalogEntry(
+    "array_stats",
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS min_v,
+      |  round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_v,
+      |  round(list_sum(list_transform(embedding, x -> x::DOUBLE))
+      |        / len(embedding), 6) AS mean_v,
+      |  round(sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                       for i in range(1, len(embedding) + 1)])), 6) AS l2
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    GraftFunctions.register(s)
+    val dbl = transform($"embedding", x => x.cast("double"))
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        size($"embedding").as("dim"),
+        round(array_min(dbl), 6).as("min_v"),
+        round(array_max(dbl), 6).as("max_v"),
+        round(aggregate(dbl, lit(0.0), (a, x) => a + x) / size($"embedding"), 6)
+          .as("mean_v"),
+        round(sqrt(Similarity.dotNative($"embedding", $"embedding")), 6)
+          .as("l2"))
+      .orderBy($"vec_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf)
+    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, arrayStats)
 }
