@@ -117,5 +117,70 @@ object AggQueries {
       .limit(10)
   }
 
-  def entries: Seq[CatalogEntry] = Seq(q1Agg, latestPerKeyAll, q3Shipping)
+  /** TPC-H Q5 shape: 6-way join with a non-hierarchical condition
+    * (supplier must share the customer's nation) — the join-order
+    * stress test. Dims broadcast; the fact-side joins are equi-joins
+    * AQE re-plans at scale. */
+  val q5LocalSupplier: CatalogEntry = CatalogEntry(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, d)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
+  /** TPC-H Q18 shape: aggregate-then-semi-join — large-quantity orders
+    * found by a grouped HAVING, then re-joined for customer detail.
+    * The HAVING side shuffles only (orderkey, sum) pairs. */
+  val q18LargeOrders: CatalogEntry = CatalogEntry(
+    "q18_large_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 150)
+      |SELECT c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+      |  round(o_totalprice, 2) AS o_totalprice_r,
+      |  round(total_qty, 2) AS total_qty_r
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice_r DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val big = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150)
+    big.join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(s, d), $"c_custkey" === $"o_custkey")
+      .select($"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+        round($"o_totalprice", 2).as("o_totalprice_r"),
+        round($"total_qty", 2).as("total_qty_r"))
+      .orderBy($"o_totalprice_r".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders)
 }

@@ -83,5 +83,34 @@ object TransformQueries {
       .orderBy($"p_brand")
   }
 
-  def entries: Seq[CatalogEntry] = Seq(transformChain, roundtripCsv)
+  /** Column profiling (the standard ingestion data-quality sweep):
+    * melt columns to long form, then count rows / non-nulls / distinct
+    * per column in one pass. The oracle is an independent UNION ALL of
+    * per-column aggregates. */
+  val profileColumns: CatalogEntry = CatalogEntry(
+    "profile_columns",
+    """SELECT 'l_linestatus' AS column_name, count(*)::BIGINT AS n_rows,
+      |  count(l_linestatus)::BIGINT AS n_nonnull,
+      |  count(DISTINCT l_linestatus)::BIGINT AS n_distinct FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', count(*)::BIGINT, count(l_quantity)::BIGINT,
+      |  count(DISTINCT l_quantity)::BIGINT FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', count(*)::BIGINT, count(l_returnflag)::BIGINT,
+      |  count(DISTINCT l_returnflag)::BIGINT FROM lineitem
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cols = Seq("l_linestatus", "l_quantity", "l_returnflag")
+    Tables.lineitem(s, d)
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "column_name", "v")
+      .groupBy($"column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"v").as("n_nonnull"),
+        countDistinct($"v").as("n_distinct"))
+      .orderBy($"column_name")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    transformChain, roundtripCsv, profileColumns)
 }
