@@ -45,4 +45,21 @@ class ScaleLayoutSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("compact: many small append files rewrite to few, data intact") {
+    import graft.etl.Load
+    val dir = Files.createTempDirectory("graft_compact").toString + "/hist"
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    (1 to 5).foreach { i => // five streaming-style appends
+      Load.appendHistorical(orders.filter($"o_orderkey" % 5 === i % 5), dir)
+    }
+    val before = spark.read.parquet(dir)
+    val beforeCount = before.count()
+    val beforeFiles = before.select(input_file_name()).distinct().count()
+    assert(beforeFiles >= 5)
+    graft.sources.Layout.compact(spark, dir, nFiles = 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeCount)
+    assert(after.select(input_file_name()).distinct().count() == 1)
+  }
 }
