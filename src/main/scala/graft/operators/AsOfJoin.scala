@@ -3,13 +3,14 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Left as-of join: for every probe row, attach the build side's latest
   * payload at-or-before the probe's timestamp within the same key — the
   * time-series join Spark has no built-in operator for.
   *
   * Formulation: tag both sides, union, one window per key ordered by
-  * (ts, side, tie) with `last(payload, ignoreNulls)` over an
+  * (ts, side, tie) with `last(payload_struct, ignoreNulls)` over an
   * unbounded-preceding frame, then keep probe rows. Compared to the
   * naive range-join (probe ⋈ build on key + inequality → per-key
   * cross-product then argmax), this is ONE shuffle on the key and
@@ -19,7 +20,12 @@ import org.apache.spark.sql.functions._
   * Semantics: inclusive (build row at exactly the probe ts matches —
   * build sorts before probe at equal ts); build-side ts ties resolve
   * toward the larger `buildTie` value; probes with no prior build row
-  * get nulls (left join).
+  * get nulls (left join). All payload columns come from the SAME build
+  * row: they travel as one nullable struct, so a legitimately-null
+  * payload value in the matched row is returned as null (never patched
+  * from an older row), matching DuckDB/pandas ASOF. Null join keys
+  * never match (equi-join semantics): null-key build rows are dropped,
+  * null-key probe rows pass through with null payloads.
   */
 object AsOfJoin {
 
@@ -30,24 +36,25 @@ object AsOfJoin {
       probeTs: String, buildTs: String,
       payload: Seq[String], buildTie: String): DataFrame = {
     val probeCols = probe.columns.toSeq
-    val payloadTypes = payload.map(c =>
-      c -> build.schema(c).dataType)
+    val payloadType = StructType(payload.map(c =>
+      StructField(c, build.schema(c).dataType)))
 
     val probeSide = probe
       .withColumn("__k", col(probeKey))
       .withColumn("__ts", col(probeTs))
       .withColumn("__probe", lit(1))
       .withColumn("__tie", lit(Long.MaxValue)) // probe after ties at same ts
-      .withColumns(payloadTypes.map { case (c, t) =>
-        s"asof_$c" -> lit(null).cast(t) }.toMap)
+      .withColumn("__payload", lit(null).cast(payloadType))
 
     val buildSide = build
+      // null keys can never equi-match; dropping them here also keeps
+      // them from co-grouping with null-key probe rows in the window
+      .filter(col(buildKey).isNotNull)
       .withColumn("__k", col(buildKey))
       .withColumn("__ts", col(buildTs))
       .withColumn("__probe", lit(0))
       .withColumn("__tie", col(buildTie).cast("long"))
-      .withColumns(payloadTypes.map { case (c, _) =>
-        s"asof_$c" -> col(c) }.toMap)
+      .withColumn("__payload", struct(payload.map(col): _*))
       .withColumns(probeCols.filterNot(build.columns.contains).map { c =>
         c -> lit(null).cast(probe.schema(c).dataType) }.toMap)
       .select(probeSide.columns.map(col): _*)
@@ -57,9 +64,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     probeSide.unionByName(buildSide)
-      .withColumns(payload.map { c =>
-        s"asof_$c" -> last(col(s"asof_$c"), ignoreNulls = true).over(w) }.toMap)
+      // ignoreNulls skips probe rows' null struct, never a build row:
+      // a build row's struct is non-null even when its fields are null,
+      // so the whole payload is taken from one (the latest) build row.
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__probe") === 1)
-      .select((probeCols.map(col) ++ payload.map(c => col(s"asof_$c"))): _*)
+      .select((probeCols.map(col) ++
+        payload.map(c => col("__payload").getField(c).as(s"asof_$c"))): _*)
   }
 }

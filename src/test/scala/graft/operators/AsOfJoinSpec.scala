@@ -47,6 +47,50 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == 9L)
   }
 
+  test("a null payload value in the matched build row is returned as null, " +
+      "not patched from an older row") {
+    val b = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100L), Some(1.0)),
+      (1L, ts("2024-01-01 12:00:00"), None: Option[Long], Some(2.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.leftAsOf(
+      Seq((1L, 1L, ts("2024-01-01 13:00:00"))).toDF("pid", "user_id", "ts"),
+      b, "user_id", "user_id", "ts", "ts", Seq("event_id", "value"), "value")
+      .select($"asof_event_id", $"asof_value").collect().head
+    assert(out.isNullAt(0), "latest build row's null must not fall back to 100")
+    assert(out.getDouble(1) == 2.0)
+  }
+
+  test("multi-payload columns with mixed nulls all come from the same build row") {
+    val b = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100L), None: Option[Double]),
+      (1L, ts("2024-01-01 12:00:00"), None: Option[Long], Some(2.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.leftAsOf(
+      Seq((1L, 1L, ts("2024-01-01 13:00:00"))).toDF("pid", "user_id", "ts"),
+      b, "user_id", "user_id", "ts", "ts", Seq("event_id", "value"), "ts")
+      .select($"asof_event_id", $"asof_value").collect().head
+    // the incoherent per-column formulation would stitch (100, 2.0)
+    assert(out.isNullAt(0) && out.getDouble(1) == 2.0,
+      s"payload must be the latest row's (null, 2.0), got $out")
+  }
+
+  test("null join keys never match: null-key build rows are ignored, " +
+      "null-key probe rows emit null payloads") {
+    val b = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), 100L, 1.0),
+      (None: Option[Long], ts("2024-01-01 10:00:00"), 999L, 9.9))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.leftAsOf(
+      Seq((1L, None: Option[Long], ts("2024-01-01 11:00:00")),
+        (2L, Some(1L), ts("2024-01-01 11:00:00")))
+        .toDF("pid", "user_id", "ts"),
+      b, "user_id", "user_id", "ts", "ts", Seq("event_id"), "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(100L)))
+  }
+
   test("equivalence with the naive range-join + argmax on random data") {
     val rnd = new scala.util.Random(13)
     def t(h: Int) = new Timestamp(1704067200000L + h * 3600000L)
