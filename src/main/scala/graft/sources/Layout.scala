@@ -26,20 +26,21 @@ object Layout {
       .saveAsTable(table)
 
   /** Small-file compaction: rewrite a parquet directory into `nFiles`
-    * files via an atomic staging swap. Streaming appends
-    * (MicroBatch.appendHistorical per trigger) accumulate one small
-    * file per batch; at scale the scan's task count — and the
+    * files through [[AtomicSwap]] — the old layout stays readable until
+    * the rewritten one swaps in, and a crash mid-swap is rolled
+    * forward/back on the next run. Streaming appends accumulate one
+    * small file per batch; at scale the scan's task count — and the
     * NameNode/listing load — degrade until compaction rewrites the
     * layout. coalesce (not repartition): no shuffle, just fewer,
     * larger write tasks. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       nFiles: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.recover(fs, dest)
+    val compacted = spark.read.parquet(path).coalesce(nFiles)
+    AtomicSwap.swapIn(fs, dest) { stg =>
+      compacted.write.mode("overwrite").parquet(stg.toString)
+    }
   }
 }

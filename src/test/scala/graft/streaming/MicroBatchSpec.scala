@@ -46,6 +46,47 @@ class MicroBatchSpec extends SparkTestBase {
     assert(current == Map("EGP" -> 49.0, "EUR" -> 0.92, "JPY" -> 148.0))
   }
 
+  test("history append is idempotent per batch id (at-least-once replay safe)") {
+    val hist = Files.createTempDirectory("graft_hist").toString + "/hist"
+    val b1 = Seq(("USD", "EGP", 48.0, ts("2024-01-02 00:00:00"), 1L))
+      .toDF("base", "target", "rate", "ts", "uid")
+    val b2 = Seq(("USD", "EUR", 0.92, ts("2024-01-02 00:00:00"), 2L))
+      .toDF("base", "target", "rate", "ts", "uid")
+    MicroBatch.appendHistoricalBatch(b1, hist, 0L)
+    MicroBatch.appendHistoricalBatch(b1, hist, 0L) // replayed batch: skipped
+    MicroBatch.appendHistoricalBatch(b2, hist, 1L)
+    val out = spark.read.parquet(hist)
+    assert(out.count() == 2)
+    assert(out.columns.contains("batch_id")) // the reprocessing-window key
+  }
+
+  test("upsert after a crashed swap recovers all prior keys (never rebuilds " +
+      "the snapshot from one batch)") {
+    import org.apache.hadoop.fs.Path
+    val cur = Files.createTempDirectory("graft_crash").toString + "/cur"
+    val fs = new Path(cur).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch1 = Seq(
+      ("USD", "EGP", 48.0, ts("2024-01-02 00:00:00"), 1L),
+      ("USD", "EUR", 0.92, ts("2024-01-02 00:00:00"), 2L))
+      .toDF("base", "target", "rate", "ts", "uid")
+    val batch2 = Seq(("USD", "JPY", 148.0, ts("2024-01-02 00:00:00"), 3L))
+      .toDF("base", "target", "rate", "ts", "uid")
+    MicroBatch.upsertParquet(spark, batch1, cur, Seq("base", "target"), "ts", "uid")
+    // simulate a crash between "rename dest aside" and "rename staging in":
+    // batch2's snapshot sits complete in staging, dest is missing
+    spark.read.parquet(cur).unionByName(batch2)
+      .write.mode("overwrite").parquet(cur + "__staging")
+    assert(fs.rename(new Path(cur), new Path(cur + "__old")))
+    // the replayed trigger must first finish the swap, then upsert on top —
+    // the pre-fix delete-then-rename path would emit ONLY batch2's key here
+    MicroBatch.upsertParquet(spark, batch2, cur, Seq("base", "target"), "ts", "uid")
+    val out = spark.read.parquet(cur).select($"target", $"rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("EGP" -> 48.0, "EUR" -> 0.92, "JPY" -> 148.0))
+    assert(!fs.exists(new Path(cur + "__staging")))
+    assert(!fs.exists(new Path(cur + "__old")))
+  }
+
   test("streaming tumbling window + watermark: closed windows emit, late rows drop") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
