@@ -31,12 +31,15 @@ object Transform {
     if (cols.isEmpty) df.na.drop() else df.na.drop(cols)
 
   /** Split a 6-letter currency pair "USDEGP" into (base, target) via the
-    * reference's regex (load_to_bigquery.py:41-42). Non-matching input
-    * yields empty strings, exactly like pandas `str.extract` → NaN rows
-    * that the subsequent dropna removes. */
+    * reference's regex (load_to_bigquery.py:41-42). Spark's
+    * regexp_extract returns '' (not null) on no match, so the result is
+    * wrapped in nullif to give pandas `str.extract` semantics — a
+    * non-matching pair yields null that the subsequent dropna removes. */
   def pairRegex: String = "([A-Z]{3})([A-Z]{3})"
-  def pairBase(pair: Column): Column = regexp_extract(pair, pairRegex, 1)
-  def pairTarget(pair: Column): Column = regexp_extract(pair, pairRegex, 2)
+  def pairBase(pair: Column): Column =
+    nullif(regexp_extract(pair, pairRegex, 1), lit(""))
+  def pairTarget(pair: Column): Column =
+    nullif(regexp_extract(pair, pairRegex, 2), lit(""))
 
   /** Suffix derivation `pair.str[len(base):]` (fetch.py:44). */
   def targetFromPair(pair: Column, baseLen: Int): Column =

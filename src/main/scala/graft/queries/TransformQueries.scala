@@ -46,8 +46,8 @@ object TransformQueries {
       .withColumn("brand_num",
         element_at(split($"p_brand", "#"), 2).try_cast("int"))
       .withColumn("name_head", substring($"p_name", 1, 5))
-      .withColumn("pair_base", nullif(Transform.pairBase(pairCol), lit("")))
-      .withColumn("pair_target", nullif(Transform.pairTarget(pairCol), lit("")))
+      .withColumn("pair_base", Transform.pairBase(pairCol))
+      .withColumn("pair_target", Transform.pairTarget(pairCol))
       .withColumn("size_str", $"p_size".cast("string"))
       .withColumn("parsed_ts_s", date_format(
         Transform.coerceTimestamp(
@@ -73,7 +73,10 @@ object TransformQueries {
       |FROM part GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin) { (s, d) =>
     import s.implicits._
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    // per-session dir: concurrent Verify/bench runs must not clobber
+    // each other mid-read (stable within a session so re-runs reuse it)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      s.sparkContext.applicationId
     Tables.part(s, d).write.mode("overwrite").option("header", true).csv(tmp)
     s.read.option("header", true).option("inferSchema", true).csv(tmp)
       .groupBy($"p_brand")

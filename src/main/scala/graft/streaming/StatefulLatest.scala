@@ -23,19 +23,26 @@ case class RateObs(base: String, target: String, rate: Double,
   */
 object StatefulLatest {
 
+  /** Full-precision timestamp order: Timestamp.compareTo includes the
+    * nanos field, matching the batch path (Load.upsertLatest orders by
+    * the full TimestampType) — getTime alone would treat µs-apart rows
+    * as ties here but strictly newer in batch. */
+  private def newer(a: RateObs, b: RateObs): Boolean = {
+    val c = a.ts.compareTo(b.ts)
+    c > 0 || (c == 0 && a.uid > b.uid)
+  }
+
   /** The per-key transition: fold a batch's rows into stored state. */
   private[streaming] def step(stored: Option[RateObs],
       batch: Iterator[RateObs]): Option[RateObs] = {
-    val ord = Ordering.Tuple2[Long, Long]
     val incoming = batch.foldLeft(Option.empty[RateObs]) { (best, r) =>
       best match {
-        case Some(b) if ord.gteq((b.ts.getTime, b.uid), (r.ts.getTime, r.uid)) =>
-          best
+        case Some(b) if !newer(r, b) => best
         case _ => Some(r)
       }
     }
     (stored, incoming) match {
-      case (Some(s), Some(i)) if i.ts.getTime > s.ts.getTime => Some(i)
+      case (Some(s), Some(i)) if i.ts.compareTo(s.ts) > 0 => Some(i)
       case (Some(s), _) => Some(s) // older or tied incoming never clobbers
       case (None, i) => i
     }

@@ -41,8 +41,8 @@ class TransformSpec extends SparkTestBase {
       .select(Transform.pairBase($"pair").as("b"), Transform.pairTarget($"pair").as("t"))
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out(0) == ("USD", "EGP"))
-    assert(out(1) == ("", ""))        // too short: no match
-    assert(out(2) == ("", ""))        // lowercase: no match
+    assert(out(1) == (null, null))   // too short: no match → null, so a
+    assert(out(2) == (null, null))   // dropna removes it (pandas parity)
     assert(out(3) == ("XUS", "DEG")) // unanchored first match, like pandas
   }
 

@@ -33,6 +33,24 @@ class StatefulLatestSpec extends SparkTestBase {
       .get.rate == 50.0)
   }
 
+  test("step: sub-millisecond precision matches the batch path (µs-newer replaces)") {
+    val t0 = ts("2024-01-02 00:00:00")
+    val t0plus1us = ts("2024-01-02 00:00:00"); t0plus1us.setNanos(1000)
+    val s0 = RateObs("USD", "EGP", 48.0, t0, 1L)
+    // 1µs newer: batch (full-TimestampType order) treats this as strictly
+    // newer — the stream guard must agree, not tie on milliseconds
+    assert(StatefulLatest.step(Some(s0), Iterator(
+      RateObs("USD", "EGP", 49.0, t0plus1us, 2L))).get.rate == 49.0)
+    // exact tie (to the nanosecond) still keeps stored
+    assert(StatefulLatest.step(Some(s0), Iterator(
+      RateObs("USD", "EGP", 47.0, ts("2024-01-02 00:00:00"), 3L)))
+      .get.rate == 48.0)
+    // in-batch fold also resolves µs differences
+    assert(StatefulLatest.step(None, Iterator(
+      RateObs("USD", "EGP", 50.0, t0, 4L),
+      RateObs("USD", "EGP", 51.0, t0plus1us, 5L))).get.rate == 51.0)
+  }
+
   test("stream: state maintains current_rates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[RateObs]
