@@ -195,6 +195,9 @@ object RateQueries {
   val scalarPctChange: CatalogEntry = CatalogEntry(
     "scalar_pct_change",
     """SELECT round(price, 2) AS latest_price,
+      |  format('{:,}', trunc(price)::BIGINT) || '.' ||
+      |    lpad(((round(price, 2) * 100)::BIGINT % 100)::VARCHAR, 2, '0')
+      |    AS latest_price_fmt,
       |  round(prev, 2) AS prev_price,
       |  round(price - prev, 2) AS diff,
       |  round(abs(price - prev), 2) AS abs_diff,
@@ -215,6 +218,11 @@ object RateQueries {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select(round($"o_totalprice", 2).as("latest_price"),
+        // the reference's %.2f display string (app.py:110,174) with
+        // format_number's thousands grouping; oracle rebuilds the same
+        // grouped string from DuckDB primitives (its float format('{:,}')
+        // lacks separators)
+        format_number($"o_totalprice", 2).as("latest_price_fmt"),
         round($"prev", 2).as("prev_price"),
         round($"o_totalprice" - $"prev", 2).as("diff"),
         round(abs($"o_totalprice" - $"prev"), 2).as("abs_diff"),

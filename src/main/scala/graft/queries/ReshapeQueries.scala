@@ -71,8 +71,28 @@ object ReshapeQueries {
       .orderBy($"o_orderpriority", $"status")
   }
 
+  /** approx_percentile (KLL-style sketch) next to the exact path: the
+    * 100 TB formulation — exact `percentile` buffers every group value
+    * in the agg buffer, the sketch is fixed-size and merges map-side.
+    * Sketch internals are engine-specific → rows-only here; the
+    * sketch-vs-exact error bound is pinned in ApproxPercentileSpec. */
+  val aggApproxPercentiles: CatalogEntry = CatalogEntry.noOracle(
+    "agg_approx_percentiles") { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000))
+          .as("median_approx"),
+        percentile_approx($"o_totalprice", lit(0.9), lit(10000))
+          .as("p90_approx"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Exact interpolated percentiles (median, p90) per group — both
-    * engines implement the standard linear-interpolation definition. */
+    * engines implement the standard linear-interpolation definition.
+    * Scale caveat: buffers per-group values; prefer
+    * [[aggApproxPercentiles]] beyond memory-sized groups. */
   val aggPercentiles: CatalogEntry = CatalogEntry(
     "agg_percentiles",
     """SELECT o_orderstatus,
@@ -105,5 +125,6 @@ object ReshapeQueries {
   }
 
   def entries: Seq[CatalogEntry] = Seq(
-    aggCube, pivotWide, unpivotLong, aggPercentiles, aggCollectSorted)
+    aggCube, pivotWide, unpivotLong, aggPercentiles, aggApproxPercentiles,
+    aggCollectSorted)
 }

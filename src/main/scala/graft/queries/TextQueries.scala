@@ -158,9 +158,29 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  /** Stopword-overlap language-ID heuristic (deterministic argmax). */
-  val langIdHeuristic: CatalogEntry = CatalogEntry.noOracle(
-    "lang_id_heuristic") { (s, d) =>
+  /** Stopword-overlap language-ID heuristic — a deterministic argmax
+    * (struct max over (score, lang)), so it gets a full DuckDB oracle:
+    * the same argmax via list_sort over score/lang structs. */
+  val langIdHeuristic: CatalogEntry = CatalogEntry(
+    "lang_id_heuristic",
+    """SELECT doc_id, lang, predicted_lang,
+      |  (lang = predicted_lang)::INT AS is_match
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    (list_sort([
+      |      {'score': len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                    ['the','a','of','and','to'])), 'lang': 'en'},
+      |      {'score': len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                    ['le','la','et','de','un'])), 'lang': 'fr'},
+      |      {'score': len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                    ['el','la','y','de','un'])), 'lang': 'es'},
+      |      {'score': len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                    ['der','die','und','das','ein'])), 'lang': 'de'},
+      |      {'score': len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                    ['de','shi','le','he','zai'])), 'lang': 'zh'}
+      |    ])[-1]).lang AS predicted_lang
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val profiles = Seq(
       "en" -> Seq("the", "a", "of", "and", "to"),
@@ -172,7 +192,7 @@ object TextQueries {
       .select($"doc_id", $"lang",
         TextOps.langIdPredict(TextOps.tokens($"text"), profiles)
           .as("predicted_lang"))
-      .withColumn("match", ($"lang" === $"predicted_lang").cast("int"))
+      .withColumn("is_match", ($"lang" === $"predicted_lang").cast("int"))
       .orderBy($"doc_id")
   }
 
