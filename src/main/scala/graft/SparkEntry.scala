@@ -18,7 +18,7 @@ object SparkEntry {
       TransformQueries.entries ++ EventQueries.entries ++
       TextQueries.entries ++ SimilarityQueries.entries ++
       MediaQueries.entries ++ OperatorQueries.entries ++
-      ReshapeQueries.entries
+      ReshapeQueries.entries ++ PipelineQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families

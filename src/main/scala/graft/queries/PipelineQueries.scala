@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Load, Transform}
+import graft.sources.Fetch
+
+/** The reference pipeline END TO END as one oracled catalog entry
+  * (fetch_transform_load_dag.py:190 — fetch → transform → load →
+  * current snapshot), composed from the real stage functions over an
+  * inline JSON fixture: `Fetch.parseLive` (success check, quotes-map
+  * pivot, pair split, stamping) → `Transform` (dropna on rate, schema
+  * align) → `Load.latestPerKey`/`upsertLatest` (the MERGE with the
+  * strict `S.ts > T.ts` late-data guard, load_to_bigquery.py:102).
+  *
+  * The fixture exercises every semantic branch in one pass: a failed
+  * payload (filtered by the success flag), a null rate (dropped), an
+  * update (newer EGP wins), a late row (older EUR must NOT clobber),
+  * and an insert (new JPY). The oracle replays the chain in DuckDB
+  * from the same JSON literals with an INDEPENDENT merge formulation
+  * (FULL OUTER JOIN, like the merge_upsert oracle) — so the hash gate
+  * checks the pipeline's composition, not just its stages.
+  */
+object PipelineQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  private val batch1Json = Seq(
+    """{"success":true,"source":"USD","timestamp":1704153600,"quotes":{"USDEGP":48.0,"USDEUR":0.92}}""")
+  private val batch2Json = Seq(
+    """{"success":true,"source":"USD","timestamp":1704240000,"quotes":{"USDEGP":49.0,"USDJPY":148.0,"USDNUL":null}}""",
+    """{"success":true,"source":"USD","timestamp":1704067200,"quotes":{"USDEUR":0.85}}""",
+    """{"success":false,"source":"USD","timestamp":1704326400,"quotes":{"USDBAD":1.0}}""")
+
+  private val warehouseSchema: Seq[(String, DataType)] = Seq(
+    "base_currency" -> StringType, "target_currency" -> StringType,
+    "rate" -> DoubleType, "timestamp" -> TimestampType,
+    "retrieved_at" -> TimestampType)
+
+  val pipelineE2e: CatalogEntry = CatalogEntry(
+    "pipeline_e2e",
+    """WITH b1raw(j) AS (VALUES
+      |  ('{"success":true,"source":"USD","timestamp":1704153600,"quotes":{"USDEGP":48.0,"USDEUR":0.92}}')),
+      |b2raw(j) AS (VALUES
+      |  ('{"success":true,"source":"USD","timestamp":1704240000,"quotes":{"USDEGP":49.0,"USDJPY":148.0,"USDNUL":null}}'),
+      |  ('{"success":true,"source":"USD","timestamp":1704067200,"quotes":{"USDEUR":0.85}}'),
+      |  ('{"success":false,"source":"USD","timestamp":1704326400,"quotes":{"USDBAD":1.0}}')),
+      |b1 AS (
+      |  SELECT 'USD' AS base_currency, substring(k, 4) AS target_currency,
+      |    (j::JSON -> 'quotes' ->> k)::DOUBLE AS rate,
+      |    make_timestamp((j::JSON ->> 'timestamp')::BIGINT * 1000000) AS ts,
+      |    TIMESTAMP '2024-01-02 06:00:00' AS retrieved_at
+      |  FROM b1raw, unnest(json_keys(j::JSON, '$.quotes')) AS t(k)
+      |  WHERE (j::JSON ->> 'success')::BOOLEAN
+      |    AND (j::JSON -> 'quotes' ->> k) IS NOT NULL),
+      |b2 AS (
+      |  SELECT 'USD' AS base_currency, substring(k, 4) AS target_currency,
+      |    (j::JSON -> 'quotes' ->> k)::DOUBLE AS rate,
+      |    make_timestamp((j::JSON ->> 'timestamp')::BIGINT * 1000000) AS ts,
+      |    TIMESTAMP '2024-01-03 06:00:00' AS retrieved_at
+      |  FROM b2raw, unnest(json_keys(j::JSON, '$.quotes')) AS t(k)
+      |  WHERE (j::JSON ->> 'success')::BOOLEAN
+      |    AND (j::JSON -> 'quotes' ->> k) IS NOT NULL),
+      |inc AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY base_currency, target_currency
+      |      ORDER BY ts DESC, rate DESC) AS rn FROM b2) WHERE rn = 1),
+      |m AS (
+      |  SELECT coalesce(c.base_currency, i.base_currency) AS base_currency,
+      |    coalesce(c.target_currency, i.target_currency) AS target_currency,
+      |    CASE WHEN c.target_currency IS NULL
+      |              OR (i.target_currency IS NOT NULL AND i.ts > c.ts)
+      |         THEN i.rate ELSE c.rate END AS rate,
+      |    CASE WHEN c.target_currency IS NULL
+      |              OR (i.target_currency IS NOT NULL AND i.ts > c.ts)
+      |         THEN i.ts ELSE c.ts END AS ts,
+      |    CASE WHEN c.target_currency IS NULL
+      |              OR (i.target_currency IS NOT NULL AND i.ts > c.ts)
+      |         THEN i.retrieved_at ELSE c.retrieved_at END AS retrieved_at
+      |  FROM b1 c FULL OUTER JOIN inc i
+      |    ON c.base_currency = i.base_currency
+      |   AND c.target_currency = i.target_currency)
+      |SELECT base_currency, target_currency, rate,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  strftime(retrieved_at, '%Y-%m-%d %H:%M:%S') AS retrieved_s
+      |FROM m ORDER BY target_currency""".stripMargin) { (s, _) =>
+    import s.implicits._
+    // fetch + transform, per batch (retrieved_at injected per run —
+    // deterministic stand-in for the reference's wall clock)
+    def stage(json: Seq[String], retrievedAt: String): DataFrame = {
+      val fetched = Fetch.parseLive(json.toDF("j"), "j", "USD",
+        target = None, now = lit(retrievedAt).cast("timestamp"))
+      Transform.alignSchema(
+        Transform.dropNullOn(fetched, "rate"), warehouseSchema)
+    }
+    val keys = Seq("base_currency", "target_currency")
+    val current = Load.latestPerKey(
+      stage(batch1Json, "2024-01-02 06:00:00"), keys, "timestamp", "rate")
+    Load.upsertLatest(current,
+      stage(batch2Json, "2024-01-03 06:00:00"), keys, "timestamp", "rate")
+      .select($"base_currency", $"target_currency", $"rate",
+        date_format($"timestamp", fmt).as("ts_s"),
+        date_format($"retrieved_at", fmt).as("retrieved_s"))
+      .orderBy($"target_currency")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(pipelineE2e)
+}
