@@ -68,6 +68,39 @@ object Similarity {
       when(dotNative(vec, planeCol) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Multi-probe expansion for [[lshBucket]]: the bucket itself plus
+    * every bucket at Hamming distance 1 (each plane bit flipped). A
+    * near neighbor that lands just across one hyperplane — the dominant
+    * LSH miss mode — is recovered by probing the adjacent bucket, which
+    * multiplies recall without extra tables: with p planes, probes
+    * p+1 of 2^p buckets. Explode + equi-join on the probe id keeps the
+    * candidate search a bucket-key join (never a corpus scan). */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array((bucket +: (0 until nPlanes).map(i =>
+      bucket.bitwiseXOR(lit(1L << i)))): _*)
+
+  /** OR-amplification: `nTables` independent hyperplane tables (one
+    * seed each) as an array of (tbl, bucket) structs — explode to get
+    * the standard multi-table LSH layout, join candidates on
+    * (tbl, bucket). A neighbor is found if ANY table co-buckets it:
+    * per-table miss probability multiplies, so recall amplifies
+    * exponentially in the table count while each probe stays a bucket
+    * equi-join. */
+  def lshTables(vec: Column, nTables: Int, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Column =
+    array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(vec, hyperplanes(nPlanes, dim, seed + t)).as("bucket"))
+    }: _*)
+
+  /** Plane count for a corpus of `n` vectors targeting `targetBucket`
+    * expected vectors per bucket — keeps within-bucket all-pairs work
+    * bounded (n²/2^p) as the corpus grows instead of going quadratic
+    * at a fixed p. */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
+
   /** IVF-style ANN: per-cluster element-wise mean centroids (one agg
     * pass over posexploded vectors), probe the query's nearest centroid
     * by cosine, exact-search only that cluster. The cluster assignment

@@ -42,34 +42,49 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  /** ANN via random-hyperplane LSH: restrict to the query's bucket, then
-    * exact cosine within it. 4 planes → 16 buckets (~1/16 of the corpus
-    * scanned exactly). Bucketing is engine-specific → no SQL oracle;
-    * recall vs the exact top-k is asserted in SimilaritySpec. */
+  /** ANN via random-hyperplane LSH, recall-amplified two ways:
+    * OR-amplification (3 independent hash tables — a neighbor is a
+    * candidate if ANY table co-buckets it) × multi-probe (each table
+    * also probes every Hamming-1 bucket, recovering neighbors that fell
+    * just across one hyperplane). Exact cosine runs only on candidates;
+    * the candidate search stays an equi-join on (table, bucket) — never
+    * a corpus scan. Recall@10 ≥ 0.9 vs the exact top-k is gated in
+    * SimilaritySpec on sf0.1; at larger corpora raise planes-per-table
+    * (shrinks buckets) and keep tables for the recall.
+    * Bucketing is engine-specific → no SQL oracle. */
   val simAnnLsh: CatalogEntry = CatalogEntry.noOracle(
     "sim_ann_lsh") { (s, d) =>
     import s.implicits._
     GraftFunctions.register(s)
-    val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
-    val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", Similarity.lshBucket($"embedding", planes))
-    val q = emb.filter($"vec_id" === 0)
-      .select($"embedding".as("qe"), $"bucket".as("qbucket"))
-    emb.join(broadcast(q), $"bucket" === $"qbucket")
-      .select($"vec_id", $"bucket",
+    val (nTables, nPlanes) = (3, 4)
+    val tabled = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        explode(Similarity.lshTables($"embedding", nTables, nPlanes, dim = 64))
+          .as("tb"))
+    val q = tabled.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"tb.tbl".as("qt"),
+        explode(Similarity.probeBuckets($"tb.bucket", nPlanes)).as("probe"))
+    tabled.join(broadcast(q), $"tb.tbl" === $"qt" && $"tb.bucket" === $"probe")
+      .select($"vec_id", $"embedding", $"qe")
+      .dropDuplicates("vec_id") // candidate found by >1 table counts once
+      .select($"vec_id",
         round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(10)
   }
 
   /** Embedding-cosine near-dup candidates at scale shape: top-10 most
-    * similar pairs drawn only from within LSH buckets (6 planes → 64
-    * buckets), never all-pairs. */
+    * similar pairs drawn only from within LSH buckets, never all-pairs.
+    * The plane count grows with the corpus (log2(n/64)) so expected
+    * within-bucket pair work stays n·64/2 — a fixed plane count would
+    * go quadratic as n grows past bucketCount × targetSize. */
   val simBucketedPairs: CatalogEntry = CatalogEntry.noOracle(
     "sim_bucketed_pairs") { (s, d) =>
     import s.implicits._
     GraftFunctions.register(s)
-    val planes = Similarity.hyperplanes(nPlanes = 6, dim = 64)
+    // metadata-only count (parquet row groups), not a table scan
+    val n = Tables.embeddings(s, d).count()
+    val planes = Similarity.hyperplanes(Similarity.planesFor(n), dim = 64)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
         Similarity.lshBucket($"embedding", planes).as("bucket"))

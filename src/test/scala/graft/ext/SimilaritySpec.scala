@@ -70,6 +70,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("multi-probe ANN recall@10 >= 0.9 vs exact top-k on sf0.1") {
+    import graft.queries.SimilarityQueries
+    val sf = "/root/testdata/sf0.1"
+    val exact = SimilarityQueries.simCosineTopk.query(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val ann = SimilarityQueries.simAnnLsh.query(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"recall@10 = $recall%.2f (${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.9, s"ANN recall@10 $recall < 0.9; exact=$exact ann=$ann")
+  }
+
+  test("probeBuckets: H<=1 neighborhood, distinct, contains the bucket itself") {
+    val out = Seq(5L).toDF("b")
+      .select(Similarity.probeBuckets($"b", 4).as("p"))
+      .collect().head.getSeq[Long](0)
+    assert(out.toSet == Set(5L, 4L, 7L, 1L, 13L)) // 0101 ^ {0,1,2,4,8}
+    assert(out.size == 5)
+  }
+
+  test("planesFor: log-scaled plane count keeps expected bucket size bounded") {
+    assert(Similarity.planesFor(500) == 3) // 8 buckets * ~64
+    assert(Similarity.planesFor(2000) == 5)
+    assert(Similarity.planesFor(1L << 30) == 24)
+    assert(Similarity.planesFor(10) == 1) // never zero planes
+  }
+
   test("ANN within query bucket contains the query itself at cosine 1") {
     graft.functions.GraftFunctions.register(spark)
     val planes = Similarity.hyperplanes(4, 4)
