@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * code (`mapPartitions` — the Scala analogue of `mapInPandas`: one
   * decoder instance per partition, rows streamed through in batches).
   *
-  * ==STUB NOTICE==
-  * Real image/audio codecs are not available in this environment, so
-  * [[decodeMeta]] / [[StubDecoder.decode]] are **deterministic fakes**:
-  * they derive plausible metadata (dimensions, fingerprint) from the
-  * bytes instead of decoding them. The Spark-side contract — schema,
-  * binary transport, partition batching, frame sampling shape — is real
-  * and tested; swap the stub for an actual codec to productionize.
+  * ==CODEC STATUS==
+  * Images are REAL: [[PngCodec]] encodes/decodes actual PNG bytes with
+  * the JDK's javax.imageio (no external deps), behind the same
+  * partition-batched contract — see [[decodeImagePartitions]]. Audio/
+  * video codecs are not available in this environment, so
+  * [[decodeMeta]] / [[StubDecoder.decode]] remain **deterministic
+  * fakes** for those modalities: they derive plausible metadata
+  * (dimensions, fingerprint) from the bytes instead of decoding them.
+  * The Spark-side contract — schema, binary transport, partition
+  * batching, frame sampling shape — is identical for both.
   */
 object MultiModal {
 
@@ -55,6 +58,86 @@ object MultiModal {
       val decoder = new StubDecoder // per-partition init, like a codec ctx
       it.map { row => decoder.decode(row.getLong(0), row.getAs[Array[Byte]](1)) }
     }(Encoders.product[DecodedMedia])
+  }
+
+  /** REAL image codec (JDK javax.imageio, headless-safe): the
+    * per-partition decoder/encoder instances a production image
+    * pipeline would hold — stateful reader reuse, rows streamed
+    * through, exactly the `mapInPandas` batch shape. */
+  final class PngCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Deterministic synthetic image → real PNG bytes (the fixture
+      * generator: gradient + id-seeded channel so distinct ids give
+      * distinct pixels). */
+    def encode(id: Long, width: Int, height: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, (((x * 255 / width) << 16) |
+            ((y * 255 / height) << 8) | ((id % 256).toInt)) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode real image bytes: dimensions from the actual decoded
+      * raster, format from the matched ImageIO reader. */
+    def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no codec for media id=$id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        DecodedMedia(id, bytes.length,
+          "image/" + reader.getFormatName.toLowerCase,
+          img.getWidth, img.getHeight, h)
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** Real-codec partition-batched decode: one [[PngCodec]] per
+    * partition, rows streamed through — the production path
+    * [[decodePartitions]] stubs for codec-less modalities. */
+  def decodeImagePartitions(df: DataFrame, idCol: String,
+      blobCol: String): Dataset[DecodedMedia] = {
+    val ids = df.select(col(idCol).cast("long"), col(blobCol))
+    ids.mapPartitions { it =>
+      val codec = new PngCodec
+      it.map { row => codec.decode(row.getLong(0), row.getAs[Array[Byte]](1)) }
+    }(Encoders.product[DecodedMedia])
+  }
+
+  /** Synthesize real PNG payloads from per-row metadata (fixture
+    * source for the image pipeline; at 100 TB the binary column comes
+    * from ingestion instead). */
+  def encodeImagePartitions(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
+      col(heightCol).cast("int"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { it =>
+      val codec = new PngCodec
+      it.map { r => Row(r.getLong(0), codec.encode(r.getLong(0),
+        math.max(r.getInt(1), 1), math.max(r.getInt(2), 1))) }
+    }(enc)
   }
 
   /** STUB decoder: deterministic metadata from bytes; no real codec. */

@@ -6,10 +6,11 @@ import graft.Tables
 import graft.ext.MultiModal
 
 /** Multimodal-column plumbing entries (builder brief): binary payload
-  * transport + decode/metadata/frame-sample shapes. The decode itself
-  * is a clearly-marked deterministic stub (no codecs in this
-  * environment — see MultiModal's STUB NOTICE); the schema, binary
-  * columns, partition batching and slicing are real.
+  * transport + decode/metadata/frame-sample shapes. Image decode is a
+  * REAL codec (JDK javax.imageio PNG, `multimodal_png_roundtrip`);
+  * audio/video-shaped decode remains a clearly-marked deterministic
+  * stub (see MultiModal's CODEC STATUS); the schema, binary columns,
+  * partition batching and slicing are identical for both.
   */
 object MediaQueries {
 
@@ -41,6 +42,25 @@ object MediaQueries {
       .orderBy($"id")
   }
 
+  /** REAL codec round-trip: per-document metadata → actual PNG bytes
+    * (javax.imageio encode, one codec per partition) → actual PNG
+    * decode — dimensions come from the decoded raster, not the input
+    * metadata, so a green run proves real bytes moved through the
+    * binary column. Codec byte output is JVM-specific → rows-only; the
+    * dims-match invariant is asserted in MultiModalSpec. */
+  val multimodalPngRoundtrip: CatalogEntry = CatalogEntry.noOracle(
+    "multimodal_png_roundtrip") { (s, d) =>
+    import s.implicits._
+    val meta = Tables.documents(s, d)
+      .select($"doc_id",
+        ($"doc_id" % 48 + 16).as("w"), (($"doc_id" * 7) % 48 + 16).as("h"))
+    val blobs = MultiModal.encodeImagePartitions(meta, "doc_id", "w", "h")
+    MultiModal.decodeImagePartitions(blobs, "id", "blob")
+      .toDF()
+      .select($"id".as("doc_id"), $"format", $"width", $"height", $"nBytes")
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    multimodalDecode, multimodalDecodePartitions)
+    multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip)
 }

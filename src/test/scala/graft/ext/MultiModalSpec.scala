@@ -35,6 +35,33 @@ class MultiModalSpec extends SparkTestBase {
     assert(new String(frames.last, "UTF-8") == payload.substring(90, 100))
   }
 
+  test("PNG codec: real javax.imageio bytes decode to the encoded dimensions") {
+    val codec = new MultiModal.PngCodec
+    val bytes = codec.encode(7L, 33, 21)
+    // PNG magic: a real container, not a stub fingerprint
+    assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val m = codec.decode(7L, bytes)
+    assert(m.format == "image/png")
+    assert(m.width == 33 && m.height == 21)
+    assert(m.nBytes == bytes.length)
+    // distinct ids produce distinct pixel data
+    assert(!java.util.Arrays.equals(bytes, codec.encode(8L, 33, 21)))
+  }
+
+  test("encode/decodeImagePartitions: distributed real-codec round-trip") {
+    val meta = (0L until 24L).map(i => (i, (i % 13 + 5).toInt, (i % 7 + 3).toInt))
+    val df = meta.toDF("doc_id", "w", "h")
+    val blobs = MultiModal.encodeImagePartitions(df, "doc_id", "w", "h")
+    val got = MultiModal.decodeImagePartitions(blobs, "id", "blob")
+      .collect().map(m => m.id -> m).toMap
+    assert(got.size == 24)
+    meta.foreach { case (id, w, h) =>
+      assert(got(id).width == w && got(id).height == h, s"id=$id")
+      assert(got(id).format == "image/png")
+    }
+  }
+
   test("decodePartitions: typed output matches the driver-side stub decoder") {
     val rows = Seq((10L, "abc"), (11L, "defgh"))
     val df = rows.toDF("doc_id", "text")
