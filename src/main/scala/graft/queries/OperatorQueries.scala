@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, SaltedAgg}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
 
 /** Catalog entries for the custom whole-operator semantics
   * (operators/): as-of join and skew-salted aggregation.
@@ -64,5 +64,42 @@ object OperatorQueries {
       .orderBy($"o_orderstatus")
   }
 
-  def entries: Seq[CatalogEntry] = Seq(asofJoin, aggSaltedSkew)
+  /** Range (interval) join: every purchase defines a ±5-minute window;
+    * count/sum ALL events falling inside each window. Both sides are
+    * the full events table (≈2k windows × 10k points at sf0.01), so the
+    * naive BETWEEN join would be a nested loop; RangeJoin's bin
+    * expansion (bin = the 10-min window span → ≤2 bins/interval) keeps
+    * it an equi-join. The oracle is DuckDB's inequality join — an
+    * independent execution of the same semantics. */
+  val rangeJoinWindowAgg: CatalogEntry = CatalogEntry(
+    "range_join_window_agg",
+    """WITH w AS (
+      |  SELECT event_id AS w_id,
+      |    epoch_us(ts::TIMESTAMP) - 300000000 AS w_start,
+      |    epoch_us(ts::TIMESTAMP) + 300000000 AS w_end
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT w_id, count(*)::BIGINT AS n_events,
+      |  round(sum(e.value), 2) AS sum_value_r
+      |FROM events e JOIN w
+      |  ON epoch_us(e.ts::TIMESTAMP) >= w.w_start
+      | AND epoch_us(e.ts::TIMESTAMP) <= w.w_end
+      |GROUP BY w_id ORDER BY w_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val halfSpanUs = 300000000L // 5 min
+    val points = ev.select($"event_id".as("e_id"), $"value".as("e_value"),
+      unix_micros($"ts").as("e_us"))
+    val windows = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("w_id"),
+        (unix_micros($"ts") - halfSpanUs).as("w_start"),
+        (unix_micros($"ts") + halfSpanUs).as("w_end"))
+    RangeJoin.pointInInterval(points, windows, "e_us", "w_start", "w_end",
+      binWidth = 2 * halfSpanUs)
+      .groupBy($"w_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"e_value"), 2).as("sum_value_r"))
+      .orderBy($"w_id")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(asofJoin, aggSaltedSkew, rangeJoinWindowAgg)
 }

@@ -196,7 +196,112 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF top-3 terms per document, smoothed idf = ln((N+1)/(df+1)).
+    *
+    * Shape at 100 TB: tf = explode + (doc,term) partial-agg; df is an
+    * agg over the tf table (vocabulary-sized — small enough to
+    * broadcast in practice, left as a shuffle join so AQE decides);
+    * the per-doc top-3 is a row_number window over tf-join rows keyed
+    * by doc_id. N reaches the plan as a broadcast 1-row cross join,
+    * never a collect. (N+1)/(df+1) is an exact-integer double division
+    * (correctly rounded, engine-identical), so Spark's `log` and
+    * DuckDB's `ln` see bit-identical inputs. */
+  val tfidfTopTerms: CatalogEntry = CatalogEntry(
+    "tfidf_top_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf_r,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * ln((n + 1.0) / (df + 1.0)) DESC, term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rk::INT AS rk, term, tf, df, tfidf_r
+      |FROM scored WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val score = $"tf" * log(($"n" + 1).cast("double") / ($"df" + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy(score.desc, $"term".asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df",
+        round(score, 4).as("tfidf_r"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** Gopher-style document quality gate, adapted to this corpus's
+    * signals: token-count bounds, type-token ratio (repetition),
+    * top-word fraction, mean word length bounds, stopword fraction.
+    * One explode + one (doc,term) agg + one per-doc agg — every ratio
+    * is an exact-integer double division, so the oracle comparison is
+    * bit-stable with no transcendental math. Emits the per-rule flags
+    * alongside the verdict so a pipeline can report WHY a doc dropped. */
+  val docQualityFilter: CatalogEntry = CatalogEntry(
+    "doc_quality_filter",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+      |q AS (
+      |  SELECT doc_id,
+      |    sum(c)::BIGINT AS n_tokens,
+      |    count(*)::BIGINT AS n_uniq,
+      |    max(c)::BIGINT AS max_tf,
+      |    round(sum(length(term) * c)::DOUBLE / sum(c), 4) AS mean_word_len,
+      |    round(count(*)::DOUBLE / sum(c), 4) AS ttr,
+      |    round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac,
+      |    round(coalesce(sum(c) FILTER (term IN ('the', 'a', 'of', 'and', 'to')),
+      |                   0)::DOUBLE / sum(c), 4) AS stopword_frac
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_uniq, mean_word_len, ttr, top_word_frac,
+      |  stopword_frac,
+      |  (n_tokens BETWEEN 20 AND 100000) AS ok_len,
+      |  (ttr >= 0.2) AS ok_ttr,
+      |  (top_word_frac <= 0.2) AS ok_top_word,
+      |  (mean_word_len BETWEEN 3 AND 10) AS ok_word_len,
+      |  (n_tokens BETWEEN 20 AND 100000 AND ttr >= 0.2
+      |   AND top_word_frac <= 0.2
+      |   AND mean_word_len BETWEEN 3 AND 10) AS keep
+      |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val q = tf.groupBy($"doc_id").agg(
+      sum($"c").as("n_tokens"),
+      count(lit(1)).as("n_uniq"),
+      round(sum(length($"term") * $"c").cast("double") / sum($"c"), 4)
+        .as("mean_word_len"),
+      round(count(lit(1)).cast("double") / sum($"c"), 4).as("ttr"),
+      round(max($"c").cast("double") / sum($"c"), 4).as("top_word_frac"),
+      round(coalesce(sum(when($"term".isInCollection(stop), $"c")), lit(0L))
+        .cast("double") / sum($"c"), 4).as("stopword_frac"))
+    q.select($"doc_id", $"n_tokens", $"n_uniq", $"mean_word_len", $"ttr",
+        $"top_word_frac", $"stopword_frac",
+        $"n_tokens".between(20, 100000).as("ok_len"),
+        ($"ttr" >= 0.2).as("ok_ttr"),
+        ($"top_word_frac" <= 0.2).as("ok_top_word"),
+        $"mean_word_len".between(3, 10).as("ok_word_len"),
+        ($"n_tokens".between(20, 100000) && $"ttr" >= 0.2 &&
+          $"top_word_frac" <= 0.2 &&
+          $"mean_word_len".between(3, 10)).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
-    textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic)
+    textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
+    tfidfTopTerms, docQualityFilter)
 }
