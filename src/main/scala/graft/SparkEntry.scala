@@ -18,7 +18,8 @@ object SparkEntry {
       TransformQueries.entries ++ EventQueries.entries ++
       TextQueries.entries ++ SimilarityQueries.entries ++
       MediaQueries.entries ++ OperatorQueries.entries ++
-      ReshapeQueries.entries ++ PipelineQueries.entries
+      ReshapeQueries.entries ++ PipelineQueries.entries ++
+      SampleQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families
