@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One user event on the stream (events table shape). */
+case class UserEvent(user_id: Long, ts: Timestamp)
+
+/** An open per-user session held in state. */
+case class OpenSession(start: Timestamp, end: Timestamp, n: Long)
+
+/** A closed session emitted downstream. */
+case class ClosedSession(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long)
+
+/** Gap-based session windows with custom state — the streaming
+  * equivalent of the batch `events_sessionize` entry (lag → flag →
+  * cumsum), built on `flatMapGroupsWithState` + event-time timeout.
+  *
+  * Per key the state is ONE open session (start, end, count) — bytes
+  * per user, not events per user — and it closes two ways:
+  *   - in-batch: a new event ≥ gap after the open session's end closes
+  *     it immediately and starts the next;
+  *   - by timeout: when the watermark passes `end + gap`, the state
+  *     times out and the final session flushes — no unbounded wait for
+  *     a key that went quiet.
+  * Late events behind the watermark are dropped by the watermark
+  * itself, so a closed session is never reopened (append-mode safe).
+  * State partitions by user across executors and checkpoints with the
+  * query — the formulation that holds at 100 TB of events.
+  */
+object SessionWindows {
+
+  /** Fold a (sorted) batch of timestamps into the open session,
+    * emitting sessions closed by in-batch gaps. Pure — unit-testable
+    * without a stream. */
+  private[streaming] def fold(open: Option[OpenSession],
+      sorted: Seq[Timestamp], gapMs: Long): (Option[OpenSession], Seq[OpenSession]) =
+    sorted.foldLeft((open, Vector.empty[OpenSession])) {
+      case ((None, closed), t) => (Some(OpenSession(t, t, 1L)), closed)
+      case ((Some(s), closed), t) =>
+        if (t.getTime - s.end.getTime >= gapMs)
+          (Some(OpenSession(t, t, 1L)), closed :+ s)
+        else if (t.compareTo(s.end) > 0)
+          (Some(s.copy(end = t, n = s.n + 1)), closed)
+        else (Some(s.copy(n = s.n + 1)), closed) // in-batch disorder
+    }
+
+  def sessionize(ds: Dataset[UserEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[ClosedSession] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.start, s.end, s.n))
+          } else {
+            // full-precision sort (compareTo includes nanos — getTime
+            // alone would scramble µs-apart events, same pitfall as the
+            // StatefulLatest guard)
+            val sorted = rows.map(_.ts).toSeq.sortWith(_.compareTo(_) < 0)
+            val (open, closed) = fold(state.getOption, sorted, gapMs)
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.iterator.map(s => ClosedSession(uid, s.start, s.end, s.n))
+          }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+
+/** flatMapGroupsWithState session windows: in-batch gap close, event-time
+  * timeout close, bounded per-key state. */
+class SessionWindowsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val gapMs = 30L * 60 * 1000 // 30 min
+
+  test("fold: gap splits sessions, counts and bounds accumulate, disorder tolerated") {
+    val (open, closed) = SessionWindows.fold(None, Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"),
+      ts("2024-01-01 11:00:00"), // 50 min gap → new session
+      ts("2024-01-01 11:05:00")), gapMs)
+    assert(closed.map(s => (s.start, s.end, s.n)) ==
+      Seq((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+    assert(open.contains(OpenSession(
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 11:05:00"), 2L)))
+    // an existing open session extends rather than restarts
+    val (open2, closed2) = SessionWindows.fold(open,
+      Seq(ts("2024-01-01 11:20:00")), gapMs)
+    assert(closed2.isEmpty && open2.get.n == 3L)
+  }
+
+  test("stream: sessions close by in-batch gap and by event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val q = SessionWindows.sessionize(source.toDS(), gapMs, "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: burst of 3; user 2: single event (keeps watermark honest)
+      source.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00")),
+        UserEvent(1L, ts("2024-01-01 10:05:00")),
+        UserEvent(1L, ts("2024-01-01 10:08:00")),
+        UserEvent(2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0, "nothing closed yet")
+
+      // user 1 again 2h later: closes its first session in-batch; the
+      // event also drags the watermark past user 2's timeout
+      source.addData(UserEvent(1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // one more batch so the timeout (watermark now 11:50) fires
+      source.addData(UserEvent(3L, ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions").as[ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      assert(got.contains(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:08:00"), 3L)),
+        s"user 1 burst must close as one 3-event session, got $got")
+      assert(got.contains(
+        (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L)),
+        s"user 2 must close by event-time timeout, got $got")
+    } finally q.stop()
+  }
+}
