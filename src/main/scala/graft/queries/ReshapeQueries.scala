@@ -124,7 +124,34 @@ object ReshapeQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Quantile bucketing: ntile(4) over (o_totalprice, o_orderkey) — the
+    * unique tie-break makes bucket assignment deterministic, so the
+    * bucket boundary stats get a full oracle. The plan is one global
+    * sort (inherent to exact ntile); the approx path at 100 TB is
+    * `agg_approx_percentiles` cut points + a narrow bucket join. */
+  val ntileBuckets: CatalogEntry = CatalogEntry(
+    "ntile_buckets",
+    """SELECT bucket::INT AS bucket, count(*)::BIGINT AS n,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM (
+      |  SELECT o_totalprice,
+      |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      |  FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_totalprice", ntile(4).over(w).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+      .orderBy($"bucket")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     aggCube, pivotWide, unpivotLong, aggPercentiles, aggApproxPercentiles,
-    aggCollectSorted)
+    aggCollectSorted, ntileBuckets)
 }

@@ -139,6 +139,31 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Per-label centroid components — the k-means/IVF "train the coarse
+    * quantizer" step as one distributed pass: posexplode the vector,
+    * partial-agg (label, position) means map-side, shuffle only
+    * labels×dim cells. Long format (label, pos, centroid_r) keeps the
+    * oracle comparison scalar. DuckDB replays it with a lateral
+    * generate_series subscript. */
+  val embeddingCentroids: CatalogEntry = CatalogEntry(
+    "embedding_centroids",
+    """SELECT label, (i.gs - 1)::INT AS pos,
+      |  round(avg(embedding[i.gs]::DOUBLE), 4) AS centroid_r,
+      |  count(*)::BIGINT AS n_vectors
+      |FROM embeddings,
+      |  unnest(generate_series(1, len(embedding))) AS i(gs)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "val")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"val".cast("double")), 4).as("centroid_r"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy($"label", $"pos")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, arrayStats)
+    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, arrayStats,
+    embeddingCentroids)
 }
