@@ -300,8 +300,33 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus bigram counts, top-20 — the n-gram statistics pass of
+    * corpus analysis. Adjacent-token pairs via `zip_with` over two
+    * slices (narrow, codegen'd), then explode + count: shuffle carries
+    * (bigram, partial count), never documents. */
+  val textBigrams: CatalogEntry = CatalogEntry(
+    "text_bigrams",
+    """WITH t AS (SELECT string_split(text, ' ') AS s FROM documents)
+      |SELECT bg, count(*)::BIGINT AS n FROM (
+      |  SELECT unnest([s[i] || ' ' || s[i + 1]
+      |                 for i in range(1, len(s))]) AS bg FROM t)
+      |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(s, d)
+      .select(explode(bigrams).as("bg"))
+      .groupBy($"bg")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bg".asc)
+      .limit(20)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
-    tfidfTopTerms, docQualityFilter)
+    tfidfTopTerms, docQualityFilter, textBigrams)
 }

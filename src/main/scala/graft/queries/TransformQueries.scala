@@ -114,6 +114,38 @@ object TransformQueries {
       .orderBy($"column_name")
   }
 
+  /** Schema-evolution union: a legacy extract (no priority column, its
+    * own column order) unions with the current schema by NAME, missing
+    * columns null-filled — `unionByName(allowMissingColumns = true)`,
+    * the append-new-schema-partitions operation of a long-lived table.
+    * Oracle: DuckDB `UNION ALL BY NAME`, an independent implementation
+    * of the same resolution rule. */
+  val unionByNameEvolve: CatalogEntry = CatalogEntry(
+    "union_by_name_evolve",
+    """WITH u AS (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT coalesce(o_orderpriority, '<legacy>') AS priority,
+      |  count(*)::BIGINT AS n,
+      |  round(sum(o_totalprice), 2) AS sum_price_r
+      |FROM u GROUP BY priority
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val legacy = o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+    val modern = o.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    legacy.unionByName(modern, allowMissingColumns = true)
+      .groupBy(coalesce($"o_orderpriority", lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("sum_price_r"))
+      .orderBy($"priority")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    transformChain, roundtripCsv, profileColumns)
+    transformChain, roundtripCsv, profileColumns, unionByNameEvolve)
 }
