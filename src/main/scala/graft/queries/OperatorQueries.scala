@@ -101,5 +101,58 @@ object OperatorQueries {
       .orderBy($"w_id")
   }
 
-  def entries: Seq[CatalogEntry] = Seq(asofJoin, aggSaltedSkew, rangeJoinWindowAgg)
+  /** Resample + forward-fill: daily close value per event type on a
+    * complete daily calendar — the gap-fill operation of time-series
+    * prep. Composition of existing operators: daily close =
+    * `max(struct)` one-pass latest-per-(type, day); the calendar =
+    * `sequence` explode over the data's own min/max day (broadcast
+    * scalars, no collect); the fill = the AsOfJoin operator (grid day ≥
+    * observation day, same key). Days before a type's first observation
+    * stay null — ffill never invents data. Oracle: DuckDB
+    * generate_series calendar + native ASOF LEFT JOIN. */
+  val resampleFfill: CatalogEntry = CatalogEntry(
+    "resample_ffill",
+    s"""WITH daily AS (
+       |  SELECT event_type, day, value AS close_value FROM (
+       |    SELECT event_type, ts::TIMESTAMP::DATE AS day, value,
+       |      row_number() OVER (PARTITION BY event_type, ts::TIMESTAMP::DATE
+       |        ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+       |    FROM events WHERE value > 220)
+       |  WHERE rn = 1),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       |grid AS (
+       |  SELECT t.event_type,
+       |    unnest(generate_series(bounds.d0::TIMESTAMP,
+       |      bounds.d1::TIMESTAMP, INTERVAL 1 DAY))::DATE AS day
+       |  FROM (SELECT DISTINCT event_type FROM daily) t, bounds)
+       |SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day_s,
+       |  d.close_value
+       |FROM grid g ASOF LEFT JOIN daily d
+       |  ON g.event_type = d.event_type AND g.day >= d.day
+       |ORDER BY g.event_type, day_s""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .filter($"value" > 220)
+      .withColumn("day", to_date($"ts"))
+      .groupBy($"event_type", $"day")
+      .agg(max(struct($"ts", $"event_id", $"value")).as("m"))
+      .select($"event_type", $"day", $"m.value".as("close_value"),
+        unix_date($"day").as("obs_epoch"))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    AsOfJoin.leftAsOf(
+      probe = grid, build = daily,
+      probeKey = "event_type", buildKey = "event_type",
+      probeTs = "day", buildTs = "day",
+      payload = Seq("close_value"), buildTie = "obs_epoch")
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day_s"),
+        $"asof_close_value".as("close_value"))
+      .orderBy($"event_type", $"day_s")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill)
 }
