@@ -78,6 +78,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_order2", exprs => ZOrderKey(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** For sessions configured with

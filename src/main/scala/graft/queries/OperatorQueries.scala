@@ -153,6 +153,34 @@ object OperatorQueries {
       .orderBy($"event_type", $"day_s")
   }
 
+  /** Morton (z-order) clustering key over (customer, order day) — the
+    * native codegen'd `z_order2` expression (functions/ZOrderKey) that
+    * `Layout.writeZOrdered` clusters by; file-level pruning is proven
+    * in ZOrderKeySpec. The oracle recomputes the interleave bit-by-bit
+    * in DuckDB list algebra (31 bits/dim — both inputs are far below
+    * 2^31, where the formulations provably agree). */
+  val zorderKeyCluster: CatalogEntry = CatalogEntry(
+    "zorder_key_cluster",
+    """WITH d AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day_n
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day_n,
+      |  list_sum([((o_custkey >> i) & 1) * (1::BIGINT << (2 * i))
+      |            + ((day_n >> i) & 1) * (1::BIGINT << (2 * i + 1))
+      |            for i in range(0, 31)])::BIGINT AS zkey
+      |FROM d ORDER BY zkey, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey",
+        unix_date(to_date($"o_orderdate")).cast("long").as("day_n"))
+      .withColumn("zkey", call_function("z_order2", $"o_custkey", $"day_n"))
+      .orderBy($"zkey", $"o_orderkey")
+      .limit(20)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill)
+    asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
+    zorderKeyCluster)
 }

@@ -25,6 +25,17 @@ object Layout {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Z-ordered layout: range-partition + sort by a Morton key
+    * (`functions/ZOrderKey`) so 2-D locality lands in the same files —
+    * scans filtered on either clustered dimension skip most files via
+    * parquet min/max stats. File-level pruning is asserted
+    * quantitatively in `functions/ZOrderKeySpec`. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+      zCol: String): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(zCol))
+      .sortWithinPartitions(zCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into `nFiles`
     * files through [[AtomicSwap]] — the old layout stays readable until
     * the rewritten one swaps in, and a crash mid-swap is rolled
