@@ -122,6 +122,78 @@ object EventQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Conversion funnel: per user, first signup and first purchase at or
+    * after it, with time-to-convert — two `min` aggregations and one
+    * equi-join on user_id (the range condition is a post-join filter on
+    * co-partitioned rows, never a nested loop). Users who never
+    * purchase after signing up keep null conversion columns. */
+  val eventsFunnel: CatalogEntry = CatalogEntry(
+    "events_funnel",
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts::TIMESTAMP) AS signup_ts
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS conv_ts
+       |  FROM events e JOIN s ON e.user_id = s.user_id
+       |    AND e.ts::TIMESTAMP >= s.signup_ts
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       |SELECT s.user_id,
+       |  strftime(s.signup_ts, '$dfmt') AS signup_ts_s,
+       |  strftime(p.conv_ts, '$dfmt') AS conv_ts_s,
+       |  round(date_diff('microsecond', s.signup_ts, p.conv_ts)
+       |        / 3600000000.0, 4) AS hours_to_convert,
+       |  (p.conv_ts IS NOT NULL) AS converted
+       |FROM s LEFT JOIN p ON s.user_id = p.user_id
+       |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter($"ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"ts").as("conv_ts"))
+    signups.join(conv, Seq("user_id"), "left")
+      .select($"user_id",
+        date_format($"signup_ts", fmt).as("signup_ts_s"),
+        date_format($"conv_ts", fmt).as("conv_ts_s"),
+        round((unix_micros($"conv_ts") - unix_micros($"signup_ts"))
+          / lit(3600000000.0), 4).as("hours_to_convert"),
+        $"conv_ts".isNotNull.as("converted"))
+      .orderBy($"user_id")
+  }
+
+  /** Grouped top-k: the 3 highest-revenue days per event type — the
+    * per-group ranking that at scale must stay one shuffle (partial agg
+    * on (type, day)) + one window, never a global sort. */
+  val eventsTopDays: CatalogEntry = CatalogEntry(
+    "events_top_days",
+    """SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, rev_r,
+      |  rk::INT AS rk
+      |FROM (
+      |  SELECT event_type, day, rev_r,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY rev_r DESC, day) AS rk
+      |  FROM (
+      |    SELECT event_type, ts::TIMESTAMP::DATE AS day,
+      |      round(sum(value), 2) AS rev_r
+      |    FROM events GROUP BY event_type, day))
+      |WHERE rk <= 3
+      |ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(round(sum($"value"), 2).as("rev_r"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"rev_r".desc, $"day".asc)
+    daily.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day_s"),
+        $"rev_r", $"rk")
+      .orderBy($"event_type", $"rk")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize)
+    pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
+    eventsFunnel, eventsTopDays)
 }
