@@ -325,8 +325,27 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Frequent terms via the Misra-Gries typed Aggregator
+    * (ext/HeavyHitters): fixed k-counter memory per partition and a
+    * k-counter shuffle — the sketch alternative to `text_wordcount`'s
+    * vocabulary-sized exact shuffle. Sketch weights are
+    * order-dependent lower bounds → rows-only check; the presence and
+    * error-bound guarantees are asserted in HeavyHittersSpec. */
+  val heavyHittersMg: CatalogEntry = CatalogEntry.noOracle(
+    "heavy_hitters_mg") { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens($"text")).as("term"))
+      .as[String]
+    toks.select(graft.ext.HeavyHitters.sketch(40).toColumn)
+      .toDF("hits")
+      .select(explode($"hits").as("h"))
+      .select($"h.item".as("term"), $"h.weight".as("weight_lb"))
+      .orderBy($"weight_lb".desc, $"term".asc)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
-    tfidfTopTerms, docQualityFilter, textBigrams)
+    tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg)
 }
