@@ -33,15 +33,24 @@ case class ClosedSession(user_id: Long, session_start: Timestamp,
   */
 object SessionWindows {
 
+  /** Full-precision epoch micros (getTime alone truncates to ms — the
+    * batch formulation's gap math is exact integer microseconds, so
+    * the stream's must be too for the two paths to agree). */
+  private[streaming] def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Fold a (sorted) batch of timestamps into the open session,
-    * emitting sessions closed by in-batch gaps. Pure — unit-testable
+    * emitting sessions closed by in-batch gaps. A gap STRICTLY greater
+    * than `gapMs` starts a new session — same boundary rule as the
+    * batch `events_sessionize` lag -> flag -> cumsum formulation
+    * (parity asserted in SessionWindowsSpec). Pure — unit-testable
     * without a stream. */
   private[streaming] def fold(open: Option[OpenSession],
       sorted: Seq[Timestamp], gapMs: Long): (Option[OpenSession], Seq[OpenSession]) =
     sorted.foldLeft((open, Vector.empty[OpenSession])) {
       case ((None, closed), t) => (Some(OpenSession(t, t, 1L)), closed)
       case ((Some(s), closed), t) =>
-        if (t.getTime - s.end.getTime >= gapMs)
+        if (micros(t) - micros(s.end) > gapMs * 1000L)
           (Some(OpenSession(t, t, 1L)), closed :+ s)
         else if (t.compareTo(s.end) > 0)
           (Some(s.copy(end = t, n = s.n + 1)), closed)

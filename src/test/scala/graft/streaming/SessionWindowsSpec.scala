@@ -63,4 +63,55 @@ class SessionWindowsSpec extends SparkTestBase {
         s"user 2 must close by event-time timeout, got $got")
     } finally q.stop()
   }
+
+  test("stream/batch parity: stateful sessions equal the lag->cumsum batch " +
+      "formulation on real testdata") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // batch truth: the events_sessionize formulation (window + cumsum —
+    // independent of the stateful fold under test)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val batch = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > gapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum($"new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("s"), max($"ts").as("e"), count(lit(1)).as("n"))
+      .select($"user_id", $"s", $"e", $"n")
+      .as[(Long, Timestamp, Timestamp, Long)].collect()
+      .map { case (u, s, e, n) => (u, s.getTime, e.getTime, n) }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val q = SessionWindows.sessionize(source.toDS(), gapMs, "0 seconds")
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode("append").start()
+    try {
+      val rows = ev.select($"user_id", $"ts")
+        .as[(Long, Timestamp)].collect()
+        .map { case (u, t) => UserEvent(u, t) }
+      source.addData(rows.toIndexedSeq: _*) // one batch: nothing is late
+      q.processAllAvailable()
+      // two far-future sentinel batches: advance the watermark past every
+      // open session's timeout, then let the timeouts fire
+      source.addData(UserEvent(-1L, ts("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      source.addData(UserEvent(-1L, ts("2030-01-02 00:00:00")))
+      q.processAllAvailable()
+
+      val stream = spark.table("sessions_parity").as[ClosedSession].collect()
+        .filter(_.user_id >= 0)
+        .map(c => (c.user_id, c.session_start.getTime, c.session_end.getTime,
+          c.n_events)).toSet
+      assert(stream == batch,
+        s"stream/batch diverge: onlyStream=${stream -- batch} " +
+          s"onlyBatch=${batch -- stream}")
+    } finally q.stop()
+  }
 }
