@@ -18,7 +18,7 @@ object MicroBench {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

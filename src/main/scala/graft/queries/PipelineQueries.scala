@@ -106,5 +106,61 @@ object PipelineQueries {
       .orderBy($"target_currency")
   }
 
-  def entries: Seq[CatalogEntry] = Seq(pipelineE2e)
+  /** The TRAINING-DATA pipeline end to end as one oracled plan: exact
+    * dedup (min-id survivor) → Gopher-style quality gate → 75%
+    * deterministic hash sample → per-language corpus stats. Each stage
+    * is the same code the standalone entries use (`Dedup.exact`, the
+    * `doc_quality_filter` rules, `Sampling.hashKeep`), so a green hash
+    * here checks their COMPOSITION — one lazy plan, no intermediate
+    * materialization, every stage shuffle-efficient (dedup groups on
+    * the 32-byte digest; the quality gate is one explode + two aggs;
+    * the sample is a scan-side filter). */
+  val corpusCurationE2e: CatalogEntry = CatalogEntry(
+    "corpus_curation_e2e",
+    """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      |sd AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sd),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+      |q AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |    round(sum(length(term) * c)::DOUBLE / sum(c), 4) AS mwl,
+      |    round(count(*)::DOUBLE / sum(c), 4) AS ttr,
+      |    round(max(c)::DOUBLE / sum(c), 4) AS twf
+      |  FROM tf GROUP BY doc_id),
+      |kept AS (
+      |  SELECT sd.* FROM sd JOIN q USING (doc_id)
+      |  WHERE q.n_tokens BETWEEN 20 AND 100000 AND q.ttr >= 0.2
+      |    AND q.twf <= 0.2 AND q.mwl BETWEEN 3 AND 10),
+      |samp AS (SELECT * FROM kept WHERE substring(md5(text), 1, 2) < 'c0')
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  sum(n_chars)::BIGINT AS total_chars
+      |FROM samp GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.Tables
+    import graft.ext.{Dedup, Sampling, TextOps}
+    val docs = Tables.documents(s, d)
+    val surv = Dedup.exact(docs, "doc_id", "text").select($"doc_id")
+    val sdocs = docs.join(surv, "doc_id")
+    val tf = sdocs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val q = tf.groupBy($"doc_id").agg(
+      sum($"c").as("n_tokens"),
+      round(sum(length($"term") * $"c").cast("double") / sum($"c"), 4).as("mwl"),
+      round(count(lit(1)).cast("double") / sum($"c"), 4).as("ttr"),
+      round(max($"c").cast("double") / sum($"c"), 4).as("twf"))
+    val kept = sdocs.join(
+      q.filter($"n_tokens".between(20, 100000) && $"ttr" >= 0.2 &&
+        $"twf" <= 0.2 && $"mwl".between(3, 10)).select($"doc_id"),
+      "doc_id")
+    kept.filter(Sampling.hashKeep($"text", "c0"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(pipelineE2e, corpusCurationE2e)
 }
