@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg, SaltedJoin}
 
 /** Catalog entries for the custom whole-operator semantics
   * (operators/): as-of join and skew-salted aggregation.
@@ -180,7 +180,33 @@ object OperatorQueries {
       .limit(20)
   }
 
+  /** Skew-salted equi-join (operators/SaltedJoin): lineitem ⋈ orders
+    * with the probe spread over 8 salt sub-keys and the build
+    * replicated 8× — the deterministic alternative to AQE's runtime
+    * skew split. The oracle is the PLAIN join + aggregate: a green
+    * hash proves salting is invisible to semantics. */
+  val joinSaltedSkew: CatalogEntry = CatalogEntry(
+    "join_salted_skew",
+    """SELECT o_orderpriority,
+      |  count(*)::BIGINT AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price_r
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice")
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    SaltedJoin.saltedEquiJoin(li, o, "l_orderkey",
+      probeSaltCol = "l_partkey", salt = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice"), 2).as("sum_price_r"))
+      .orderBy($"o_orderpriority")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
-    zorderKeyCluster)
+    zorderKeyCluster, joinSaltedSkew)
 }
