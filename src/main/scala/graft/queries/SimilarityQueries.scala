@@ -42,6 +42,19 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Exact double value of the float-quantized plane element, so the
+    * oracle multiplies by bit-identical constants (emitting the raw
+    * double would diverge: Spark quantizes planes to float to match
+    * the embedding element type). */
+  private def planeLit(p: Seq[Double]): String =
+    "[" + p.map(v => v.toFloat.toDouble.toString).mkString(", ") + "]"
+  private def dotSql(vec: String, plane: Seq[Double]): String =
+    s"list_sum([$vec[i]::DOUBLE * (${planeLit(plane)})[i] for i in range(1, 65)])"
+  private def bucketSql(vec: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** ANN via random-hyperplane LSH, recall-amplified two ways:
     * OR-amplification (3 independent hash tables — a neighbor is a
     * candidate if ANY table co-buckets it) × multi-probe (each table
@@ -51,9 +64,39 @@ object SimilarityQueries {
     * a corpus scan. Recall@10 ≥ 0.9 vs the exact top-k is gated in
     * SimilaritySpec on sf0.1; at larger corpora raise planes-per-table
     * (shrinks buckets) and keep tables for the recall.
-    * Bucketing is engine-specific → no SQL oracle. */
-  val simAnnLsh: CatalogEntry = CatalogEntry.noOracle(
-    "sim_ann_lsh") { (s, d) =>
+    *
+    * The hyperplanes are deterministic literals (SplitMix64), so the
+    * WHOLE ANN path gets a DuckDB oracle: the SQL recomputes every
+    * table's sign-bit bucket from the same float-quantized plane
+    * constants and takes candidates at Hamming ≤ 1 (= the multi-probe
+    * set), then the exact cosine top-10 — engine-independent
+    * verification of bucketing, probing, and ranking together. */
+  val simAnnLsh: CatalogEntry = {
+    val tables = (0 until 3).map(t => Similarity.hyperplanes(4, 64, 42L + t))
+    CatalogEntry(
+      "sim_ann_lsh",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", tables(0))} AS b0,
+         |    ${bucketSql("embedding", tables(1))} AS b1,
+         |    ${bucketSql("embedding", tables(2))} AS b2
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qe, b0 AS qb0, b1 AS qb1, b2 AS qb2
+         |      FROM b WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id, b.embedding, q.qe FROM b, q
+         |  WHERE bit_count(xor(b.b0::BIGINT, q.qb0::BIGINT)) <= 1
+         |     OR bit_count(xor(b.b1::BIGINT, q.qb1::BIGINT)) <= 1
+         |     OR bit_count(xor(b.b2::BIGINT, q.qb2::BIGINT)) <= 1)
+         |SELECT vec_id, round(
+         |  list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
+         |            for i in range(1, len(embedding) + 1)]) /
+         |  (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+         |                  for i in range(1, len(embedding) + 1)])) *
+         |   sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+         |                  for i in range(1, len(qe) + 1)]))), 6) AS cos_sim
+         |FROM cand
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     import s.implicits._
     GraftFunctions.register(s)
     val (nTables, nPlanes) = (3, 4)
@@ -71,6 +114,7 @@ object SimilarityQueries {
         round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(10)
+    }
   }
 
   /** Embedding-cosine near-dup candidates at scale shape: top-10 most
