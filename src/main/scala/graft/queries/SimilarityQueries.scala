@@ -146,10 +146,42 @@ object SimilarityQueries {
     * `label` column stands in for a coarse quantizer's assignment), the
     * query probes its nearest centroid, and exact cosine runs only
     * inside that cluster — at 100 TB the centroid table is a broadcast
-    * dim and each query touches one cluster partition. Engine-specific
-    * clustering → no SQL oracle; recall behavior in SimilaritySpec. */
-  val simIvf: CatalogEntry = CatalogEntry.noOracle(
-    "sim_ivf") { (s, d) =>
+    * dim and each query touches one cluster partition.
+    *
+    * Fully oracled: DuckDB recomputes the float-quantized centroids
+    * (the FLOAT cast absorbs cross-engine summation-order ulps), picks
+    * the same nearest centroid, and ranks the same cluster by exact
+    * cosine — training, probing, and search verified together. */
+  val simIvf: CatalogEntry = CatalogEntry(
+    "sim_ivf",
+    """WITH cen AS (
+      |  SELECT label, (i.gs - 1) AS pos,
+      |    avg(embedding[i.gs]::DOUBLE)::FLOAT AS m
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS i(gs)
+      |  GROUP BY label, pos),
+      |carr AS (SELECT label, list(m ORDER BY pos) AS centroid
+      |         FROM cen GROUP BY label),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |nearest AS (
+      |  SELECT label AS c_label, qe FROM carr, q
+      |  ORDER BY
+      |    list_sum([centroid[i]::DOUBLE * qe[i]::DOUBLE
+      |              for i in range(1, 65)]) /
+      |    (sqrt(list_sum([centroid[i]::DOUBLE * centroid[i]::DOUBLE
+      |                    for i in range(1, 65)])) *
+      |     sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+      |                    for i in range(1, 65)]))) DESC, label
+      |  LIMIT 1)
+      |SELECT e.vec_id, e.label, round(
+      |  list_sum([e.embedding[i]::DOUBLE * n.qe[i]::DOUBLE
+      |            for i in range(1, 65)]) /
+      |  (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+      |                  for i in range(1, 65)])) *
+      |   sqrt(list_sum([n.qe[i]::DOUBLE * n.qe[i]::DOUBLE
+      |                  for i in range(1, 65)]))), 6) AS cos_sim
+      |FROM embeddings e JOIN nearest n ON e.label = n.c_label
+      |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     Similarity.ivfTopK(Tables.embeddings(s, d),
       "vec_id", "embedding", "label", queryId = 0, k = 10)
