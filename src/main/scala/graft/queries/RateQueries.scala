@@ -84,6 +84,42 @@ object RateQueries {
         round($"o_totalprice", 2).as("o_totalprice_r"), $"o_orderstatus")
   }
 
+  /** Time-RANGE window frame (SURVEY.md §2.5 extension): trailing
+    * 1-hour average/count per event type — the time-based sibling of
+    * the row-frame `moving_avg`. `rangeBetween` on epoch micros keeps
+    * the frame boundary exact integer math; peers at the same
+    * timestamp are all in-frame (RANGE semantics) in both engines, so
+    * ties can't diverge. The in-frame average is PURE integer math:
+    * exact cents (values are 2-decimal) summed, scaled to 1e-4 units,
+    * floor-divided by the frame count — a float avg once landed
+    * EXACTLY on a round(4) half-way point, where Spark (rounds the
+    * shortest-decimal form) and DuckDB (rounds the binary double)
+    * disagree by construction. One shuffle on the type key; the frame
+    * scan is linear per partition. */
+  val movingAvgTimeRange: CatalogEntry = CatalogEntry(
+    "moving_avg_time_range",
+    """SELECT event_id,
+      |  ((sum(round(value * 100)::BIGINT) OVER w * 100)
+      |   // (count(*) OVER w))::BIGINT AS avg_scaled_1e4,
+      |  (count(*) OVER w)::BIGINT AS n_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0)
+    graft.Tables.events(s, d)
+      .select($"event_id",
+        (sum(round($"value" * 100).cast("long")).over(w) * 100)
+          .as("cents100"),
+        count(lit(1)).over(w).as("n_1h"))
+      .withColumn("avg_scaled_1e4", expr("cents100 div n_1h"))
+      .select($"event_id", $"avg_scaled_1e4", $"n_1h")
+      .orderBy($"event_id")
+  }
+
   /** Single equality filter (fetch.py:47-48), pushed to the parquet scan. */
   val filterEq: CatalogEntry = CatalogEntry(
     "filter_eq",
@@ -334,5 +370,6 @@ object RateQueries {
   def entries: Seq[CatalogEntry] = Seq(
     topkLatestPerPair, earliestInWindow, sortLimit5000, filterEq,
     filterConjEq, filterRangeTs, windowLagPctChange, movingAvg,
-    scalarPctChange, latestPerKeyMaxby, mergeUpsert, countRows, previewHead)
+    movingAvgTimeRange, scalarPctChange, latestPerKeyMaxby, mergeUpsert,
+    countRows, previewHead)
 }
