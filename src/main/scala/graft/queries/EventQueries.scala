@@ -193,7 +193,95 @@ object EventQueries {
       .orderBy($"event_type", $"rk")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` operator — the
+    * third formulation of the same semantics (lag→cumsum batch entry,
+    * flatMapGroupsWithState streaming, and this built-in). Boundary
+    * rule: events merge while the gap is STRICTLY below 30 min (a new
+    * session starts at gap ≥ 30 min), which is `session_window`'s
+    * published contract — the oracle encodes exactly that. */
+  val eventsSessionWindowNative: CatalogEntry = CatalogEntry(
+    "events_session_window_native",
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts::TIMESTAMP AS tsx,
+       |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+       |              OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+       |                 >= 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+       |sessions AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY tsx
+       |    ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+       |  FROM flagged)
+       |SELECT user_id,
+       |  strftime(min(tsx), '$dfmt') AS session_start,
+       |  count(*)::BIGINT AS n_events
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"session_window.start", fmt).as("session_start"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** GROUPING SETS (the general form rollup/cube specialize): totals by
+    * (type, day-of-week), by type alone, and grand total in one pass. */
+  val eventsGroupingSets: CatalogEntry = CatalogEntry(
+    "events_grouping_sets",
+    """SELECT coalesce(event_type, '<all>') AS event_type,
+      |  coalesce(dow, -1)::INT AS dow,
+      |  count(*)::BIGINT AS n,
+      |  round(sum(value), 2) AS sum_value_r
+      |FROM (SELECT event_type,
+      |        (dayofweek(ts::TIMESTAMP) + 1)::INT AS dow, value
+      |      FROM events)
+      |GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+      |ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val base = Tables.events(s, d)
+      .select($"event_type", dayofweek($"ts").as("dow"), $"value")
+    base.createOrReplaceTempView("graft_events_gs")
+    s.sql("""
+      SELECT coalesce(event_type, '<all>') AS event_type,
+        coalesce(dow, -1) AS dow,
+        count(1) AS n,
+        round(sum(value), 2) AS sum_value_r
+      FROM graft_events_gs
+      GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+      ORDER BY event_type, dow""")
+  }
+
+  /** Statistical aggregates (§2.4 extension): correlation, sample
+    * stddev/variance, covariance of quantity vs price per return flag.
+    * Both engines use the numerically-stable one-pass formulations;
+    * round(3) absorbs last-ulp differences (these statistics are never
+    * exact decimals, so the half-way-point hazard doesn't apply). */
+  val statsAgg: CatalogEntry = CatalogEntry(
+    "stats_agg",
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 3) AS corr_qp,
+      |  round(stddev_samp(l_quantity), 3) AS sd_qty,
+      |  round(var_samp(l_quantity), 3) AS var_qty,
+      |  round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qp
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(round(corr($"l_quantity", $"l_extendedprice"), 3).as("corr_qp"),
+        round(stddev_samp($"l_quantity"), 3).as("sd_qty"),
+        round(var_samp($"l_quantity"), 3).as("var_qty"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 3).as("cov_qp"))
+      .orderBy($"l_returnflag")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
-    eventsFunnel, eventsTopDays)
+    eventsFunnel, eventsTopDays, eventsSessionWindowNative,
+    eventsGroupingSets, statsAgg)
 }
