@@ -344,8 +344,34 @@ object TextQueries {
       .orderBy($"weight_lb".desc, $"term".asc)
   }
 
+  /** Corpus normalization (the canonical pre-dedup cleanup): lowercase,
+    * strip digits, collapse whitespace runs, trim — all codegen'd
+    * string expressions fused into the scan. Emits a before/after
+    * change flag and the normalized sha-256 so downstream exact dedup
+    * can run on canonical content. */
+  val textNormalize: CatalogEntry = CatalogEntry(
+    "text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text,
+      |  (trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+      |        ' +', ' ', 'g')) <> text) AS changed,
+      |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+      |         ' +', ' ', 'g'))) AS norm_sha
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[0-9]+", ""), " +", " "))
+    Tables.documents(s, d)
+      .select($"doc_id", norm.as("norm_text"),
+        (norm =!= $"text").as("changed"),
+        sha2(norm.cast("binary"), 256).as("norm_sha"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
-    tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg)
+    tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
+    textNormalize)
 }
