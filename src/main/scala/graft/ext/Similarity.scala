@@ -102,16 +102,19 @@ object Similarity {
       math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
 
   /** IVF-style ANN: per-cluster element-wise mean centroids (one agg
-    * pass over posexploded vectors), probe the query's nearest centroid
-    * by cosine, exact-search only that cluster. The cluster assignment
-    * comes from `clusterCol` (a coarse quantizer's output). At 100 TB
-    * the centroid table is a broadcast dim and each query reads one
-    * cluster's partitions. Recall depends entirely on the quantizer's
-    * geometry — see SimilaritySpec for the well-clustered case.
-    * Requires GraftFunctions.register (native cosine). */
+    * pass over posexploded vectors), probe the query's `nProbe` nearest
+    * centroids by cosine, exact-search only those clusters. The cluster
+    * assignment comes from `clusterCol` (a coarse quantizer's output).
+    * At 100 TB the centroid table is a broadcast dim and each query
+    * reads `nProbe` clusters' partitions. Recall depends on the
+    * quantizer's geometry; raising `nProbe` trades linearly more
+    * cluster reads for recall on boundary-straddling queries — the
+    * standard IVF knob. See SimilaritySpec (well-clustered case +
+    * nProbe monotonicity). Requires GraftFunctions.register. */
   def ivfTopK(emb: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, clusterCol: String, queryId: Long,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, nProbe: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val centroids = emb
       .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(clusterCol), col("pos")).agg(avg(col("v")).as("m"))
@@ -124,7 +127,7 @@ object Similarity {
       .select(col("c_cluster"), col("qe"),
         cosineNative(col("centroid"), col("qe")).as("c_sim"))
       .orderBy(col("c_sim").desc, col("c_cluster").asc)
-      .limit(1)
+      .limit(nProbe)
     emb.join(broadcast(nearest), col(clusterCol) === col("c_cluster"))
       .select(col(idCol), col(clusterCol),
         round(cosineNative(col(vecCol), col("qe")), 6).as("cos_sim"))

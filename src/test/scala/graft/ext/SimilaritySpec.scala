@@ -70,6 +70,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("ivfTopK nProbe: a boundary-straddling neighbor missed at nProbe=1 " +
+      "is recovered at nProbe=2") {
+    graft.functions.GraftFunctions.register(spark)
+    // cluster 0 along e1, cluster 1 along e2; the query leans toward e1
+    // (assigned cluster 0) but its TRUE nearest neighbor sits in
+    // cluster 1, angled toward the boundary
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.3f, 0f, 0f), 0),   // query
+      (1L, Seq(1.0f, -0.5f, 0f, 0f), 0),  // same-cluster, farther in angle
+      (2L, Seq(0.9f, 0.5f, 0f, 0f), 1),   // boundary vector in cluster 1 — true NN
+      (3L, Seq(0f, 1.0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "cluster")
+    def top1(nProbe: Int) =
+      Similarity.ivfTopK(rows, "vec_id", "embedding", "cluster",
+        queryId = 0, k = 2, nProbe = nProbe)
+        .collect().map(r => r.getLong(0)).toSeq
+    val single = top1(1)
+    assert(!single.contains(2L), s"nProbe=1 must miss the other cluster: $single")
+    val double = top1(2)
+    assert(double.take(2).contains(2L),
+      s"nProbe=2 must recover the boundary neighbor: $double")
+  }
+
   test("multi-probe ANN recall@10 >= 0.9 vs exact top-k on sf0.1") {
     import graft.queries.SimilarityQueries
     val sf = "/root/testdata/sf0.1"
