@@ -72,6 +72,20 @@ class RangeJoinSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("exact binning at epoch-microsecond magnitude (double math would mis-bin)") {
+    // points sit 1 unit either side of a bin boundary near 2^60, where a
+    // double's ulp is 256 — float-division binning would collapse them
+    val bw = 600000000L // 10-min bins in micros
+    val boundary = (1700000000000000000L / bw) * bw
+    val points = Seq((1L, boundary - 1), (2L, boundary), (3L, boundary + 1))
+    val intervals = Seq(
+      (100L, boundary - bw, boundary - 1),     // ends just before boundary
+      (200L, boundary, boundary + bw - 1))     // starts exactly at boundary
+    val got = binned(points, intervals, bw).toSet
+    assert(got == Set((1L, 100L), (2L, 200L), (3L, 200L)),
+      s"boundary points mis-binned: $got")
+  }
+
   test("rejects ambiguous column names and non-positive bin widths") {
     val df = Seq((1L, 2L)).toDF("a", "x")
     intercept[IllegalArgumentException] {
