@@ -151,7 +151,29 @@ object ReshapeQueries {
       .orderBy($"bucket")
   }
 
+  /** percent_rank / cume_dist over a unique total order — distribution
+    * position per order. The ranks are exact integer ratios
+    * (k/(n-1), k/n), bit-identical across engines before rounding. */
+  val rankDistribution: CatalogEntry = CatalogEntry(
+    "rank_distribution",
+    """SELECT o_orderkey,
+      |  round(percent_rank() OVER w, 6) AS pct_rank_r,
+      |  round(cume_dist() OVER w, 6) AS cume_dist_r
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        round(percent_rank().over(w), 6).as("pct_rank_r"),
+        round(cume_dist().over(w), 6).as("cume_dist_r"))
+      .orderBy($"o_orderkey")
+      .limit(1000)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     aggCube, pivotWide, unpivotLong, aggPercentiles, aggApproxPercentiles,
-    aggCollectSorted, ntileBuckets)
+    aggCollectSorted, ntileBuckets, rankDistribution)
 }

@@ -146,6 +146,40 @@ object TransformQueries {
       .orderBy($"priority")
   }
 
+  /** Date-function surface (§2.8 breadth): truncation, month-end,
+    * calendar arithmetic (clamped add-months in both engines), day
+    * difference, quarter, ISO week — all codegen'd scan-fused
+    * expressions, string-formatted per the determinism contract. */
+  val dateFunctions: CatalogEntry = CatalogEntry(
+    "date_functions",
+    """SELECT o_orderkey,
+      |  strftime(date_trunc('month', o_orderdate::TIMESTAMP), '%Y-%m-%d')
+      |    AS month_start,
+      |  strftime(last_day(o_orderdate::TIMESTAMP::DATE), '%Y-%m-%d')
+      |    AS month_end,
+      |  strftime(o_orderdate::TIMESTAMP::DATE + INTERVAL 3 MONTH, '%Y-%m-%d')
+      |    AS plus3m,
+      |  date_diff('day', DATE '2024-01-01', o_orderdate::TIMESTAMP::DATE)::INT
+      |    AS days_since,
+      |  quarter(o_orderdate::TIMESTAMP)::INT AS qtr,
+      |  weekofyear(o_orderdate::TIMESTAMP)::INT AS wk
+      |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val day = to_date($"o_orderdate")
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(day), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(day, 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(day, lit("2024-01-01")).as("days_since"),
+        quarter($"o_orderdate").as("qtr"),
+        weekofyear($"o_orderdate").as("wk"))
+      .orderBy($"o_orderkey")
+      .limit(1000)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    transformChain, roundtripCsv, profileColumns, unionByNameEvolve)
+    transformChain, roundtripCsv, profileColumns, unionByNameEvolve,
+    dateFunctions)
 }
