@@ -91,8 +91,15 @@ object GraftFunctions {
 }
 
 /** Session-extension installer: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * spark.sql.extensions=graft.functions.GraftExtensions`. Injects the
+  * native functions and the interval-join rewrite (enabled per session
+  * by `spark.graft.rangeJoin.binWidth`). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.vecDotInfo)
+    ext.injectOptimizerRule { session =>
+      graft.plans.AutoRangeJoin(() =>
+        session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong)
+    }
+  }
 }
