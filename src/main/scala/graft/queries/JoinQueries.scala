@@ -215,8 +215,68 @@ object JoinQueries {
       .orderBy($"status_label")
   }
 
+  /** FULL OUTER join of two daily aggregates (orders placed vs items
+    * shipped) — 102 of the days exist on only one side at sf0.01, so
+    * both null fill directions are exercised. Both sides pre-aggregate
+    * before the join: the outer join shuffles |days| rows, not
+    * |orders|+|lineitem|. */
+  val joinFullOuter: CatalogEntry = CatalogEntry(
+    "join_full_outer",
+    """WITH o AS (
+      |  SELECT o_orderdate::TIMESTAMP::DATE AS day,
+      |    count(*)::BIGINT AS n_orders
+      |  FROM orders GROUP BY day),
+      |l AS (
+      |  SELECT l_shipdate::TIMESTAMP::DATE AS day,
+      |    count(*)::BIGINT AS n_ships
+      |  FROM lineitem GROUP BY day)
+      |SELECT strftime(coalesce(o.day, l.day), '%Y-%m-%d') AS day_s,
+      |  o.n_orders, l.n_ships
+      |FROM o FULL OUTER JOIN l ON o.day = l.day
+      |ORDER BY day_s""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("o_day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, d)
+      .groupBy(to_date($"l_shipdate").as("l_day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, $"o_day" === $"l_day", "full_outer")
+      .select(date_format(coalesce($"o_day", $"l_day"), "yyyy-MM-dd")
+        .as("day_s"), $"n_orders", $"n_ships")
+      .orderBy($"day_s")
+  }
+
+  /** SQL-surface subqueries (`spark.sql`): EXISTS → left semi, scalar
+    * subquery → broadcast scalar. The engine's SQL face over the same
+    * tables, oracled against DuckDB running the very same statement
+    * shape. */
+  val sqlExistsSubquery: CatalogEntry = CatalogEntry(
+    "sql_exists_subquery",
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_with_big_item
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      |  AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_sql_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(1) AS n_with_big_item
+      FROM graft_sql_orders o
+      WHERE EXISTS (
+        SELECT 1 FROM graft_sql_lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        AND o.o_totalprice > (SELECT avg(o_totalprice) FROM graft_sql_orders)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
     setUnion, setIntersect, setExcept,
-    aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin)
+    aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
+    joinFullOuter, sqlExistsSubquery)
 }
