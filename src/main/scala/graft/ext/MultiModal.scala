@@ -89,6 +89,26 @@ object MultiModal {
       out.toByteArray
     }
 
+    /** REAL resize: decode → Graphics2D bilinear scale onto a new
+      * raster → re-encode PNG. The standard image-normalization step of
+      * a multimodal training pipeline (fixed input resolution), pure
+      * JDK. */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad target ${width}x$height")
+      val src = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(src != null, "undecodable image bytes")
+      val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, width, height, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
     /** Decode real image bytes: dimensions from the actual decoded
       * raster, format from the matched ImageIO reader. */
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
@@ -119,6 +139,24 @@ object MultiModal {
       val codec = new PngCodec
       it.map { row => codec.decode(row.getLong(0), row.getAs[Array[Byte]](1)) }
     }(Encoders.product[DecodedMedia])
+  }
+
+  /** Real-codec partition-batched RESIZE: normalize every image to a
+    * fixed resolution (the multimodal pipeline's standard prep step),
+    * one codec per partition, blob in → blob out. */
+  def resizeImagePartitions(df: DataFrame, idCol: String, blobCol: String,
+      width: Int, height: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long"), col(blobCol))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { it =>
+      val codec = new PngCodec
+      it.map { r => Row(r.getLong(0),
+        codec.resize(r.getAs[Array[Byte]](1), width, height)) }
+    }(enc)
   }
 
   /** Synthesize real PNG payloads from per-row metadata (fixture

@@ -61,6 +61,29 @@ object MediaQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL resize pipeline: synth PNGs at mixed resolutions → bilinear
+    * resize to a fixed 32x32 (the multimodal training-prep
+    * normalization) → re-decode. Every decoded row must report the
+    * TARGET dimensions from the actual resized raster — proving the
+    * resize ran, not just the metadata changed. Codec bytes are
+    * JVM-specific → rows-only; invariants in MultiModalSpec. */
+  val multimodalResize: CatalogEntry = CatalogEntry.noOracle(
+    "multimodal_resize") { (s, d) =>
+    import s.implicits._
+    val meta = Tables.documents(s, d)
+      .select($"doc_id",
+        ($"doc_id" % 48 + 16).as("w"), (($"doc_id" * 7) % 48 + 16).as("h"))
+    val blobs = MultiModal.encodeImagePartitions(meta, "doc_id", "w", "h")
+    val resized = MultiModal.resizeImagePartitions(blobs, "id", "blob",
+      width = 32, height = 32)
+    MultiModal.decodeImagePartitions(resized, "id", "blob")
+      .toDF()
+      .select($"id".as("doc_id"), $"width", $"height", $"nBytes",
+        $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip)
+    multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
+    multimodalResize)
 }

@@ -62,6 +62,28 @@ class MultiModalSpec extends SparkTestBase {
     }
   }
 
+  test("resize: real rescale to target raster, content still distinguishes sources") {
+    val codec = new MultiModal.PngCodec
+    val a = codec.resize(codec.encode(1L, 40, 20), 32, 32)
+    val b = codec.resize(codec.encode(200L, 40, 20), 32, 32)
+    assert(codec.decode(1L, a).width == 32 && codec.decode(1L, a).height == 32)
+    // different source pixels survive the resize as different bytes
+    assert(!java.util.Arrays.equals(a, b))
+    intercept[IllegalArgumentException] { codec.resize(a, 0, 32) }
+  }
+
+  test("resizeImagePartitions: every image normalizes to the target resolution") {
+    val meta = (0L until 18L).map(i => (i, (i % 13 + 5).toInt, (i % 7 + 3).toInt))
+    val blobs = MultiModal.encodeImagePartitions(
+      meta.toDF("doc_id", "w", "h"), "doc_id", "w", "h")
+    val resized = MultiModal.resizeImagePartitions(blobs, "id", "blob", 16, 16)
+    val got = MultiModal.decodeImagePartitions(resized, "id", "blob").collect()
+    assert(got.length == 18)
+    assert(got.forall(m => m.width == 16 && m.height == 16))
+    assert(got.map(_.fingerprint).distinct.length == 18,
+      "distinct sources must stay distinct after normalization")
+  }
+
   test("decodePartitions: typed output matches the driver-side stub decoder") {
     val rows = Seq((10L, "abc"), (11L, "defgh"))
     val df = rows.toDF("doc_id", "text")
