@@ -121,9 +121,41 @@ object SimilarityQueries {
     * similar pairs drawn only from within LSH buckets, never all-pairs.
     * The plane count grows with the corpus (log2(n/64)) so expected
     * within-bucket pair work stays n·64/2 — a fixed plane count would
-    * go quadratic as n grows past bucketCount × targetSize. */
-  val simBucketedPairs: CatalogEntry = CatalogEntry.noOracle(
-    "sim_bucketed_pairs") { (s, d) =>
+    * go quadratic as n grows past bucketCount × targetSize.
+    *
+    * Fully oracled despite the corpus-dependent plane count: the
+    * SplitMix64 plane stream is prefix-stable (plane i is identical for
+    * every plane count), so a p-plane bucket is the 12-plane bucket
+    * masked to its low p bits. The SQL computes the 12-plane bucket
+    * from the same float-quantized literals, derives p with the same
+    * ceil(log2(n/64)) arithmetic, masks, and forms in-bucket pairs —
+    * valid up to p = 12 (n ≤ 256k vectors; both test scales are far
+    * below). */
+  val simBucketedPairs: CatalogEntry = {
+    val planes12 = Similarity.hyperplanes(12, 64)
+    CatalogEntry(
+      "sim_bucketed_pairs",
+      s"""WITH nn AS (
+         |  SELECT greatest(1, ceil(ln(count(*)::DOUBLE / 64) / ln(2)))::INT AS p
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", planes12)} AS b12
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, embedding,
+         |    b12 & ((1::BIGINT << nn.p) - 1) AS bucket
+         |  FROM b, nn)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(
+         |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+         |              for i in range(1, 65)]) /
+         |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+         |                    for i in range(1, 65)])) *
+         |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+         |                    for i in range(1, 65)]))), 6) AS cos_sim
+         |FROM m a JOIN m b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 10""".stripMargin) { (s, d) =>
     import s.implicits._
     GraftFunctions.register(s)
     // metadata-only count (parquet row groups), not a table scan
@@ -140,6 +172,7 @@ object SimilarityQueries {
           .as("cos_sim"))
       .orderBy($"cos_sim".desc, $"id_a".asc, $"id_b".asc)
       .limit(10)
+    }
   }
 
   /** IVF-style ANN: one pass computes per-cluster centroids (the
