@@ -369,9 +369,62 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** MinHash + LSH banding with a PORTABLE hash (md5 prefix as a
+    * 60-bit integer): the same shingle → k-min-signature → banded
+    * band-digest pipeline as `dedup_minhash_lsh`, but every stage is
+    * engine-replayable, so the WHOLE near-dup pipeline gets a DuckDB
+    * hash check. The production path keeps xxhash64 (several times
+    * cheaper per shingle); a green row here certifies the pipeline
+    * logic both variants share. Same explode-then-k-min-aggs shape —
+    * the k-projected-copies trap documented at Dedup.minhashSignature
+    * applies to this variant too. */
+  val dedupMinhashPortable: CatalogEntry = {
+    val k = 8
+    val mins = (0 until k).map(i =>
+      s"""    min(('0x' || substring(md5(sh || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+      .mkString(",\n")
+    val bands = (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS pair
+         |  FROM h""".stripMargin).mkString("\n  UNION ALL\n")
+    CatalogEntry(
+      "dedup_minhash_portable",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([substring(text, i, 3)
+         |                          for i in range(1, length(text) - 1)])) AS sh
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM sh GROUP BY doc_id),
+         |b AS (
+         |$bands)
+         |SELECT doc_id, band::INT AS band,
+         |  substring(sha256(pair), 1, 16) AS band_sha
+         |FROM b ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(TextOps.shingles($"text", 3)).as("sh"))
+      val hashes = (0 until k).map { i =>
+        min(conv(substring(md5(concat($"sh", lit(s"#$i")).cast("binary")),
+          1, 15), 16, 10).cast("long")).as(s"mh$i")
+      }
+      val h = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
+      val bandRows = (0 until k / 2).map { j =>
+        h.select($"doc_id", lit(j).as("band"),
+          concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("pair"))
+      }.reduce(_ unionByName _)
+      bandRows
+        .select($"doc_id", $"band",
+          substring(sha2($"pair".cast("binary"), 256), 1, 16).as("band_sha"))
+        .orderBy($"doc_id", $"band")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
-    textNormalize)
+    textNormalize, dedupMinhashPortable)
 }
