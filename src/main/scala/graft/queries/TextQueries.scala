@@ -422,9 +422,54 @@ object TextQueries {
     }
   }
 
+  /** SimHash with the portable md5-prefix token hash: identical vote /
+    * assemble machinery to `text_simhash` (63 conditional sums, sign
+    * vector; the hash's top 3 bits are always clear, which both
+    * engines reproduce), so the fingerprint algorithm itself gets a
+    * DuckDB hash check. The production entry keeps xxhash64. */
+  val textSimhashPortable: CatalogEntry = {
+    val bits = TextOps.SimhashBits
+    val sums = (0 until bits).map(i =>
+      s"""    sum(CASE WHEN (h & (1::BIGINT << $i)) != 0
+         |        THEN 1 ELSE -1 END) AS s$i""".stripMargin).mkString(",\n")
+    val assemble = (0 until bits).map(i =>
+      s"(CASE WHEN s$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+      .mkString(" +\n  ")
+    CatalogEntry(
+      "text_simhash_portable",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM tok),
+         |v AS (
+         |  SELECT doc_id,
+         |$sums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |  $assemble AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val h = conv(substring(md5($"tok".cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      val voted = Tables.documents(s, d)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .select($"doc_id" +: TextOps.simhashBitVotes(h)
+          .zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
+      val sumCols = (0 until bits).map(i => sum(col(s"v$i")).as(s"s$i"))
+      voted.groupBy($"doc_id")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select($"doc_id", TextOps.assembleSimhash(
+          (0 until bits).map(i => col(s"s$i"))).as("simhash"))
+        .orderBy($"doc_id")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
-    textNormalize, dedupMinhashPortable)
+    textNormalize, dedupMinhashPortable, textSimhashPortable)
 }
