@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication for document corpora at training-data scale.
@@ -69,10 +69,11 @@ object Dedup {
     * window — is O(n²) per row and blows up codegen like the minhash
     * case documented on [[minhashSignature]]). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
+      k: Int, w: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val hashes = transform(
       sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-      i => xxhash64(col(textCol).substr(i, lit(k))))
+      i => hashFn(col(textCol).substr(i, lit(k))))
     val exploded = df.select(col(idCol), posexplode(hashes).as(Seq("pos", "h")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)

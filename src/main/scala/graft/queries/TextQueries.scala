@@ -467,9 +467,46 @@ object TextQueries {
     }
   }
 
+  /** Winnowing with the portable md5-prefix k-gram hash: the identical
+    * posexplode → window-min → full-windows → distinct pipeline as
+    * `doc_winnow_fingerprint`, DuckDB-replayed hash-for-hash — the
+    * MOSS algorithm itself is now oracle-verified. Production keeps
+    * xxhash64. */
+  val docWinnowPortable: CatalogEntry = CatalogEntry(
+    "doc_winnow_portable",
+    """WITH g AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest([{'pos': i,
+      |               'h': ('0x' || substring(md5(substring(text, i, 5)), 1, 15))::BIGINT}
+      |              for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS u
+      |    FROM documents)),
+      |w AS (
+      |  SELECT doc_id,
+      |    min(h) OVER win AS fp,
+      |    count(*) OVER win AS wn
+      |  FROM g
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+      |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4)
+      |SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+      |  min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val portableHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+      k = 5, w = 4, hashFn = portableHash)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
-    textNormalize, dedupMinhashPortable, textSimhashPortable)
+    textNormalize, dedupMinhashPortable, textSimhashPortable,
+    docWinnowPortable)
 }
