@@ -179,7 +179,49 @@ object TransformQueries {
       .limit(1000)
   }
 
+  /** JSON-lines sink + source roundtrip (§2.1 format breadth): write
+    * supplier as JSONL, read back with the EXPLICIT original schema (at
+    * scale inference is a second full scan — never infer in
+    * production), aggregate, compare to the parquet truth. */
+  val roundtripJson: CatalogEntry = CatalogEntry(
+    "roundtrip_json",
+    """SELECT s_nationkey,
+      |  count(*)::BIGINT AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS sum_acctbal
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val src = Tables.supplier(s, d)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_" +
+      s.sparkContext.applicationId
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum($"s_acctbal"), 2).as("sum_acctbal"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** ORC sink + source roundtrip — the columnar alternative container;
+    * schema travels with the file, so no inference and no explicit
+    * schema needed on read. */
+  val roundtripOrc: CatalogEntry = CatalogEntry(
+    "roundtrip_orc",
+    """SELECT n_regionkey,
+      |  count(*)::BIGINT AS n_nations
+      |FROM nation GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+      s.sparkContext.applicationId
+    Tables.nation(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy($"n_regionkey")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     transformChain, roundtripCsv, profileColumns, unionByNameEvolve,
-    dateFunctions)
+    dateFunctions, roundtripJson, roundtripOrc)
 }
