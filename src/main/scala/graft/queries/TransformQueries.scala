@@ -221,7 +221,27 @@ object TransformQueries {
       .orderBy($"n_regionkey")
   }
 
+  /** Sketch-based column profile — the 100 TB path for
+    * `profile_columns`: ONE pass over the melted columns with
+    * `approx_count_distinct` (HLL) instead of an exact distinct
+    * (whose shuffle is distinct-value-sized per column). HLL is
+    * engine-specific → rows-only; `ProfileApproxSpec` bounds the
+    * sketch against the exact profile. */
+  val profileColumnsApprox: CatalogEntry = CatalogEntry.noOracle(
+    "profile_columns_approx") { (s, d) =>
+    import s.implicits._
+    val cols = Seq("l_linestatus", "l_quantity", "l_returnflag")
+    Tables.lineitem(s, d)
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "column_name", "v")
+      .groupBy($"column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"v").as("n_nonnull"),
+        approx_count_distinct($"v").as("n_distinct_approx"))
+      .orderBy($"column_name")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     transformChain, roundtripCsv, profileColumns, unionByNameEvolve,
-    dateFunctions, roundtripJson, roundtripOrc)
+    dateFunctions, roundtripJson, roundtripOrc, profileColumnsApprox)
 }
