@@ -25,6 +25,19 @@ object Layout {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Dynamic partition overwrite: rewrite ONLY the hive partitions
+    * present in `df`, leaving sibling partitions untouched — the
+    * reprocess-one-day operation on a date-partitioned table. Static
+    * overwrite mode would truncate the whole table; the dynamic mode
+    * scopes the delete to touched partition values (asserted in
+    * ScaleLayoutSpec). */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Z-ordered layout: range-partition + sort by a Morton key
     * (`functions/ZOrderKey`) so 2-D locality lands in the same files —
     * scans filtered on either clustered dimension skip most files via

@@ -62,4 +62,39 @@ class ScaleLayoutSpec extends SparkTestBase {
     assert(after.count() == beforeCount)
     assert(after.select(input_file_name()).distinct().count() == 1)
   }
+
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    val dir = Files.createTempDirectory("graft_dynpart").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    graft.sources.Layout.writePartitioned(orders, dir, Seq("o_orderstatus"))
+    val beforeF = spark.read.parquet(dir)
+      .filter($"o_orderstatus" === "F").count()
+    val beforeO = spark.read.parquet(dir)
+      .filter($"o_orderstatus" === "O").count()
+
+    // reprocess ONLY the O partition: replace it with a 10-row slice
+    val replacement = orders.filter($"o_orderstatus" === "O").limit(10)
+    graft.sources.Layout.overwritePartitionsDynamic(
+      replacement, dir, Seq("o_orderstatus"))
+
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"o_orderstatus" === "O").count() == 10,
+      "touched partition must be replaced")
+    assert(after.filter($"o_orderstatus" === "F").count() == beforeF,
+      "untouched partition must survive")
+    assert(beforeO > 10, "fixture sanity: the replacement actually shrank O")
+  }
+
+  test("cached plans serve repeated queries from memory, not the scan") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy($"l_returnflag").agg(sum($"l_quantity").as("q"))
+      .cache()
+    try {
+      df.count() // materialize
+      val second = df.filter($"q" > 0)
+      val plan = second.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"repeat query must hit the cache, got:\n$plan")
+    } finally df.unpersist()
+  }
 }
