@@ -258,25 +258,64 @@ object EventQueries {
 
   /** Statistical aggregates (§2.4 extension): correlation, sample
     * stddev/variance, covariance of quantity vs price per return flag.
-    * Both engines use the numerically-stable one-pass formulations;
-    * round(3) absorbs last-ulp differences (these statistics are never
-    * exact decimals, so the half-way-point hazard doesn't apply). */
+    *
+    * Engine-exact formulation: `corr`/`stddev_samp` in Spark and DuckDB
+    * use different one-pass moment updates, so their doubles diverge as
+    * early as the 3rd decimal (catastrophic cancellation on large means)
+    * — `round(x, 3)` cannot absorb that (round-3 advice). Instead both
+    * engines sum EXACT integer moments (quantity is integer-valued,
+    * price is 2-decimal → scale ×100; Σp² ≈ 7e18 exceeds Long, so the
+    * big sums ride Decimal(38,0) here / HUGEINT in DuckDB) and derive
+    * the statistics from those identical integers with an identical
+    * float expression tree — every op (cast, *, /, sqrt) is IEEE
+    * exactly-rounded, so the outputs are bit-equal, no rounding needed.
+    * At 100 TB the shuffle is 6 numbers per group (plain partial agg);
+    * Decimal aggregation is exact at any row count (38 digits ≫ Σp² at
+    * sf1000). Verified vs native corr/stddev to ~1e-11 at sf0.1. */
   val statsAgg: CatalogEntry = CatalogEntry(
     "stats_agg",
-    """SELECT l_returnflag,
-      |  round(corr(l_quantity, l_extendedprice), 3) AS corr_qp,
-      |  round(stddev_samp(l_quantity), 3) AS sd_qty,
-      |  round(var_samp(l_quantity), 3) AS var_qty,
-      |  round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qp
-      |FROM lineitem GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    count(*)::BIGINT AS n,
+      |    sum(round(l_quantity)::BIGINT) AS sq,
+      |    sum(round(l_extendedprice*100)::BIGINT) AS sp,
+      |    sum(round(l_quantity)::BIGINT * round(l_quantity)::BIGINT) AS sqq,
+      |    sum((round(l_extendedprice*100)::BIGINT
+      |         * round(l_extendedprice*100)::BIGINT)::HUGEINT) AS spp,
+      |    sum((round(l_quantity)::BIGINT
+      |         * round(l_extendedprice*100)::BIGINT)::HUGEINT) AS sqp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  (n*sqp - sq*sp)::DOUBLE
+      |    / sqrt((n*sqq - sq*sq)::DOUBLE * (n*spp - sp*sp)::DOUBLE) AS corr_qp,
+      |  sqrt((n*sqq - sq*sq)::DOUBLE / (n*(n-1))::DOUBLE) AS sd_qty,
+      |  (n*sqq - sq*sq)::DOUBLE / (n*(n-1))::DOUBLE AS var_qty,
+      |  (n*sqp - sq*sp)::DOUBLE / (n*(n-1))::DOUBLE / 100.0 AS cov_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     import s.implicits._
-    Tables.lineitem(s, d)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = round($"l_quantity").cast("long")
+    val p = round($"l_extendedprice" * 100).cast("long")
+    val m = Tables.lineitem(s, d)
+      .select($"l_returnflag", q.as("q"), p.as("p"))
       .groupBy($"l_returnflag")
-      .agg(round(corr($"l_quantity", $"l_extendedprice"), 3).as("corr_qp"),
-        round(stddev_samp($"l_quantity"), 3).as("sd_qty"),
-        round(var_samp($"l_quantity"), 3).as("var_qty"),
-        round(covar_samp($"l_quantity", $"l_extendedprice"), 3).as("cov_qp"))
+      .agg(count(lit(1)).as("n"),
+        sum($"q").as("sq"), sum($"p").as("sp"),
+        sum($"q" * $"q").as("sqq"),
+        sum(($"p" * $"p").cast(dec38)).as("spp"),
+        sum(($"q" * $"p").cast(dec38)).as("sqp"))
+    val n38 = $"n".cast(dec38)
+    val covNum =
+      (n38 * $"sqp" - ($"sq".cast(dec38) * $"sp".cast(dec38))).cast("double")
+    val vqNum = ($"n" * $"sqq" - $"sq" * $"sq").cast("double")
+    val vpNum = (n38 * $"spp" - ($"sp".cast(dec38) * $"sp".cast(dec38)))
+      .cast("double")
+    val denom = ($"n" * ($"n" - 1)).cast("double")
+    m.select($"l_returnflag",
+        (covNum / sqrt(vqNum * vpNum)).as("corr_qp"),
+        sqrt(vqNum / denom).as("sd_qty"),
+        (vqNum / denom).as("var_qty"),
+        (covNum / denom / lit(100.0)).as("cov_qp"))
       .orderBy($"l_returnflag")
   }
 
