@@ -70,7 +70,12 @@ case class AutoRangeJoin(binWidthConf: () => Long) extends Rule[LogicalPlan] {
     pairs.headOption.filter { case (p, s, e) =>
       def from(ex: Expression, side: LogicalPlan) =
         ex.references.nonEmpty && ex.references.subsetOf(side.outputSet)
-      Seq(p, s, e).forall(_.dataType == LongType) &&
+      // The rewrite duplicates p/s/e into the bin key while keeping the
+      // original predicate — a nondeterministic expression would be
+      // evaluated twice with different values and silently drop or
+      // duplicate rows, so (like Catalyst's own join rewrites) never
+      // fire unless every copied expression is deterministic.
+      Seq(p, s, e).forall(ex => ex.deterministic && ex.dataType == LongType) &&
         ((from(p, left) && from(s, right) && from(e, right)) ||
           (from(p, right) && from(s, left) && from(e, left)))
     }

@@ -270,8 +270,10 @@ object EventQueries {
     * float expression tree — every op (cast, *, /, sqrt) is IEEE
     * exactly-rounded, so the outputs are bit-equal, no rounding needed.
     * At 100 TB the shuffle is 6 numbers per group (plain partial agg);
-    * Decimal aggregation is exact at any row count (38 digits ≫ Σp² at
-    * sf1000). Verified vs native corr/stddev to ~1e-11 at sf0.1. */
+    * every multi-word product (n·Σp² is the largest, ≈ 8e35 at ~100 TB)
+    * rides Decimal(38,0) — exact up to ~10^37, comfortably past 100 TB
+    * with ~100× headroom before ANSI Decimal overflow would surface.
+    * Verified vs native corr/stddev to ~1e-11 at sf0.1. */
   val statsAgg: CatalogEntry = CatalogEntry(
     "stats_agg",
     """WITH m AS (
@@ -307,10 +309,12 @@ object EventQueries {
     val n38 = $"n".cast(dec38)
     val covNum =
       (n38 * $"sqp" - ($"sq".cast(dec38) * $"sp".cast(dec38))).cast("double")
-    val vqNum = ($"n" * $"sqq" - $"sq" * $"sq").cast("double")
+    val vqNum =
+      (n38 * $"sqq".cast(dec38) - ($"sq".cast(dec38) * $"sq".cast(dec38)))
+        .cast("double")
     val vpNum = (n38 * $"spp" - ($"sp".cast(dec38) * $"sp".cast(dec38)))
       .cast("double")
-    val denom = ($"n" * ($"n" - 1)).cast("double")
+    val denom = (n38 * ($"n" - 1).cast(dec38)).cast("double")
     m.select($"l_returnflag",
         (covNum / sqrt(vqNum * vpNum)).as("corr_qp"),
         sqrt(vqNum / denom).as("sd_qty"),

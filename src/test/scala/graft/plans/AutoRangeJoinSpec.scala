@@ -69,6 +69,34 @@ class AutoRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("never rewrites a nondeterministic point expression") {
+    // The rewrite copies the point into the bin key while keeping the
+    // original predicate; a nondeterministic point would be evaluated
+    // twice with different values. The analyzer already rejects such
+    // conditions from the DataFrame API, so drive the rule directly on
+    // a hand-built plan — the shape an upstream rewrite could produce.
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, GreaterThanOrEqual, LessThanOrEqual, Literal, Rand}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.types.LongType
+    val lp = points.queryExecution.analyzed
+    val rp = intervals.queryExecution.analyzed
+    val x = lp.output.find(_.name == "x").get
+    val s = rp.output.find(_.name == "s").get
+    val e = rp.output.find(_.name == "e").get
+    val nd = Add(x, Cast(new Rand(Literal(7L)), LongType))
+    assert(!nd.deterministic)
+    val cond = And(GreaterThanOrEqual(nd, s), LessThanOrEqual(nd, e))
+    val j = Join(lp, rp, Inner, Some(cond), JoinHint.NONE)
+    val out = AutoRangeJoin(() => 64L)(j)
+    assert(out eq j, s"nondeterministic condition must not be rewritten:\n$out")
+    // identical shape with a deterministic point DOES rewrite — the
+    // guard above is the only thing blocking it
+    val det = And(GreaterThanOrEqual(x, s), LessThanOrEqual(x, e))
+    val j2 = Join(lp, rp, Inner, Some(det), JoinHint.NONE)
+    assert(AutoRangeJoin(() => 64L)(j2).toString.contains("__pbin"))
+  }
+
   test("null and inverted intervals never match after the rewrite") {
     val iv = Seq((1L, Some(0L), Some(100L)), (2L, None: Option[Long], Some(50L)),
       (3L, Some(60L), Some(40L))).toDF("iid", "s", "e")
