@@ -16,9 +16,23 @@ import org.apache.spark.sql.SparkSession
   *     single-shot 17s GC/JIT hiccup for a 1.4s query; a median absorbs
   *     one outlier, so two bench runs agree within noise;
   *   - emit the JSON line on stdout AND to bench_out.json, because the
-  *     stdout line drowns in sbt log noise ("parsed": null in r01).
+  *     stdout line drowns in sbt log noise ("parsed": null in r01);
+  *   - split the total into production vs verification subtotals: the
+  *     `*_portable` entries run md5-as-string hashing that exists ONLY
+  *     to put a DuckDB hash oracle on the sketch algorithms — their
+  *     cost is verification overhead, not engine throughput — and
+  *     report the production-subtotal ratio vs the committed
+  *     BASELINE_BENCH.json so a regression is machine-checkable.
   */
 object Bench {
+
+  /** Catalog entries that exist solely to oracle a sketch algorithm
+    * with a cross-engine-portable (md5-prefix) hash; production twins
+    * (`dedup_minhash_lsh`, `doc_winnow_fingerprint`, `text_simhash`)
+    * keep xxhash64 and are counted as production. */
+  val verificationOnly: Set[String] =
+    Set("doc_winnow_portable", "dedup_minhash_portable",
+      "text_simhash_portable")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,8 +65,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val prod = results.collect {
+      case (k, v) if v >= 0 && !verificationOnly(k) => v }.sum
+    // vs-baseline ratio over the queries present in BOTH records, so
+    // adding a catalog entry can't masquerade as a regression. The
+    // baseline file is a flat JSON object; pull its "queries" map with
+    // a line-oriented scrape (no JSON library on the allowed deps).
+    val baselinePath = Paths.get("BASELINE_BENCH.json")
+    val vsBaseline: Option[Double] =
+      // the committed baseline was recorded at sf0.1 — a ratio against
+      // a different scale factor would be meaningless
+      if (!Files.exists(baselinePath) || !sfDir.contains("sf0.1")) None
+      else {
+        val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+        val base = kv.findAllMatchIn(Files.readString(baselinePath))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val shared = results.collect {
+          case (k, v) if v >= 0 && base.contains(k) => (v, base(k)) }
+        val baseSum = shared.map(_._2).sum
+        if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
+      }
+    val extra = vsBaseline
+      .map(r => s""","vs_baseline":${math.rint(r * 1000) / 1000}""")
+      .getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""production_sec":$prod,"verification_sec":${total - prod}""" +
+        s"""$extra,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
