@@ -39,6 +39,15 @@ object SessionWindows {
   private[streaming] def micros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Event-time timeout deadline (epoch ms) for an open session ending
+    * at `end`: strictly AFTER the exact-microsecond strict-gap boundary
+    * `micros(end) + gap`. `setTimeoutTimestamp` is millisecond-grained
+    * while the merge rule compares microseconds, so a ms-truncated
+    * deadline (`end.getTime + gapMs`) could expire up to ~1 ms inside
+    * the window an event at the boundary is still entitled to join. */
+  private[streaming] def timeoutDeadlineMs(end: Timestamp, gapMs: Long): Long =
+    Math.floorDiv(micros(end) + gapMs * 1000L, 1000L) + 1L
+
   /** Fold a (sorted) batch of timestamps into the open session,
     * emitting sessions closed by in-batch gaps. A gap STRICTLY greater
     * than `gapMs` starts a new session — same boundary rule as the
@@ -79,7 +88,7 @@ object SessionWindows {
             val (open, closed) = fold(state.getOption, sorted, gapMs)
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+              state.setTimeoutTimestamp(timeoutDeadlineMs(s.end, gapMs))
             }
             closed.iterator.map(s => ClosedSession(uid, s.start, s.end, s.n))
           }

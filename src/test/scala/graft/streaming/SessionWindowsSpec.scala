@@ -29,6 +29,63 @@ class SessionWindowsSpec extends SparkTestBase {
     assert(closed2.isEmpty && open2.get.n == 3L)
   }
 
+  test("timeout deadline lands strictly past the microsecond gap boundary") {
+    // merge rule: an event with micros(t) <= micros(end) + gap joins the
+    // session, so the ms-grained timeout must never expire at or before
+    // that boundary. The old `end.getTime + gapMs` truncated sub-ms
+    // micros and could fire up to ~1 ms inside the window.
+    def withMicros(base: String, us: Int): Timestamp = {
+      val t = ts(base); t.setNanos(us * 1000); t
+    }
+    for (us <- Seq(0, 1, 499, 500, 999)) {
+      val end = withMicros("2024-01-01 10:00:00", us)
+      val boundaryUs = SessionWindows.micros(end) + gapMs * 1000L
+      val deadlineUs = SessionWindows.timeoutDeadlineMs(end, gapMs) * 1000L
+      assert(deadlineUs > boundaryUs,
+        s"deadline must be strictly past the boundary (end sub-ms=$us µs)")
+      assert(deadlineUs - boundaryUs <= 1000L,
+        s"deadline overshoots by more than one ms grain (end sub-ms=$us µs)")
+      // the old formulation violates the invariant whenever end has a
+      // sub-ms component — keep the counter-example visible
+      if (us > 0)
+        assert((end.getTime + gapMs) * 1000L < boundaryUs)
+    }
+  }
+
+  test("stream: sub-ms boundary event merges instead of finding its " +
+      "session flushed") {
+    implicit val sqlCtx = spark.sqlContext
+    val start = ts("2024-01-01 10:00:00"); start.setNanos(500000) // +500 µs
+    val boundary = ts("2024-01-01 10:30:00"); boundary.setNanos(500000)
+    val source = MemoryStream[UserEvent]
+    val q = SessionWindows.sessionize(source.toDS(), gapMs, "0 seconds")
+      .writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode("append").start()
+    try {
+      source.addData(UserEvent(1L, start))
+      q.processAllAvailable()
+      // drag the watermark to exactly the truncated-ms deadline the old
+      // code would have set (10:30:00.000 + 0ms grain), then deliver the
+      // event sitting exactly on the strict-gap microsecond boundary
+      source.addData(UserEvent(2L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      source.addData(UserEvent(1L, boundary),
+        UserEvent(2L, ts("2024-01-01 10:30:01")))
+      q.processAllAvailable()
+      // close everything via far-future sentinels
+      source.addData(UserEvent(-1L, ts("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      source.addData(UserEvent(-1L, ts("2030-01-02 00:00:00")))
+      q.processAllAvailable()
+
+      val u1 = spark.table("sessions_boundary").as[ClosedSession].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start, s.session_end, s.n_events)).toSet
+      assert(u1 == Set((start, boundary, 2L)),
+        s"boundary event must merge into one 2-event session, got $u1")
+    } finally q.stop()
+  }
+
   test("stream: sessions close by in-batch gap and by event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[UserEvent]
