@@ -25,12 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Hash input: the key's CANONICAL TEXT form. A bare
+    * `cast("binary")` only works for strings and would turn numeric
+    * keys into big-endian bytes no SQL engine's `md5(x::VARCHAR)`
+    * reproduces — so every key is first rendered as a string, making
+    * string and integer keys cross-engine-deterministic (DuckDB hashes
+    * the same "12345" text). Fractional types are NOT part of the
+    * contract: their text rendering is engine-specific. */
+  private def canonical(key: Column): Column =
+    key.cast("string").cast("binary")
+
   /** Keep predicate: md5(key)'s first `threshold.length` hex chars
-    * compare below `threshold` (lowercase hex, e.g. "1a" ≈ 26/256). */
+    * compare below `threshold` (lowercase hex, e.g. "1a" ≈ 26/256).
+    * `key` contract: a string or integer column (see [[canonical]]). */
   def hashKeep(key: Column, threshold: String): Column = {
     require(threshold.nonEmpty && threshold.matches("[0-9a-f]+"),
       s"threshold must be lowercase hex, got '$threshold'")
-    substring(md5(key.cast("binary")), 1, threshold.length) < lit(threshold)
+    substring(md5(canonical(key)), 1, threshold.length) < lit(threshold)
   }
 
   /** Per-stratum thresholds (stratified deterministic sampling): the
@@ -41,7 +52,7 @@ object Sampling {
       thresholds: Seq[(String, String)]): Column = {
     val widths = thresholds.map(_._2.length).distinct
     require(widths.size == 1, s"thresholds must share one width: $thresholds")
-    val prefix = substring(md5(key.cast("binary")), 1, widths.head)
+    val prefix = substring(md5(canonical(key)), 1, widths.head)
     thresholds.foldLeft(lit(false)) { case (acc, (value, t)) =>
       acc || (stratum === value && prefix < lit(t))
     }

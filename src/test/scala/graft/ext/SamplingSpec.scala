@@ -47,6 +47,21 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.count(_ == "fr") == 200, "gg sentinel keeps the whole stratum")
   }
 
+  test("numeric keys hash their canonical decimal text (cross-engine form)") {
+    // the contract another engine replays is md5(key::VARCHAR); a raw
+    // binary cast of a LongType would hash big-endian bytes instead.
+    // Reference keep-set computed from the JDK's own md5 of the text.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 2000L).filter(i => md5hex(i.toString) < "40").toSet
+    val got = docs.filter(Sampling.hashKeep($"id", "40")).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"integer keys must sample by their decimal-text hash; " +
+        s"onlyGot=${(got -- expected).take(5)} onlyExp=${(expected -- got).take(5)}")
+  }
+
   test("thresholds are validated") {
     intercept[IllegalArgumentException] {
       Sampling.hashKeep($"text", "XYZ")
