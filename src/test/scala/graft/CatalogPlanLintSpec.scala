@@ -21,6 +21,43 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_ivf",               // centroid table (|clusters| rows) x 1 query row
     "events_grouping_sets")  // grouping-sets expand over broadcast scalar
 
+  /** Shuffle (non-broadcast) Exchange nodes in an executed plan.
+    * `BroadcastExchange` is free of the full-shuffle cost being linted,
+    * so it doesn't count. */
+  private def shuffleCount(plan: String): Int =
+    "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+
+  test("custom join operators stay single-shuffle; their catalog entries " +
+      "add at most the determinism sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    // the raw operator: union + one window partitionBy — exactly ONE
+    // exchange; a second one would mean the formulation regressed to a
+    // shuffle-per-stage shape that doubles cost at 100 TB
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val rawAsOf = graft.operators.AsOfJoin.leftAsOf(
+      ev.select($"event_id", $"user_id", $"ts"), purchases,
+      "user_id", "user_id", "ts", "ts", Seq("event_id", "value"), "event_id")
+    val rawPlan = rawAsOf.queryExecution.executedPlan.toString
+    assert(shuffleCount(rawPlan) == 1,
+      s"AsOfJoin must plan exactly one shuffle exchange:\n$rawPlan")
+
+    // the catalog entries carry a global ORDER BY purely for oracle
+    // determinism — one extra range exchange, never more
+    for (name <- Seq("asof_join", "range_join_window_agg")) {
+      val plan = SparkEntry.catalog(name).query(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(shuffleCount(plan) <= 2,
+        s"$name: operator + determinism sort allow at most 2 shuffle " +
+          s"exchanges, got ${shuffleCount(plan)}:\n$plan")
+    }
+  }
+
   test("no catalog entry plans a cartesian product; nested-loop joins " +
       "only against broadcast scalars") {
     val sf = "/root/testdata/sf0.001"
