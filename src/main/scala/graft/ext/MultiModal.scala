@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * ==CODEC STATUS==
   * Images are REAL: [[PngCodec]] encodes/decodes actual PNG bytes with
   * the JDK's javax.imageio (no external deps), behind the same
-  * partition-batched contract — see [[decodeImagePartitions]]. Audio/
-  * video codecs are not available in this environment, so
-  * [[decodeMeta]] / [[StubDecoder.decode]] remain **deterministic
-  * fakes** for those modalities: they derive plausible metadata
-  * (dimensions, fingerprint) from the bytes instead of decoding them.
-  * The Spark-side contract — schema, binary transport, partition
-  * batching, frame sampling shape — is identical for both.
+  * partition-batched contract — see [[decodeImagePartitions]]. Audio is
+  * REAL: [[WavCodec]] writes/reads actual RIFF/WAVE containers with the
+  * JDK's javax.sound.sampled (sample rate, channels, frame count, and a
+  * fingerprint of the decoded PCM payload all come from the parsed
+  * container, not the input metadata) — see [[decodeAudioPartitions]].
+  * Only VIDEO has no in-JDK codec, so [[decodeMeta]] /
+  * [[StubDecoder.decode]] remain **deterministic fakes** for that
+  * modality: they derive plausible metadata (dimensions, fingerprint)
+  * from the bytes instead of decoding them. The Spark-side contract —
+  * schema, binary transport, partition batching, frame sampling shape —
+  * is identical for all three.
   */
 object MultiModal {
 
@@ -178,7 +182,120 @@ object MultiModal {
     }(enc)
   }
 
-  /** STUB decoder: deterministic metadata from bytes; no real codec. */
+  /** Typed audio decode output (the `Dataset[T]` path for [[WavCodec]]):
+    * everything here is read back out of the parsed RIFF/WAVE container,
+    * and `pcmFingerprint` hashes the *decoded PCM payload* — so it equals
+    * the fingerprint of the raw frames that went in iff the container
+    * round-trip was lossless. */
+  case class DecodedAudio(id: Long, nBytes: Int, format: String,
+      sampleRateHz: Int, channels: Int, nFrames: Long, durationMs: Long,
+      pcmFingerprint: Long)
+
+  /** REAL audio codec (JDK javax.sound.sampled, pure file I/O — no sound
+    * device needed): writes and parses actual RIFF/WAVE containers with
+    * 16-bit signed little-endian PCM. Per-partition instance, same batch
+    * shape as [[PngCodec]]. */
+  final class WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+
+    /** Deterministic synthetic PCM frames (the fixture generator,
+      * mirroring [[PngCodec.encode]]'s gradient): an id-seeded integer
+      * sawtooth per channel — pure integer math, bit-identical on every
+      * JVM, no floating-point oscillator. */
+    def pcm(id: Long, channels: Int, nFrames: Int): Array[Byte] = {
+      val out = new Array[Byte](nFrames * channels * 2)
+      var i = 0
+      var o = 0
+      while (i < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val s = ((i * (id % 97 + 3) + c * 7919) % 65536 - 32768).toInt
+          out(o) = (s & 0xff).toByte
+          out(o + 1) = ((s >> 8) & 0xff).toByte
+          c += 1
+          o += 2
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** Synthetic metadata → real WAV bytes via the JDK's WAVE writer. */
+    def encode(id: Long, sampleRateHz: Int, channels: Int,
+        nFrames: Int): Array[Byte] = {
+      require(sampleRateHz > 0 && channels > 0 && nFrames > 0,
+        s"bad wav spec ${sampleRateHz}Hz x$channels x$nFrames")
+      val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels,
+        /* signed = */ true, /* bigEndian = */ false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm(id, channels, nFrames)), fmt,
+        nFrames.toLong)
+      val out = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      finally ais.close()
+      out.toByteArray
+    }
+
+    /** Parse real WAV bytes: sample rate / channels / frame count from
+      * the container header, fingerprint from the decoded PCM frames.
+      * Duration uses integer floor division so an engine-independent
+      * oracle can reproduce it exactly. */
+    def decode(id: Long, bytes: Array[Byte]): DecodedAudio = {
+      val fileFmt = AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(bytes))
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val buf = ais.readAllBytes()
+        var h = 1125899906842597L
+        var i = 0
+        while (i < buf.length) { h = 31 * h + buf(i); i += 1 }
+        DecodedAudio(id, bytes.length,
+          "audio/" + fileFmt.getType.toString.toLowerCase,
+          fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          frames * 1000L / fmt.getSampleRate.toInt, h)
+      } finally ais.close()
+    }
+  }
+
+  /** Real-codec partition-batched audio ENCODE: per-row (rate, channels,
+    * frames) metadata → actual WAV containers, one codec per partition
+    * (fixture source mirroring [[encodeImagePartitions]]). */
+  def encodeAudioPartitions(df: DataFrame, idCol: String, rateCol: String,
+      channelsCol: String, framesCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long"), col(rateCol).cast("int"),
+      col(channelsCol).cast("int"), col(framesCol).cast("int"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { it =>
+      val codec = new WavCodec
+      it.map { r => Row(r.getLong(0),
+        codec.encode(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))) }
+    }(enc)
+  }
+
+  /** Real-codec partition-batched audio DECODE: one [[WavCodec]] per
+    * partition, rows streamed through — the audio twin of
+    * [[decodeImagePartitions]]. */
+  def decodeAudioPartitions(df: DataFrame, idCol: String,
+      blobCol: String): Dataset[DecodedAudio] = {
+    val ids = df.select(col(idCol).cast("long"), col(blobCol))
+    ids.mapPartitions { it =>
+      val codec = new WavCodec
+      it.map { row => codec.decode(row.getLong(0), row.getAs[Array[Byte]](1)) }
+    }(Encoders.product[DecodedAudio])
+  }
+
+  /** STUB decoder: deterministic metadata from bytes; no real codec.
+    * After [[PngCodec]] (images) and [[WavCodec]] (audio), this now
+    * stands in for VIDEO only — the one modality with no in-JDK codec. */
   final class StubDecoder {
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
       var h = 1125899906842597L // deterministic FNV-ish roll

@@ -83,7 +83,50 @@ object MediaQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL audio codec round-trip, FULLY ORACLED: per-document synthetic
+    * specs (rate/channels/frames derived from doc_id) → actual
+    * RIFF/WAVE containers (javax.sound.sampled encode, one codec per
+    * partition) → actual WAV parse. Every reported column comes from the
+    * PARSED container — rate/channels from the format chunk, frame count
+    * from the data chunk length, byte count from the real file — while
+    * the DuckDB oracle computes what a correct codec MUST report by pure
+    * arithmetic on doc_id (canonical PCM WAV = 44-byte header +
+    * frames x channels x 2 data bytes; duration = floor-division ms). A
+    * hash-green run therefore proves real WAV bytes moved through the
+    * binary column and parsed back losslessly — unlike the PNG entry,
+    * where codec output bytes are JVM-specific, WAV's container layout
+    * is fixed by the RIFF spec, so the metadata is cross-engine
+    * checkable. PCM payload fingerprint is additionally asserted in
+    * MultiModalSpec (not SQL-expressible). */
+  val multimodalWavRoundtrip: CatalogEntry = CatalogEntry(
+    "multimodal_wav_roundtrip",
+    """SELECT doc_id,
+      |  'audio/wave' AS format,
+      |  ((doc_id % 3) * 11025 + 11025)::INT AS sample_rate_hz,
+      |  (doc_id % 2 + 1)::INT AS channels,
+      |  (doc_id % 500 + 100)::BIGINT AS n_frames,
+      |  ((doc_id % 500 + 100) * 1000
+      |     // ((doc_id % 3) * 11025 + 11025))::BIGINT AS duration_ms,
+      |  (44 + (doc_id % 500 + 100) * (doc_id % 2 + 1) * 2)::INT AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val meta = Tables.documents(s, d)
+      .select($"doc_id",
+        (($"doc_id" % 3) * 11025 + 11025).as("rate"),
+        ($"doc_id" % 2 + 1).as("channels"),
+        ($"doc_id" % 500 + 100).as("frames"))
+    val blobs = MultiModal.encodeAudioPartitions(
+      meta, "doc_id", "rate", "channels", "frames")
+    MultiModal.decodeAudioPartitions(blobs, "id", "blob")
+      .toDF()
+      .select($"id".as("doc_id"), $"format",
+        $"sampleRateHz".as("sample_rate_hz"), $"channels",
+        $"nFrames".as("n_frames"), $"durationMs".as("duration_ms"),
+        $"nBytes".as("n_bytes"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
-    multimodalResize)
+    multimodalResize, multimodalWavRoundtrip)
 }
