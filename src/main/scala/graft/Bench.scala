@@ -67,23 +67,36 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val prod = results.collect {
       case (k, v) if v >= 0 && !verificationOnly(k) => v }.sum
-    // vs-baseline ratio over the queries present in BOTH records, so
-    // adding a catalog entry can't masquerade as a regression. The
-    // baseline file is a flat JSON object; pull its "queries" map with
-    // a line-oriented scrape (no JSON library on the allowed deps).
+    // vs-baseline ratio over the PRODUCTION queries present in BOTH
+    // records, so adding a catalog entry can't masquerade as a
+    // regression and the md5-portable verification twins can't dilute
+    // an engine-throughput ratio. Emitted only when the run's config
+    // matches what the baseline recorded: exact sf dir (a substring
+    // test would match sf0.12 against the sf0.1 record) and the same
+    // core/shuffle-partition count (a local[4] run against a local[32]
+    // record would compare different parallelism). The baseline file is
+    // a flat JSON object; scrape it with regexes (no JSON library on
+    // the allowed deps).
     val baselinePath = Paths.get("BASELINE_BENCH.json")
     val vsBaseline: Option[Double] =
-      // the committed baseline was recorded at sf0.1 — a ratio against
-      // a different scale factor would be meaningless
-      if (!Files.exists(baselinePath) || !sfDir.contains("sf0.1")) None
+      if (!Files.exists(baselinePath)) None
       else {
-        val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-        val base = kv.findAllMatchIn(Files.readString(baselinePath))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val shared = results.collect {
-          case (k, v) if v >= 0 && base.contains(k) => (v, base(k)) }
-        val baseSum = shared.map(_._2).sum
-        if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
+        val text = Files.readString(baselinePath)
+        val baseSf = """"sf":\s*"([^"]+)"""".r
+          .findFirstMatchIn(text).map(_.group(1))
+        val baseCpus = """"cpus":\s*"?([0-9]+)"?""".r
+          .findFirstMatchIn(text).map(_.group(1))
+        if (!baseSf.contains(sfDir) || !baseCpus.contains(cpus)) None
+        else {
+          val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          val base = kv.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val shared = results.collect {
+            case (k, v) if v >= 0 && base.contains(k) &&
+              !verificationOnly(k) => (v, base(k)) }
+          val baseSum = shared.map(_._2).sum
+          if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
+        }
       }
     val extra = vsBaseline
       .map(r => s""","vs_baseline":${math.rint(r * 1000) / 1000}""")

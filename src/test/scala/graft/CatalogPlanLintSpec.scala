@@ -21,12 +21,19 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_ivf",               // centroid table (|clusters| rows) x 1 query row
     "events_grouping_sets")  // grouping-sets expand over broadcast scalar
 
-  /** Shuffle (non-broadcast) Exchange nodes in an executed plan.
-    * `BroadcastExchange` is free of the full-shuffle cost being linted,
-    * so it doesn't count. */
+  /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
+    * counted per tree line so only nodes whose operator IS a shuffle
+    * `Exchange` count: `BroadcastExchange` isn't the full-shuffle cost
+    * being linted, and a `ReusedExchange` line re-reads an existing
+    * shuffle's output (its description quotes the reused `Exchange
+    * hashpartitioning(...)`, so a substring count would bill the same
+    * shuffle twice). */
   private def shuffleCount(plan: String): Int =
-    "Exchange".r.findAllIn(plan).size -
-      "BroadcastExchange".r.findAllIn(plan).size
+    plan.linesIterator.count { line =>
+      // strip the tree-drawing prefix (`+- `, `:  `, `*(n) ` ...) down
+      // to the first letter: that word is the operator name
+      line.dropWhile(c => !c.isLetter).startsWith("Exchange ")
+    }
 
   test("custom join operators stay single-shuffle; their catalog entries " +
       "add at most the determinism sort") {
