@@ -43,6 +43,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Table row count from parquet FILE METADATA only — a driver-side
+    * footer read, never a Spark job. Exists for operators whose *plan
+    * shape* depends on corpus size (e.g. the LSH plane count in
+    * `sim_bucketed_pairs`): sizing the plan must not cost a cluster
+    * round-trip per invocation. At 100 TB a production caller passes
+    * the count from table statistics (metastore / ANALYZE / catalog
+    * `rowCount`); this helper serves the same number for the bare
+    * parquet test directories, which have no catalog entry. */
+  def statsRowCount(spark: SparkSession, sfDir: String,
+      name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val parts =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(root))
+    parts.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Runtime-settable (not a static conf); the driver's Verify/Bench
     // sessions don't set it at build time, so set it here idempotently.

@@ -158,8 +158,10 @@ object SimilarityQueries {
          |ORDER BY cos_sim DESC, id_a, id_b LIMIT 10""".stripMargin) { (s, d) =>
     import s.implicits._
     GraftFunctions.register(s)
-    // metadata-only count (parquet row groups), not a table scan
-    val n = Tables.embeddings(s, d).count()
+    // corpus size from table STATISTICS (parquet footers read on the
+    // driver) — plan sizing must not spend a Spark job per invocation;
+    // at 100 TB this number comes from the metastore the same way
+    val n = Tables.statsRowCount(s, d, "embeddings")
     val planes = Similarity.hyperplanes(Similarity.planesFor(n), dim = 64)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",

@@ -120,6 +120,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.planesFor(10) == 1) // never zero planes
   }
 
+  test("statsRowCount reads parquet footers, matches count(), runs NO job") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sf = "/root/testdata/sf0.001"
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def settled(): Int = { Thread.sleep(500); jobs.get() }
+    try {
+      // footer-metadata row count alone: ZERO jobs
+      val n = graft.Tables.statsRowCount(spark, sf, "embeddings")
+      assert(settled() == 0,
+        s"statsRowCount launched ${jobs.get()} Spark job(s)")
+      // every spark.read.parquet costs one schema-inference job; measure
+      // that floor on the same table so the assertion below can say
+      // "construction adds NOTHING beyond its one table read"
+      graft.Tables.embeddings(spark, sf)
+      val perRead = settled()
+      // building the bucketed-pairs query (which sizes its plane count
+      // from n) must cost exactly its single table read — the old
+      // formulation's driver-side count() made it 2 reads + 1 action
+      val df = graft.SparkEntry.catalog("sim_bucketed_pairs").query(spark, sf)
+      assert(settled() == 2 * perRead,
+        s"query construction launched ${jobs.get() - perRead} job(s) " +
+          s"beyond the expected $perRead-job table read")
+      assert(df.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
+      // listener sanity + footer-count correctness: a real action DOES
+      // fire the listener, and the footer count equals the scan count
+      assert(n == graft.Tables.embeddings(spark, sf).count())
+      var waited = 0
+      while (jobs.get() <= 3 * perRead && waited < 5000) {
+        Thread.sleep(50); waited += 50
+      }
+      assert(jobs.get() > 3 * perRead, "listener never saw the count() " +
+        "job — the zero-extra-jobs assertion above would be vacuous")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ANN within query bucket contains the query itself at cosine 1") {
     graft.functions.GraftFunctions.register(spark)
     val planes = Similarity.hyperplanes(4, 4)
