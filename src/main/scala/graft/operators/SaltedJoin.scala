@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * keys behave as in the plain join (never match; preserved under
   * left). Proven by the SaltedJoinSpec equivalence tests and the
   * oracled `join_salted_skew` catalog entry.
+  *
+  * The build side is pinned to a SHUFFLE strategy (`shuffle_hash`
+  * hint): salting only makes sense when the build cannot broadcast —
+  * if it can, don't salt, just broadcast — yet at test scale Catalyst/
+  * AQE would happily broadcast the salt-times-replicated build, paying
+  * a serial driver-built hash table `salt`x bigger than the problem
+  * while the hot key never spreads at all. Pinning keeps the operator
+  * on the plan it exists to produce at every scale (measured at sf0.1:
+  * broadcast 2.00s vs pinned shuffled-hash 0.93s median-of-5, see
+  * tools/SaltProfile). The hint only constrains strategy choice, never
+  * semantics.
   */
 object SaltedJoin {
 
@@ -47,6 +58,7 @@ object SaltedJoin {
     val b = build
       .withColumn("__bsalt", explode(sequence(lit(0L), lit(salt - 1L))))
       .withColumnRenamed(key, "__bkey")
+      .hint("shuffle_hash") // never broadcast a salt-replicated build
     p.join(b,
         p(key) === b("__bkey") && p("__salt") === b("__bsalt"), joinType)
       .drop("__salt", "__bsalt", "__bkey")

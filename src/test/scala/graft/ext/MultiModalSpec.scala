@@ -72,6 +72,23 @@ class MultiModalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { codec.resize(a, 0, 32) }
   }
 
+  test("deflateQuality knob trades bytes for speed but stays LOSSLESS: " +
+      "decoded pixels identical at every level") {
+    val default = new MultiModal.PngCodec()
+    val stored = new MultiModal.PngCodec(deflateQuality = Some(1.0f))
+    val src = default.encode(42L, 40, 24)
+    val a = default.resize(src, 32, 32)
+    val b = stored.resize(src, 32, 32)
+    // different container bytes (stored is bigger)...
+    assert(b.length > a.length)
+    // ...but pixel-identical rasters: PNG is lossless at every level
+    val ia = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    val ib = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val pa = ia.getRGB(0, 0, 32, 32, null, 0, 32)
+    val pb = ib.getRGB(0, 0, 32, 32, null, 0, 32)
+    assert(java.util.Arrays.equals(pa, pb))
+  }
+
   test("resizeImagePartitions: every image normalizes to the target resolution") {
     val meta = (0L until 18L).map(i => (i, (i % 13 + 5).toInt, (i % 7 + 3).toInt))
     val blobs = MultiModal.encodeImagePartitions(
