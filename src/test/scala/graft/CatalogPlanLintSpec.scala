@@ -65,6 +65,20 @@ class CatalogPlanLintSpec extends SparkTestBase {
     }
   }
 
+  test("filter family reaches the parquet scan: non-empty PushedFilters " +
+      "in every filter entry's plan") {
+    // structural guard for SURVEY §4's pushdown claim — a reader-option
+    // or column-derivation change that silently un-pushes the predicate
+    // (full scan + post-filter at 100 TB) fails here, not in a bench
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("filter_eq", "filter_conj_eq", "filter_range_ts")) {
+      val plan = SparkEntry.catalog(name).query(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("""PushedFilters: \[[^\]]""".r.findFirstIn(plan).isDefined,
+        s"$name: scan has no non-empty PushedFilters:\n$plan")
+    }
+  }
+
   test("no catalog entry plans a cartesian product; nested-loop joins " +
       "only against broadcast scalars") {
     val sf = "/root/testdata/sf0.001"

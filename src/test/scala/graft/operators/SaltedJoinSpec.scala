@@ -52,6 +52,46 @@ class SaltedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("sf0.1 scale: a manufactured 50%-hot key spreads over at least " +
+      "salt/2 shuffle partitions (histogram printed)") {
+    // the operator's whole point, asserted at real scale: ~300k of
+    // lineitem-sf0.1's ~600k rows collapse onto key 0, and the salted
+    // join must spread them across the shuffle instead of one partition
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val sf = "/root/testdata/sf0.1"
+      val li = graft.Tables.lineitem(spark, sf)
+      val probe = li.select(
+        when(pmod($"l_orderkey", lit(2)) === 0, 0L)
+          .otherwise($"l_orderkey").as("k"),
+        ($"l_orderkey" * 10 + $"l_linenumber").as("pid"))
+      val build = probe.select($"k").distinct()
+        .withColumn("label", concat(lit("d"), $"k"))
+      val salt = 8
+      val salted = SaltedJoin.saltedEquiJoin(probe, build, "k", "pid", salt)
+      val hist = salted.filter($"k" === 0)
+        .groupBy(spark_partition_id().as("part")).count()
+        .orderBy($"part")
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      info("hot-key rows per shuffle partition: " +
+        hist.map { case (p, n) => s"$p:$n" }.mkString(" "))
+      assert(hist.length >= salt / 2,
+        s"hot key occupies ${hist.length} partitions, need >= ${salt / 2}")
+      // and the plain join concentrates the same rows on exactly ONE
+      // partition — the contrast that justifies the operator
+      val plainParts = probe.join(build.withColumnRenamed("k", "bk")
+          .hint("shuffle_hash"), $"k" === $"bk")
+        .filter($"k" === 0)
+        .select(spark_partition_id()).distinct().count()
+      assert(plainParts == 1L,
+        s"plain shuffled join should melt one partition, got $plainParts")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
   test("arguments are validated") {
     intercept[IllegalArgumentException] {
       SaltedJoin.saltedEquiJoin(probe, build, "k", "pid", salt = 1)
