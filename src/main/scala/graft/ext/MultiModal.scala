@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   * JDK's javax.sound.sampled (sample rate, channels, frame count, and a
   * fingerprint of the decoded PCM payload all come from the parsed
   * container, not the input metadata) — see [[decodeAudioPartitions]].
-  * Only VIDEO has no in-JDK codec, so [[decodeMeta]] /
-  * [[StubDecoder.decode]] remain **deterministic fakes** for that
-  * modality: they derive plausible metadata (dimensions, fingerprint)
-  * from the bytes instead of decoding them. The Spark-side contract —
-  * schema, binary transport, partition batching, frame sampling shape —
-  * is identical for all three.
+  * Multi-frame/moving-picture containers are REAL up to what the JDK
+  * ships: [[GifCodec]] writes/reads actual GIF89a animation streams
+  * (frame count from the parsed container, per-frame raster decode,
+  * SELECTIVE frame sampling that decodes only the sampled frames) —
+  * see [[sampleGifFramesPartitions]]. True video codecs (H.264/VP9/AV1)
+  * have no in-JDK implementation, so for those byte streams
+  * [[decodeMeta]] / [[StubDecoder.decode]] remain **deterministic,
+  * clearly-marked fakes** deriving plausible metadata from the bytes.
+  * The Spark-side contract — schema, binary transport, partition
+  * batching, frame sampling shape — is identical throughout.
   */
 object MultiModal {
 
@@ -290,6 +294,131 @@ object MultiModal {
     }
   }
 
+  /** Typed multi-frame decode output: everything parsed from the real
+    * GIF89a container. `sampleIdxSum` is the sum of the frame indices
+    * the sampler actually decoded — arithmetically checkable by an
+    * engine-independent oracle, proving the evenly-spaced selection
+    * really happened. `frameFingerprint` hashes the sampled frames'
+    * decoded rasters (GIF palette quantization makes container bytes
+    * writer-specific, so the raster hash is the content identity). */
+  case class DecodedFrames(id: Long, nBytes: Int, format: String,
+      width: Int, height: Int, nFrames: Int, nSampled: Int,
+      sampleIdxSum: Long, frameFingerprint: Long)
+
+  /** REAL multi-frame container codec (JDK javax.imageio GIF89a
+    * sequence writer/reader): the moving-picture half of the
+    * frame-sampling story. Per-partition instance, same batch shape as
+    * [[PngCodec]]/[[WavCodec]]. What is real: the container format,
+    * frame count, per-frame raster decode, and selective decode of only
+    * the sampled frames (an index-seek into the stream — the point of a
+    * production frame sampler). What GIF is NOT: an inter-frame-coded
+    * video codec; H.264-class formats have no JDK implementation and
+    * stay with the labeled stub. */
+  final class GifCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+
+    /** Deterministic synthetic animation → real GIF89a bytes: per-frame
+      * gradient pattern shifted by (id, frame), so distinct ids and
+      * distinct frames carry distinct pixels. */
+    def encode(id: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0,
+        s"bad gif spec ${width}x$height x$nFrames")
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              img.setRGB(x, y, (((x * 255 / width) << 16) |
+                ((y * 255 / height) << 8) |
+                (((id + f * 31) % 256).toInt)) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
+    /** Parse a real GIF stream and decode ONLY `nSample` evenly-spaced
+      * frames (indices floor(i*(F-1)/(nSample-1))): frame count comes
+      * from the container's image sequence, dimensions and fingerprint
+      * from the actually-decoded rasters. */
+    def decodeSampled(id: Long, bytes: Array[Byte],
+        nSample: Int): DecodedFrames = {
+      require(nSample >= 2, s"nSample must be >= 2, got $nSample")
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(/* allowSearch = */ true)
+        val k = math.min(nSample, nFrames)
+        val idxs =
+          if (k == 1) Seq(0)
+          else (0 until k).map(i => i * (nFrames - 1) / (k - 1)).distinct
+        var h = 1125899906842597L
+        var w = 0
+        var ht = 0
+        idxs.foreach { i =>
+          val img = reader.read(i)
+          if (i == idxs.head) { w = img.getWidth; ht = img.getHeight }
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+            null, 0, img.getWidth)
+          var j = 0
+          while (j < px.length) { h = 31 * h + px(j); j += 1 }
+        }
+        DecodedFrames(id, bytes.length,
+          "image/" + reader.getFormatName.toLowerCase,
+          w, ht, nFrames, idxs.length, idxs.map(_.toLong).sum, h)
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** Real-codec partition-batched multi-frame ENCODE: per-row
+    * (width, height, frames) metadata → actual GIF89a animations. */
+  def encodeGifPartitions(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String, framesCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
+      col(heightCol).cast("int"), col(framesCol).cast("int"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { it =>
+      val codec = new GifCodec
+      it.map { r => Row(r.getLong(0),
+        codec.encode(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))) }
+    }(enc)
+  }
+
+  /** Real-codec partition-batched frame SAMPLING: parse each container,
+    * decode only the evenly-spaced sample — the production shape where
+    * a 2-hour clip yields 32 frames without decoding 200k of them. */
+  def sampleGifFramesPartitions(df: DataFrame, idCol: String,
+      blobCol: String, nSample: Int): Dataset[DecodedFrames] = {
+    val ids = df.select(col(idCol).cast("long"), col(blobCol))
+    ids.mapPartitions { it =>
+      val codec = new GifCodec
+      it.map { row =>
+        codec.decodeSampled(row.getLong(0), row.getAs[Array[Byte]](1), nSample)
+      }
+    }(Encoders.product[DecodedFrames])
+  }
+
   /** Real-codec partition-batched audio ENCODE: per-row (rate, channels,
     * frames) metadata → actual WAV containers, one codec per partition
     * (fixture source mirroring [[encodeImagePartitions]]). */
@@ -322,8 +451,9 @@ object MultiModal {
   }
 
   /** STUB decoder: deterministic metadata from bytes; no real codec.
-    * After [[PngCodec]] (images) and [[WavCodec]] (audio), this now
-    * stands in for VIDEO only — the one modality with no in-JDK codec. */
+    * After [[PngCodec]] (images), [[WavCodec]] (audio) and [[GifCodec]]
+    * (multi-frame animation streams), this stands in only for
+    * codec-heavy video formats (H.264-class) with no in-JDK decoder. */
   final class StubDecoder {
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
       var h = 1125899906842597L // deterministic FNV-ish roll

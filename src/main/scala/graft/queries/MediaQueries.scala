@@ -126,7 +126,47 @@ object MediaQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL multi-frame container round-trip with SELECTIVE frame
+    * sampling, oracled: per-document specs (dims/frame-count derived
+    * from doc_id) → actual GIF89a animation streams (javax.imageio
+    * sequence writer) → parse + decode ONLY 4 evenly-spaced frames.
+    * Frame count comes from the parsed container's image sequence and
+    * `sample_idx_sum` is the sum of the frame indices the sampler
+    * actually decoded — the DuckDB oracle recomputes both by pure
+    * arithmetic on doc_id (floor-division index formula), so a
+    * hash-green run proves real multi-frame containers moved through
+    * the binary column AND the sampler picked exactly the evenly-spaced
+    * frames. Container byte size is palette-encoding-specific (unlike
+    * WAV's fixed layout) so n_bytes stays out of the oracle; raster
+    * fingerprints are asserted in MultiModalSpec. */
+  val multimodalGifFrames: CatalogEntry = CatalogEntry(
+    "multimodal_gif_frames",
+    """SELECT doc_id,
+      |  'image/gif' AS format,
+      |  (doc_id % 24 + 8)::INT AS width,
+      |  ((doc_id * 5) % 24 + 8)::INT AS height,
+      |  (doc_id % 6 + 4)::INT AS n_frames,
+      |  4::INT AS n_sampled,
+      |  (((doc_id % 6 + 3) // 3)
+      |     + ((2 * (doc_id % 6 + 3)) // 3)
+      |     + (doc_id % 6 + 3))::BIGINT AS sample_idx_sum
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val meta = Tables.documents(s, d)
+      .select($"doc_id",
+        ($"doc_id" % 24 + 8).as("w"),
+        (($"doc_id" * 5) % 24 + 8).as("h"),
+        ($"doc_id" % 6 + 4).as("nf"))
+    val blobs = MultiModal.encodeGifPartitions(meta, "doc_id", "w", "h", "nf")
+    MultiModal.sampleGifFramesPartitions(blobs, "id", "blob", nSample = 4)
+      .toDF()
+      .select($"id".as("doc_id"), $"format", $"width", $"height",
+        $"nFrames".as("n_frames"), $"nSampled".as("n_sampled"),
+        $"sampleIdxSum".as("sample_idx_sum"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
-    multimodalResize, multimodalWavRoundtrip)
+    multimodalResize, multimodalWavRoundtrip, multimodalGifFrames)
 }

@@ -148,6 +148,51 @@ class MultiModalSpec extends SparkTestBase {
     }
   }
 
+  test("GIF codec: real GIF89a animation parses back to the encoded " +
+      "frame count; sampler decodes exactly the evenly-spaced frames") {
+    val codec = new MultiModal.GifCodec
+    val bytes = codec.encode(9L, width = 20, height = 14, nFrames = 7)
+    // GIF89a container magic: a real animation stream, not a stub blob
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a")
+    val m = codec.decodeSampled(9L, bytes, nSample = 4)
+    assert(m.format == "image/gif")
+    assert(m.width == 20 && m.height == 14)
+    assert(m.nFrames == 7 && m.nSampled == 4)
+    // evenly spaced over 7 frames: indices 0, 2, 4, 6
+    assert(m.sampleIdxSum == 0 + 2 + 4 + 6)
+    assert(m.nBytes == bytes.length)
+    // distinct ids produce distinct frame pixels
+    assert(m.frameFingerprint != codec.decodeSampled(10L,
+      codec.encode(10L, 20, 14, 7), 4).frameFingerprint)
+    // sampling different frames reads different rasters
+    assert(m.frameFingerprint !=
+      codec.decodeSampled(9L, bytes, nSample = 3).frameFingerprint)
+    // fewer frames than the sample size: every frame decoded once
+    val short = codec.decodeSampled(9L, codec.encode(9L, 8, 8, 2), nSample = 4)
+    assert(short.nFrames == 2 && short.nSampled == 2 &&
+      short.sampleIdxSum == 0 + 1)
+    intercept[IllegalArgumentException] { codec.encode(1L, 0, 8, 3) }
+    intercept[IllegalArgumentException] { codec.decodeSampled(1L, bytes, 1) }
+  }
+
+  test("encodeGif/sampleGifFramesPartitions: distributed multi-frame " +
+      "round-trip at mixed dims and frame counts") {
+    val meta = (0L until 18L).map(i =>
+      (i, (i % 13 + 6).toInt, (i % 7 + 5).toInt, (i % 5 + 4).toInt))
+    val df = meta.toDF("doc_id", "w", "h", "nf")
+    val blobs = MultiModal.encodeGifPartitions(df, "doc_id", "w", "h", "nf")
+    val got = MultiModal.sampleGifFramesPartitions(blobs, "id", "blob", 4)
+      .collect().map(m => m.id -> m).toMap
+    assert(got.size == 18)
+    meta.foreach { case (id, w, h, nf) =>
+      val m = got(id)
+      assert(m.width == w && m.height == h && m.nFrames == nf, s"id=$id")
+      assert(m.nSampled == math.min(4, nf))
+    }
+    // distinct sources stay distinct through palette quantization
+    assert(got.values.map(_.frameFingerprint).toSeq.distinct.size == 18)
+  }
+
   test("decodePartitions: typed output matches the driver-side stub decoder") {
     val rows = Seq((10L, "abc"), (11L, "defgh"))
     val df = rows.toDF("doc_id", "text")
