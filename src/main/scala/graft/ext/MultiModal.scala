@@ -226,11 +226,48 @@ object MultiModal {
   /** REAL audio codec (JDK javax.sound.sampled, pure file I/O — no sound
     * device needed): writes and parses actual RIFF/WAVE containers with
     * 16-bit signed little-endian PCM. Per-partition instance, same batch
-    * shape as [[PngCodec]]. */
+    * shape as [[PngCodec]].
+    *
+    * Uses the javax.sound.sampled.spi provider interfaces directly
+    * (one reader/writer instance held per codec = per partition)
+    * instead of the AudioSystem static entry points: AudioSystem
+    * re-walks the provider registry and probes every reader with
+    * exception control flow ON EVERY CALL, which measured 30x slower
+    * single-threaded (0.56s vs 0.019s / 5000 decodes) and serializes
+    * across executor threads (32-thread decode was NOT faster than 1,
+    * and 32-thread encode was 2x slower — see WavContention vs
+    * WavContention2 in tools/). The SPI types are public JDK API;
+    * the resolved implementations are whatever the platform
+    * registers for RIFF/WAVE. */
   final class WavCodec {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import java.util.ServiceLoader
     import javax.sound.sampled.{AudioFileFormat, AudioFormat,
-      AudioInputStream, AudioSystem}
+      AudioInputStream}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Try
+
+    private val writer: AudioFileWriter =
+      ServiceLoader.load(classOf[AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+
+    /** Reader selected by probing a writer-produced 1-frame container —
+      * provider-agnostic (no class-name matching), public API only. */
+    private val reader: AudioFileReader = {
+      val probeFmt = new AudioFormat(8000f, 16, 1, true, false)
+      val probeAis = new AudioInputStream(
+        new ByteArrayInputStream(Array[Byte](0, 0)), probeFmt, 1L)
+      val out = new ByteArrayOutputStream()
+      try writer.write(probeAis, AudioFileFormat.Type.WAVE, out)
+      finally probeAis.close()
+      val probe = out.toByteArray
+      ServiceLoader.load(classOf[AudioFileReader]).asScala
+        .find(r => Try(r.getAudioFileFormat(
+          new ByteArrayInputStream(probe))).isSuccess)
+        .getOrElse(sys.error("no RIFF/WAVE AudioFileReader provider"))
+    }
 
     /** Deterministic synthetic PCM frames (the fixture generator,
       * mirroring [[PngCodec.encode]]'s gradient): an id-seeded integer
@@ -265,7 +302,7 @@ object MultiModal {
         new ByteArrayInputStream(pcm(id, channels, nFrames)), fmt,
         nFrames.toLong)
       val out = new ByteArrayOutputStream()
-      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      try writer.write(ais, AudioFileFormat.Type.WAVE, out)
       finally ais.close()
       out.toByteArray
     }
@@ -275,9 +312,9 @@ object MultiModal {
       * Duration uses integer floor division so an engine-independent
       * oracle can reproduce it exactly. */
     def decode(id: Long, bytes: Array[Byte]): DecodedAudio = {
-      val fileFmt = AudioSystem.getAudioFileFormat(
+      val fileFmt = reader.getAudioFileFormat(
         new ByteArrayInputStream(bytes))
-      val ais = AudioSystem.getAudioInputStream(
+      val ais = reader.getAudioInputStream(
         new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat

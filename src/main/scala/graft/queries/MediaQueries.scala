@@ -14,6 +14,24 @@ import graft.ext.MultiModal
   */
 object MediaQueries {
 
+  /** Spread the CHEAP metadata side across the cluster by range BEFORE
+    * the codec stages, so (a) the expensive per-row codec work runs on
+    * every core — a 600 KB parquet file is one input split, which would
+    * otherwise serialize the whole codec chain onto a single task — and
+    * (b) the final total order comes from `sortWithinPartitions` over
+    * already-range-partitioned data instead of a trailing `orderBy`,
+    * whose RangePartitioner sampling pass would RE-EXECUTE the entire
+    * codec chain a second time just to pick boundaries. The explicit
+    * partition count makes the shuffle REPARTITION_BY_NUM, which AQE
+    * will not coalesce back down for being small — small metadata is
+    * exactly the point. At 100 TB this is the same plan: range-shuffle
+    * the ids/specs (tiny), run the codec once per row, never resample
+    * through it. */
+  private def spreadByRange(df: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    df.repartitionByRange(s.sparkContext.defaultParallelism, col(keyCol))
+
   /** Column-expression path: blob → typed metadata struct + frame count. */
   val multimodalDecode: CatalogEntry = CatalogEntry.noOracle(
     "multimodal_decode") { (s, d) =>
@@ -51,14 +69,15 @@ object MediaQueries {
   val multimodalPngRoundtrip: CatalogEntry = CatalogEntry.noOracle(
     "multimodal_png_roundtrip") { (s, d) =>
     import s.implicits._
-    val meta = Tables.documents(s, d)
+    val meta = spreadByRange(Tables.documents(s, d)
       .select($"doc_id",
-        ($"doc_id" % 48 + 16).as("w"), (($"doc_id" * 7) % 48 + 16).as("h"))
+        ($"doc_id" % 48 + 16).as("w"), (($"doc_id" * 7) % 48 + 16).as("h")),
+      s, "doc_id")
     val blobs = MultiModal.encodeImagePartitions(meta, "doc_id", "w", "h")
     MultiModal.decodeImagePartitions(blobs, "id", "blob")
       .toDF()
       .select($"id".as("doc_id"), $"format", $"width", $"height", $"nBytes")
-      .orderBy($"doc_id")
+      .sortWithinPartitions($"doc_id")
   }
 
   /** REAL resize pipeline: synth PNGs at mixed resolutions → bilinear
@@ -70,9 +89,10 @@ object MediaQueries {
   val multimodalResize: CatalogEntry = CatalogEntry.noOracle(
     "multimodal_resize") { (s, d) =>
     import s.implicits._
-    val meta = Tables.documents(s, d)
+    val meta = spreadByRange(Tables.documents(s, d)
       .select($"doc_id",
-        ($"doc_id" % 48 + 16).as("w"), (($"doc_id" * 7) % 48 + 16).as("h"))
+        ($"doc_id" % 48 + 16).as("w"), (($"doc_id" * 7) % 48 + 16).as("h")),
+      s, "doc_id")
     val blobs = MultiModal.encodeImagePartitions(meta, "doc_id", "w", "h")
     val resized = MultiModal.resizeImagePartitions(blobs, "id", "blob",
       width = 32, height = 32)
@@ -80,7 +100,7 @@ object MediaQueries {
       .toDF()
       .select($"id".as("doc_id"), $"width", $"height", $"nBytes",
         $"fingerprint")
-      .orderBy($"doc_id")
+      .sortWithinPartitions($"doc_id")
   }
 
   /** REAL audio codec round-trip, FULLY ORACLED: per-document synthetic
@@ -110,11 +130,12 @@ object MediaQueries {
       |  (44 + (doc_id % 500 + 100) * (doc_id % 2 + 1) * 2)::INT AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val meta = Tables.documents(s, d)
+    val meta = spreadByRange(Tables.documents(s, d)
       .select($"doc_id",
         (($"doc_id" % 3) * 11025 + 11025).as("rate"),
         ($"doc_id" % 2 + 1).as("channels"),
-        ($"doc_id" % 500 + 100).as("frames"))
+        ($"doc_id" % 500 + 100).as("frames")),
+      s, "doc_id")
     val blobs = MultiModal.encodeAudioPartitions(
       meta, "doc_id", "rate", "channels", "frames")
     MultiModal.decodeAudioPartitions(blobs, "id", "blob")
@@ -123,7 +144,7 @@ object MediaQueries {
         $"sampleRateHz".as("sample_rate_hz"), $"channels",
         $"nFrames".as("n_frames"), $"durationMs".as("duration_ms"),
         $"nBytes".as("n_bytes"))
-      .orderBy($"doc_id")
+      .sortWithinPartitions($"doc_id")
   }
 
   /** REAL multi-frame container round-trip with SELECTIVE frame
@@ -152,18 +173,19 @@ object MediaQueries {
       |     + (doc_id % 6 + 3))::BIGINT AS sample_idx_sum
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val meta = Tables.documents(s, d)
+    val meta = spreadByRange(Tables.documents(s, d)
       .select($"doc_id",
         ($"doc_id" % 24 + 8).as("w"),
         (($"doc_id" * 5) % 24 + 8).as("h"),
-        ($"doc_id" % 6 + 4).as("nf"))
+        ($"doc_id" % 6 + 4).as("nf")),
+      s, "doc_id")
     val blobs = MultiModal.encodeGifPartitions(meta, "doc_id", "w", "h", "nf")
     MultiModal.sampleGifFramesPartitions(blobs, "id", "blob", nSample = 4)
       .toDF()
       .select($"id".as("doc_id"), $"format", $"width", $"height",
         $"nFrames".as("n_frames"), $"nSampled".as("n_sampled"),
         $"sampleIdxSum".as("sample_idx_sum"))
-      .orderBy($"doc_id")
+      .sortWithinPartitions($"doc_id")
   }
 
   def entries: Seq[CatalogEntry] = Seq(
