@@ -31,6 +31,16 @@ import graft.operators.SaltedJoin
   * baseline entry; BASELINE_BENCH.json re-recorded in the same commit
   * per the BASELINE.md regeneration policy.
   *
+  * Round-7 follow-up: the r6 FULL bench recorded 2.48s against the
+  * freshly-pinned 0.86s baseline (2.9x) with zero source change to the
+  * operator. Quiet-session QueryProfile median the same day: 1.04s
+  * (min 0.94). Attribution: bench-session heap pressure — r6's bench
+  * ran the then-37s multimodal_gif_frames entry 4x (warm-up + 3 timed),
+  * allocating ~5000 quantized GIF frames per pass; with the media
+  * pipelines parallelized and the codec chain no longer re-executed
+  * (round-7 commit), the whole-bench session is calm again. Plan
+  * unchanged: ShuffledHashJoin on (key, salt), lint-pinned.
+  *
   * Usage: runMain graft.tools.SaltProfile [sfDir]
   */
 object SaltProfile {
