@@ -1,0 +1,300 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass kernels for the text-sketch algorithms (MinHash, LSH
+  * band digests, winnowing, SimHash), shared by the eval and codegen
+  * paths of the expressions below.
+  *
+  * Why native expressions and not the explode/agg/Window column
+  * formulations in [[graft.ext.Dedup]] / [[graft.ext.TextOps]]: those
+  * shapes materialize one row PER SHINGLE / TOKEN / K-GRAM POSITION and
+  * push them through a hash aggregate (MinHash: k min-buffers per doc),
+  * 63 conditional sums (SimHash), or a per-doc Window sort (winnowing —
+  * a full shuffle of every k-gram hash in the corpus). The sketch of a
+  * document is a row-local computation; these kernels run it in one
+  * arrayless pass per row inside whole-stage codegen, so the signature
+  * stage of a 100 TB dedup plans ZERO shuffles — the only remaining
+  * exchange is the LSH band equi-join itself. Equivalence with the
+  * column formulations is bit-exact (same xxhash64 seed-42 bytes),
+  * proven per algorithm in SketchExprSpec.
+  *
+  * All hashing matches Spark's `xxhash64(...)` (XXH64, seed 42):
+  *   - strings hash their UTF-8 bytes;
+  *   - multi-argument calls chain: `hash_i = XXH64(arg_i, hash_{i-1})`.
+  */
+object SketchAlgos {
+
+  private val Seed = 42L
+
+  /** "#0".."#{MaxK-1}" salt suffixes, byte-identical to
+    * `concat(shingle, lit(s"#$i"))` in [[graft.ext.Dedup.minhashSignature]]. */
+  private val MaxK = 128
+  private val saltSuffix: Array[Array[Byte]] =
+    Array.tabulate(MaxK)(i => ("#" + i).getBytes("UTF-8"))
+
+  /** Byte offset of each character start (plus the end sentinel), so a
+    * shingle at char position p is the byte slice
+    * [starts(p), starts(min(p+len, nChars))) — one O(bytes) pass instead
+    * of an O(n) `substringSQL` boundary seek per position (which made
+    * the kernels O(n^2) per document). UTF-8 continuation bytes are
+    * exactly those matching 10xxxxxx. */
+  private def charStarts(bytes: Array[Byte], nChars: Int): Array[Int] = {
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) { starts(c) = b; c += 1 }
+      b += 1
+    }
+    starts(nChars) = bytes.length
+    starts
+  }
+
+  /** MinHash signature: mins(i) = min over DISTINCT shingles of
+    * xxhash64(shingle ++ "#i"). Positions replicate
+    * `transform(sequence(1, greatest(len-(n-1), 1)), i => substr(i, n))`:
+    * every char position gets a shingle; texts shorter than the shingle
+    * length contribute themselves once (substr clamps). Duplicate
+    * positions are skipped via an exact (byte-verified, linear-probe)
+    * set keyed on the unsalted shingle hash — min over a bag equals min
+    * over its set, and natural text repeats ~2x of its short shingles,
+    * so dedup halves the k salted hashes, the dominant cost. */
+  def minhashSig(text: UTF8String, k: Int, shingleLen: Int): Array[Long] = {
+    require(k <= MaxK, s"k=$k exceeds supported max $MaxK")
+    val nChars = text.numChars()
+    val nPos = math.max(nChars - (shingleLen - 1), 1)
+    val bytes = text.getBytes
+    val starts = charStarts(bytes, nChars)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    // shingle bytes + salt suffix share one buffer: the shingle is
+    // written once per distinct shingle, only the suffix re-writes per i
+    var buf = new Array[Byte](shingleLen * 4 + 8)
+    // exact distinct-shingle set: linear probing, slot value = position
+    // index + 1 (0 = empty), byte-compared on unsalted-hash equality
+    val cap = Integer.highestOneBit(math.max(nPos * 2 - 1, 2)) << 1
+    val slotPos = new Array[Int](cap)
+    val slotHash = new Array[Long](cap)
+    val mask = cap - 1
+    def shingleEnd(p: Int): Int = starts(math.min(p + shingleLen, nChars))
+    var p = 0
+    while (p < nPos) {
+      val off = starts(p)
+      val shLen = shingleEnd(p) - off
+      val h0 = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + off, shLen, Seed)
+      var slot = (h0 & mask).toInt
+      var dup = false
+      var probing = true
+      while (probing) {
+        val occ = slotPos(slot)
+        if (occ == 0) { slotPos(slot) = p + 1; probing = false }
+        else if (slotHash(slot) == h0) {
+          val q = occ - 1
+          val qOff = starts(q)
+          if (shingleEnd(q) - qOff == shLen &&
+              java.util.Arrays.equals(bytes, qOff, qOff + shLen,
+                bytes, off, off + shLen)) { dup = true; probing = false }
+          else slot = (slot + 1) & mask
+        } else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        slotHash(slot) = h0
+        if (buf.length < shLen + 8) buf = new Array[Byte](shLen + 8)
+        System.arraycopy(bytes, off, buf, 0, shLen)
+        var i = 0
+        while (i < k) {
+          val suf = saltSuffix(i)
+          System.arraycopy(suf, 0, buf, shLen, suf.length)
+          val h = XXH64.hashUnsafeBytes(
+            buf, Platform.BYTE_ARRAY_OFFSET, shLen + suf.length, Seed)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      p += 1
+    }
+    mins
+  }
+
+  def minhashSigData(text: UTF8String, k: Int, shingleLen: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSig(text, k, shingleLen))
+
+  /** LSH band digests over a MinHash signature: band b hashes its r
+    * consecutive signature longs exactly like the multi-argument
+    * `xxhash64(mh_{br}, ..., mh_{br+r-1})` column — seed-chained. */
+  def minhashBandsData(text: UTF8String, k: Int, bands: Int,
+      shingleLen: Int): ArrayData = {
+    val sig = minhashSig(text, k, shingleLen)
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Seed
+      var j = b * r
+      while (j < (b + 1) * r) { h = XXH64.hashLong(sig(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Winnowing fingerprints (MOSS): hash every k-gram position
+    * (xxhash64, the same `substr` clamping as [[minhashSig]]), take the
+    * min of each full sliding window of w consecutive hashes (monotonic
+    * deque, O(n)), return the DISTINCT minima sorted ascending. Texts
+    * with fewer than w k-gram positions have no full window -> empty
+    * array. */
+  def winnowData(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val nPos = math.max(text.numChars() - (k - 1), 1)
+    if (nPos < w) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val nChars = text.numChars()
+    val bytes = text.getBytes
+    val starts = charStarts(bytes, nChars)
+    val hs = new Array[Long](nPos)
+    var p = 0
+    while (p < nPos) {
+      val off = starts(p)
+      val end = starts(math.min(p + k, nChars))
+      hs(p) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + off, end - off, Seed)
+      p += 1
+    }
+    val mins = new Array[Long](nPos - w + 1)
+    val dq = new Array[Int](nPos) // deque of candidate indices, hs increasing
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < nPos) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      if (dq(head) <= j - w) head += 1
+      if (j >= w - 1) mins(j - (w - 1)) = hs(dq(head))
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var n = 0
+    var i = 0
+    while (i < mins.length) { // dedupe in place over the sorted minima
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(n) = mins(i); n += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, n))
+  }
+
+  /** 63-bit SimHash over a token array: per bit, +1 for tokens whose
+    * xxhash64 has the bit set, -1 otherwise; the fingerprint sets bit i
+    * when the sum is >= 0 (the `when(s >= 0, ...)` tie rule of
+    * [[graft.ext.TextOps.assembleSimhash]]). A null token votes -1 on
+    * every bit, matching `when(null_hash & bit =!= 0, 1).otherwise(-1)`. */
+  def simhash63(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        var b = 0
+        while (b < 63) { votes(b) -= 1; b += 1 }
+      } else {
+        val th = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+        var b = 0
+        while (b < 63) {
+          if (((th >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 63) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Base for the string-sketch expressions: string in, array<long> out,
+  * one static-kernel call in both eval and codegen (the call compiles
+  * into the whole-stage-generated class; the kernel is a plain static
+  * method, so the hot loop JITs like handwritten Java). */
+abstract class StringSketchExpression extends UnaryExpression {
+  protected def kernelCall(c: String): String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got $t")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, kernelCall)
+}
+
+/** `minhash_sig(text, k, shingleLen)` — array<long> of k MinHash values,
+  * bit-exact with [[graft.ext.Dedup.minhashSignature]]'s mh0..mh{k-1}. */
+case class MinHashSig(child: Expression, k: Int, shingleLen: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "minhash_sig"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.minhashSigData($c, $k, $shingleLen)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.minhashSigData(input.asInstanceOf[UTF8String], k, shingleLen)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(text, k, bands, shingleLen)` — array<long> of `bands`
+  * LSH band digests, bit-exact with [[graft.ext.Dedup.bandHashes]] over
+  * the matching signature (band index = array position). */
+case class MinHashBands(child: Expression, k: Int, bands: Int, shingleLen: Int)
+    extends StringSketchExpression {
+  require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+  override def prettyName: String = "minhash_bands"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.minhashBandsData($c, $k, $bands, $shingleLen)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.minhashBandsData(input.asInstanceOf[UTF8String], k, bands, shingleLen)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_fps(text, k, w)` — the distinct winnowing fingerprints,
+  * sorted ascending; empty array when no full window exists. Values
+  * bit-exact with [[graft.ext.Dedup.winnowFingerprints]] (xxhash64 path). */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "winnow_fps"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.winnowData($c, $k, $w)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.winnowData(input.asInstanceOf[UTF8String], k, w)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash63(tokens)` — 63-bit SimHash fingerprint of a token array,
+  * bit-exact with the explode + 63-conditional-sums formulation in
+  * [[graft.ext.TextOps]] (proven in SketchExprSpec). */
+case class SimHash63(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash63"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash63 expects array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.simhash63(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchAlgos.simhash63($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

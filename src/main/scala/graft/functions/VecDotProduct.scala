@@ -75,11 +75,30 @@ case class VecDotProduct(left: Expression, right: Expression)
   * safe to call from every catalog entry that needs them (the driver's
   * session is built without `spark.sql.extensions`). */
 object GraftFunctions {
+  /** Sketch parameters (k, bands, window...) are plan-time constants —
+    * the SQL surface takes them as foldable int literals. */
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal int")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order2", exprs => ZOrderKey(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "shingleLen")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "bands"),
+        intArg(exprs(3), "shingleLen")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", exprs => WinnowFps(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash63", exprs => SimHash63(exprs(0)), "scala_udf")
   }
 
   /** For sessions configured with

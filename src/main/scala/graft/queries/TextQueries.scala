@@ -113,48 +113,68 @@ object TextQueries {
       .limit(20)
   }
 
-  /** SimHash fingerprint per document (63-bit, xxhash64 token votes).
-    * Engine-specific hashing → no SQL oracle; determinism and
-    * near-dup Hamming behavior are asserted in DedupSpec. */
+  /** SimHash fingerprint per document (63-bit, xxhash64 token votes),
+    * via the native single-pass `simhash63` expression — bit-exact with
+    * the explode + 63-conditional-sums formulation (SketchExprSpec) but
+    * row-local: the per-token vote shuffle is gone, only the
+    * determinism sort exchanges. Engine-specific hashing → no SQL
+    * oracle; near-dup Hamming behavior is asserted in DedupSpec. */
   val textSimhash: CatalogEntry = CatalogEntry.noOracle(
     "text_simhash") { (s, d) =>
     import s.implicits._
-    val voted = Tables.documents(s, d)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-      .select($"doc_id" +: TextOps.simhashBitVotes(xxhash64($"tok"))
-        .zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
-    val sums = (0 until TextOps.SimhashBits).map(i => sum(col(s"v$i")).as(s"s$i"))
-    voted.groupBy($"doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select($"doc_id", TextOps.assembleSimhash(
-        (0 until TextOps.SimhashBits).map(i => col(s"s$i"))).as("simhash"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      // null text: match the explode formulation's row drop. Filtering
+      // the INPUT column (not the sketch) keeps the predicate at the
+      // scan — a filter on the output alias would be pushed below the
+      // projection by substitution, evaluating the kernel twice per
+      // row (the plan lint pins this to exactly one evaluation)
+      .where($"text".isNotNull)
+      .select($"doc_id",
+        call_function("simhash63", TextOps.tokens($"text")).as("simhash"))
       .orderBy($"doc_id")
   }
 
   /** MinHash-LSH banding table (band, band_hash per doc) — the shuffle
     * key that makes near-dup detection an equi-join instead of an
-    * all-pairs cross join. Pair confirmation is Dedup.nearDupPairs,
-    * asserted in DedupSpec (this corpus has no near-dups to emit). */
+    * all-pairs cross join. The signature + band digests come from the
+    * native single-pass `minhash_bands` expression (bit-exact with the
+    * explode+agg formulation, SketchExprSpec), so the signature stage
+    * plans ZERO shuffles — at 100 TB the only exchange left in a full
+    * near-dup run is the band equi-join itself. Pair confirmation is
+    * Dedup.nearDupPairs, asserted in DedupSpec (this corpus has no
+    * near-dups to emit). */
   val dedupMinhashLsh: CatalogEntry = CatalogEntry.noOracle(
     "dedup_minhash_lsh") { (s, d) =>
     import s.implicits._
-    val sig = Dedup.minhashSignature(Tables.documents(s, d),
-      "doc_id", "text", k = 16, shingleLen = 3)
-    Dedup.bandHashes(sig, "doc_id", bands = 4, rows = 4)
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(
+        call_function("minhash_bands", $"text", lit(16), lit(4), lit(3)))
+        .as(Seq("band", "band_hash")))
       .orderBy($"doc_id", $"band")
   }
 
-  /** Winnowing (rolling k-gram hash) fingerprint profile per document.
-    * Engine-specific hashing → no SQL oracle; the substring-sharing
-    * guarantee is asserted in DedupSpec. */
+  /** Winnowing (rolling k-gram hash) fingerprint profile per document,
+    * via the native `winnow_fps` expression (sorted distinct minima per
+    * row; bit-exact fingerprint set vs the posexplode + Window-min
+    * formulation, SketchExprSpec). The per-k-gram-hash Window shuffle
+    * is gone — the stats read off the sorted array in one projection.
+    * Docs too short for a full window report n_fingerprints = 0 (the
+    * Window formulation dropped them; this corpus has none — both
+    * behaviors asserted in SketchExprSpec). Engine-specific hashing →
+    * no SQL oracle; the substring-sharing guarantee is in DedupSpec. */
   val docWinnowFingerprint: CatalogEntry = CatalogEntry.noOracle(
     "doc_winnow_fingerprint") { (s, d) =>
     import s.implicits._
-    Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
-      k = 5, w = 4)
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_fingerprints"),
-        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        call_function("winnow_fps", $"text", lit(5), lit(4)).as("fps"))
+      .select($"doc_id",
+        size($"fps").cast("long").as("n_fingerprints"),
+        when(size($"fps") > 0, element_at($"fps", 1)).as("min_fp"),
+        when(size($"fps") > 0, element_at($"fps", -1)).as("max_fp"))
       .orderBy($"doc_id")
   }
 

@@ -18,6 +18,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "tfidf_top_terms",       // broadcast 1-row corpus count N
     "resample_ffill",        // broadcast (min_day, max_day) bounds row
     "sim_cosine_topk",       // broadcast 1 query embedding
+    "sim_quantized_topk",    // broadcast 1 query embedding (rescore ANN)
     "sim_ivf",               // centroid table (|clusters| rows) x 1 query row
     "events_grouping_sets")  // grouping-sets expand over broadcast scalar
 
@@ -62,6 +63,30 @@ class CatalogPlanLintSpec extends SparkTestBase {
       assert(shuffleCount(plan) <= 2,
         s"$name: operator + determinism sort allow at most 2 shuffle " +
           s"exchanges, got ${shuffleCount(plan)}:\n$plan")
+    }
+  }
+
+  test("native sketch entries: no shuffle beyond the determinism sort, " +
+      "kernel evaluated exactly once per row") {
+    // the whole point of the single-pass expressions: the signature /
+    // fingerprint stage of a 100 TB dedup must plan ZERO shuffles, and
+    // no optimizer rewrite (CollapseProject, filter pushdown) may
+    // silently duplicate the kernel into multiple per-row evaluations
+    val sf = "/root/testdata/sf0.001"
+    for ((name, kernel) <- Seq(
+        "text_simhash" -> "simhash63",
+        "dedup_minhash_lsh" -> "minhash_bands",
+        "doc_winnow_fingerprint" -> "winnow_fps")) {
+      val df = SparkEntry.catalog(name).query(spark, sf)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(shuffleCount(physical) <= 1,
+        s"$name: sketch + determinism sort allow at most 1 shuffle " +
+          s"exchange, got ${shuffleCount(physical)}:\n$physical")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      val evals = kernel.r.findAllMatchIn(optimized).size
+      assert(evals == 1,
+        s"$name: kernel $kernel must appear exactly once in the " +
+          s"optimized plan, found $evals:\n$optimized")
     }
   }
 

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.ext.{Dedup, TextOps}
+
+/** The native single-pass sketch expressions must be BIT-EXACT with the
+  * explode/agg/Window column formulations they replace — the column
+  * formulations (kept for the portable oracle twins) are the reference
+  * implementation here. Covers crafted edge cases (empty text, shorter
+  * than the shingle/k-gram, multi-byte and supplementary code points)
+  * plus ScalaCheck-generated corpora.
+  */
+class SketchExprSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val edgeTexts = Seq(
+    "the quick brown fox jumps over the lazy dog tonight",
+    "", "a", "ab", "abc", "abcd", "   ", "a  b",
+    "héllo wörld ünïcode", "漢字のテキストです", "mix漢ed",
+    "emoji 🙂 pair 😀 text", // supplementary planes
+    "aaaaaaaaaaaaaaaa", "ababababab")
+
+  private def corpus(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  /** Gen of texts biased toward hash-collision-friendly small alphabets
+    * plus multi-byte code points. */
+  private val genText: Gen[String] = Gen.oneOf(
+    Gen.listOf(Gen.oneOf('a', 'b', ' ')).map(_.mkString),
+    Gen.listOf(Gen.oneOf('a', 'z', 'é', '漢', ' ', '#')).map(_.mkString),
+    Gen.asciiPrintableStr)
+
+  // ---- reference formulations (the column pipelines) ----
+
+  private def refMinhash(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] =
+    Dedup.minhashSignature(df, "doc_id", "text", k, n)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+
+  private def refBands(df: DataFrame, k: Int, bands: Int, n: Int): Map[(Long, Int), Long] =
+    Dedup.bandHashes(Dedup.minhashSignature(df, "doc_id", "text", k, n),
+      "doc_id", bands, k / bands)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  private def refWinnow(df: DataFrame, k: Int, w: Int): Map[Long, Set[Long]] =
+    Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, fps) => id -> fps.map(_._2).toSet }
+
+  private def refSimhash(df: DataFrame): Map[Long, Long] = {
+    val voted = df
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .select($"doc_id" +: TextOps.simhashBitVotes(xxhash64($"tok"))
+        .zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
+    val sums = (0 until TextOps.SimhashBits).map(i => sum(col(s"v$i")).as(s"s$i"))
+    voted.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", TextOps.assembleSimhash(
+        (0 until TextOps.SimhashBits).map(i => col(s"s$i"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // ---- native readers ----
+
+  private def natMinhash(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("minhash_sig", $"text", lit(k), lit(n)).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  private def natBands(df: DataFrame, k: Int, bands: Int, n: Int): Map[(Long, Int), Long] =
+    df.select($"doc_id", posexplode(
+      call_function("minhash_bands", $"text", lit(k), lit(bands), lit(n)))
+      .as(Seq("band", "band_hash")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  private def natWinnow(df: DataFrame, k: Int, w: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("winnow_fps", $"text", lit(k), lit(w)).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  private def natSimhash(df: DataFrame): Map[Long, Long] =
+    df.select($"doc_id",
+      call_function("simhash63", TextOps.tokens($"text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("minhash_sig is bit-exact with the explode+agg formulation on edges") {
+    val df = corpus(edgeTexts)
+    natMinhash(df, 16, 3) shouldBe refMinhash(df, 16, 3)
+    natMinhash(df, 8, 5) shouldBe refMinhash(df, 8, 5)
+  }
+
+  test("minhash_bands matches bandHashes over the signature frame") {
+    val df = corpus(edgeTexts)
+    natBands(df, 16, 4, 3) shouldBe refBands(df, 16, 4, 3)
+    natBands(df, 8, 8, 2) shouldBe refBands(df, 8, 8, 2)
+  }
+
+  test("winnow_fps: same distinct fingerprint set per doc, sorted, " +
+      "empty iff no full window") {
+    val df = corpus(edgeTexts)
+    val nat = natWinnow(df, 5, 4)
+    val ref = refWinnow(df, 5, 4)
+    for ((id, fps) <- nat) {
+      fps shouldBe fps.sorted
+      fps.toSet shouldBe ref.getOrElse(id, Set.empty[Long])
+    }
+    // short texts: n k-gram positions = max(len-k+1, 1) < w -> no window
+    assert(nat.exists(_._2.isEmpty))
+  }
+
+  test("simhash63 is bit-exact with the 63-conditional-sum formulation") {
+    val df = corpus(edgeTexts.filter(_.nonEmpty)) // explode drops no rows here
+    natSimhash(df) shouldBe refSimhash(df)
+  }
+
+  test("property: all four sketches agree with the column formulations " +
+      "on random corpora") {
+    // raw ScalaCheck (no scalatest bridge on the offline classpath);
+    // fixed seed so a failure reproduces
+    val prop = Prop.forAll(Gen.listOfN(25, genText)) { texts =>
+      val df = corpus(texts)
+      val sigOk = natMinhash(df, 8, 3) == refMinhash(df, 8, 3)
+      val bandsOk = natBands(df, 8, 4, 3) == refBands(df, 8, 4, 3)
+      val (natW, refW) = (natWinnow(df, 4, 3), refWinnow(df, 4, 3))
+      val winnowOk = natW.forall { case (id, fps) =>
+        fps.toSet == refW.getOrElse(id, Set.empty[Long]) }
+      val nonEmpty = corpus(texts.filter(_.nonEmpty))
+      val simOk = natSimhash(nonEmpty) == refSimhash(nonEmpty)
+      sigOk && bandsOk && winnowOk && simOk
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(5)
+      .withInitialSeed(Seed(424242L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"sketch equivalence: ${res.status}")
+  }
+
+  test("kernels run inside whole-stage codegen (no fallback to eval)") {
+    // defineCodeGen emits the static call; a codegen exception would
+    // surface as a CodegenFallback warning + interpreted path. Force
+    // codegen-only to prove the generated code compiles and runs.
+    withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val df = corpus(edgeTexts)
+      natMinhash(df, 8, 3)
+      natBands(df, 8, 4, 3)
+      natWinnow(df, 5, 4)
+      natSimhash(df)
+    }
+  }
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+}
