@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -250,6 +251,71 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Quantize-then-rescore ANN (the storage-tier trick of DiskANN /
+    * IVF-PQ systems): candidates rank by an int8 approximation of the
+    * cosine, exact float math runs only on the shortlist. At 100 TB the
+    * int8 codes are a PRE-STORED column 4x smaller than the float
+    * embeddings — the candidate scan reads a quarter of the bytes and
+    * the full-precision vectors are fetched for ~candidates rows only
+    * (here both live in one scan; the plan shape — two
+    * TakeOrderedAndProject, never a global sort — is what carries over).
+    *
+    * Fully oracled against the EXACT top-10 (same SQL as
+    * `sim_cosine_topk`): int8 symmetric quantization keeps relative
+    * dot-product error ~1e-3, so the exact top 10 always survive a
+    * 50-candidate shortlist and the rescored output is bit-identical to
+    * brute force — the oracle verifies quantization, shortlist recall,
+    * and rescore together at both test scales.
+    *
+    * The whole approx score is ONE `aggregate` expression (struct
+    * accumulator: int dot + int norm in a single zip_with pass) —
+    * projecting dot and norm separately would let CollapseProject
+    * re-inline the quantization per use (the round-2 minhash 30x
+    * lesson). */
+  val simQuantizedTopk: CatalogEntry = CatalogEntry(
+    "sim_quantized_topk",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |  list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
+      |            for i in range(1, len(embedding) + 1)]) /
+      |  (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                  for i in range(1, len(embedding) + 1)])) *
+      |   sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+      |                  for i in range(1, len(qe) + 1)]))), 6) AS cos_sim
+      |FROM embeddings, q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    GraftFunctions.register(s)
+    // per-vector symmetric int8: code_i = round(127 * x_i / max|x|)
+    def codes(v: Column): Column = {
+      val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30f))
+      transform(v, x => round(x * lit(127.0f) / scale).cast("int"))
+    }
+    // dot(codes(a), codes(b)) / |codes(a)| in one pass; the query-norm
+    // factor is constant across rows, so ranking matches approx cosine.
+    // 64 dims x 127^2 tops out near 2^20 — int accumulators are safe.
+    def approxScore(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(codes(a), codes(b),
+          (x, y) => struct((x * y).as("d"), (x * x).as("n"))),
+        struct(lit(0).as("d"), lit(0).as("n")),
+        (acc, v) => struct((acc("d") + v("d")).as("d"),
+          (acc("n") + v("n")).as("n")),
+        acc => acc("d").cast("double") /
+          sqrt(greatest(acc("n").cast("double"), lit(1e-30))))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding", $"qe",
+        approxScore($"embedding", $"qe").as("approx"))
+      .orderBy($"approx".desc, $"vec_id".asc)
+      .limit(50) // shortlist: TakeOrderedAndProject, never a full sort
+      .select($"vec_id",
+        round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
   /** Per-label centroid components — the k-means/IVF "train the coarse
     * quantizer" step as one distributed pass: posexplode the vector,
     * partial-agg (label, position) means map-side, shuffle only
@@ -275,6 +341,6 @@ object SimilarityQueries {
   }
 
   def entries: Seq[CatalogEntry] = Seq(
-    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, arrayStats,
-    embeddingCentroids)
+    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
+    arrayStats, embeddingCentroids)
 }
