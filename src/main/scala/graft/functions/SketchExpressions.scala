@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -72,42 +72,18 @@ object SketchAlgos {
     val nChars = text.numChars()
     val nPos = math.max(nChars - (shingleLen - 1), 1)
     val bytes = text.getBytes
-    val starts = charStarts(bytes, nChars)
+    val set = new ShingleSet(bytes, charStarts(bytes, nChars), nChars,
+      shingleLen, nPos)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     // shingle bytes + salt suffix share one buffer: the shingle is
     // written once per distinct shingle, only the suffix re-writes per i
     var buf = new Array[Byte](shingleLen * 4 + 8)
-    // exact distinct-shingle set: linear probing, slot value = position
-    // index + 1 (0 = empty), byte-compared on unsalted-hash equality
-    val cap = Integer.highestOneBit(math.max(nPos * 2 - 1, 2)) << 1
-    val slotPos = new Array[Int](cap)
-    val slotHash = new Array[Long](cap)
-    val mask = cap - 1
-    def shingleEnd(p: Int): Int = starts(math.min(p + shingleLen, nChars))
     var p = 0
     while (p < nPos) {
-      val off = starts(p)
-      val shLen = shingleEnd(p) - off
-      val h0 = XXH64.hashUnsafeBytes(
-        bytes, Platform.BYTE_ARRAY_OFFSET + off, shLen, Seed)
-      var slot = (h0 & mask).toInt
-      var dup = false
-      var probing = true
-      while (probing) {
-        val occ = slotPos(slot)
-        if (occ == 0) { slotPos(slot) = p + 1; probing = false }
-        else if (slotHash(slot) == h0) {
-          val q = occ - 1
-          val qOff = starts(q)
-          if (shingleEnd(q) - qOff == shLen &&
-              java.util.Arrays.equals(bytes, qOff, qOff + shLen,
-                bytes, off, off + shLen)) { dup = true; probing = false }
-          else slot = (slot + 1) & mask
-        } else slot = (slot + 1) & mask
-      }
-      if (!dup) {
-        slotHash(slot) = h0
+      if (set.add(p)) {
+        val off = set.starts(p)
+        val shLen = set.end(p) - off
         if (buf.length < shLen + 8) buf = new Array[Byte](shLen + 8)
         System.arraycopy(bytes, off, buf, 0, shLen)
         var i = 0
@@ -189,6 +165,100 @@ object SketchAlgos {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, n))
+  }
+
+  /** Exact distinct-shingle set over one text's byte array: the same
+    * linear-probe + byte-verify table [[minhashSig]] uses, factored out
+    * so [[jaccardShingles]] can probe one text's set with another's
+    * shingles. Slot value = char position + 1 (0 = empty). */
+  private final class ShingleSet(val bytes: Array[Byte], val starts: Array[Int],
+      nChars: Int, shingleLen: Int, nPos: Int) {
+    private val cap = Integer.highestOneBit(math.max(nPos * 2 - 1, 2)) << 1
+    private val mask = cap - 1
+    private val slotPos = new Array[Int](cap)
+    private val slotHash = new Array[Long](cap)
+    var distinctCount = 0
+
+    @inline def end(p: Int): Int = starts(math.min(p + shingleLen, nChars))
+
+    /** Adds the shingle at char position p; true if it was new. */
+    def add(p: Int): Boolean = {
+      val off = starts(p)
+      val len = end(p) - off
+      val h = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + off, len, Seed)
+      var slot = (h & mask).toInt
+      while (true) {
+        val occ = slotPos(slot)
+        if (occ == 0) {
+          slotPos(slot) = p + 1; slotHash(slot) = h; distinctCount += 1
+          return true
+        }
+        val q = occ - 1
+        val qOff = starts(q)
+        if (slotHash(slot) == h && end(q) - qOff == len &&
+          java.util.Arrays.equals(bytes, qOff, qOff + len,
+            bytes, off, off + len)) return false
+        slot = (slot + 1) & mask
+      }
+      false // unreachable
+    }
+
+    /** Membership probe for a shingle living in ANOTHER text's bytes. */
+    def contains(oBytes: Array[Byte], oOff: Int, oLen: Int, h: Long): Boolean = {
+      var slot = (h & mask).toInt
+      while (true) {
+        val occ = slotPos(slot)
+        if (occ == 0) return false
+        val q = occ - 1
+        val qOff = starts(q)
+        if (slotHash(slot) == h && end(q) - qOff == oLen &&
+          java.util.Arrays.equals(bytes, qOff, qOff + oLen,
+            oBytes, oOff, oOff + oLen)) return true
+        slot = (slot + 1) & mask
+      }
+      false // unreachable
+    }
+  }
+
+  private def buildShingleSet(text: UTF8String, shingleLen: Int): ShingleSet = {
+    val nChars = text.numChars()
+    val nPos = math.max(nChars - (shingleLen - 1), 1)
+    val bytes = text.getBytes
+    val set = new ShingleSet(bytes, charStarts(bytes, nChars), nChars,
+      shingleLen, nPos)
+    var p = 0
+    while (p < nPos) { set.add(p); p += 1 }
+    set
+  }
+
+  /** n-gram Jaccard |A∩B| / (|A|+|B|-|A∩B|) over the distinct char
+    * shingle sets of two texts, in one row-local pass — value-identical
+    * to `size(array_intersect(shingles(a), shingles(b)))`-style column
+    * algebra (exact integer counts, one correctly-rounded double
+    * division), with zero array materialization. String equality is
+    * UTF-8 byte equality in both engines. */
+  def jaccardShingles(a: UTF8String, b: UTF8String, shingleLen: Int): Double = {
+    val bSet = buildShingleSet(b, shingleLen)
+    // walk A's positions, dedup against A's own set, probe B's for ∩
+    val nChars = a.numChars()
+    val nPos = math.max(nChars - (shingleLen - 1), 1)
+    val bytes = a.getBytes
+    val aSet = new ShingleSet(bytes, charStarts(bytes, nChars), nChars,
+      shingleLen, nPos)
+    var inter = 0
+    var p = 0
+    while (p < nPos) {
+      if (aSet.add(p)) {
+        val off = aSet.starts(p)
+        val len = aSet.end(p) - off
+        val h = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + off, len, Seed)
+        if (bSet.contains(bytes, off, len, h)) inter += 1
+      }
+      p += 1
+    }
+    inter.toDouble / (aSet.distinctCount + bSet.distinctCount - inter)
   }
 
   /** 63-bit SimHash over a token array: per bit, +1 for tokens whose
@@ -278,6 +348,31 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     SketchAlgos.winnowData(input.asInstanceOf[UTF8String], k, w)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `jaccard_shingles(a, b, n)` — n-gram Jaccard similarity of two texts
+  * over their distinct char-shingle sets, value-identical to the
+  * `array_intersect`/`array_distinct` column algebra (SketchExprSpec)
+  * without materializing either array. */
+case class JaccardShingles(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def prettyName: String = "jaccard_shingles"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_shingles expects two string columns, got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchAlgos.jaccardShingles(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchAlgos.jaccardShingles($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `simhash63(tokens)` — 63-bit SimHash fingerprint of a token array,

@@ -99,6 +99,9 @@ object GraftFunctions {
         intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63", exprs => SimHash63(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_shingles", exprs => JaccardShingles(exprs(0), exprs(1),
+        intArg(exprs(2), "n")), "scala_udf")
   }
 
   /** For sessions configured with

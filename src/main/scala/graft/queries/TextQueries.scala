@@ -88,7 +88,12 @@ object TextQueries {
 
   /** Exact 3-gram Jaccard similarity of every document against doc 0,
     * top 20 — the confirmation metric used on LSH candidates, oracled
-    * end-to-end via DuckDB list algebra. */
+    * end-to-end via DuckDB list algebra. Computed by the native
+    * `jaccard_shingles` kernel (one row-local pass over both texts'
+    * exact distinct-shingle sets — no per-row array materialization or
+    * array_intersect hash tables; value-identical to the column
+    * algebra, SketchExprSpec); the broadcast side is the raw query
+    * TEXT, a few hundred bytes instead of a shingle array. */
   val dedupNgramJaccard: CatalogEntry = CatalogEntry(
     "dedup_ngram_jaccard",
     """WITH sh AS (
@@ -103,12 +108,13 @@ object TextQueries {
       |FROM sh, q
       |ORDER BY jaccard_r DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
     import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
-    val q = docs.filter($"doc_id" === 0).select($"sh".as("qsh"))
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val q = docs.filter($"doc_id" === 0).select($"text".as("qtext"))
     docs.crossJoin(broadcast(q))
       .select($"doc_id",
-        round(TextOps.jaccard($"sh", $"qsh"), 5).as("jaccard_r"))
+        round(call_function("jaccard_shingles", $"text", $"qtext", lit(3)), 5)
+          .as("jaccard_r"))
       .orderBy($"jaccard_r".desc, $"doc_id".asc)
       .limit(20)
   }
@@ -133,6 +139,21 @@ object TextQueries {
       .select($"doc_id",
         call_function("simhash63", TextOps.tokens($"text")).as("simhash"))
       .orderBy($"doc_id")
+  }
+
+  /** SimHash multi-index table (Manku WWW'07): 4 16-bit bands per doc
+    * over the native single-pass 63-bit fingerprint. Docs within
+    * Hamming distance 3 agree exactly on >= 1 band (pigeonhole), so
+    * near-dup retrieval is the band equi-join of
+    * `Dedup.simhashNearDupPairs` — never an all-pairs scan; recall AND
+    * precision vs brute-force Hamming are asserted in DedupSpec (this
+    * corpus has no near-dups to emit). Engine-specific hashing → no
+    * SQL oracle. */
+  val dedupSimhashHamming: CatalogEntry = CatalogEntry.noOracle(
+    "dedup_simhash_hamming") { (s, d) =>
+    import s.implicits._
+    Dedup.simhashBandIndex(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id", $"band")
   }
 
   /** MinHash-LSH banding table (band, band_hash per doc) — the shuffle
@@ -528,5 +549,5 @@ object TextQueries {
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
     textNormalize, dedupMinhashPortable, textSimhashPortable,
-    docWinnowPortable)
+    docWinnowPortable, dedupSimhashHamming)
 }

@@ -76,7 +76,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     for ((name, kernel) <- Seq(
         "text_simhash" -> "simhash63",
         "dedup_minhash_lsh" -> "minhash_bands",
-        "doc_winnow_fingerprint" -> "winnow_fps")) {
+        "doc_winnow_fingerprint" -> "winnow_fps",
+        "dedup_simhash_hamming" -> "simhash63")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
       assert(shuffleCount(physical) <= 1,

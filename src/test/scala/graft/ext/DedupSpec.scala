@@ -87,4 +87,36 @@ class DedupSpec extends SparkTestBase {
     assert(ham(sim(1L), sim(3L)) <= 12, s"near-dup hamming ${ham(sim(1L), sim(3L))}")
     assert(ham(sim(1L), sim(4L)) > ham(sim(1L), sim(3L)))
   }
+
+  test("simhashNearDupPairs == brute-force all-pairs Hamming <= 3 " +
+      "(banded pigeonhole: full recall AND bit_count precision)") {
+    // corpus with exact dups (hamming 0), graded near texts, and
+    // unrelated docs; the operator's band-join candidates + bit_count
+    // confirm must reproduce the brute-force pair set exactly
+    val texts = Seq(
+      1L -> base, 2L -> base,
+      3L -> base.replace("quick", "quikc"),
+      4L -> base.replace("fox", "cat"),
+      5L -> (base + " extra trailing words appended here"),
+      6L -> ("entirely unrelated content about database query engines " +
+        "optimizers shuffles partitions and columnar storage formats"),
+      7L -> "short one",
+      8L -> "short one") // second exact-dup cluster
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val fps = df.select($"doc_id",
+        call_function("simhash63", TextOps.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == want, s"operator $got vs brute force $want")
+    assert(want.contains((1L, 2L)) && want.contains((7L, 8L)),
+      "exact-dup clusters must be present for the test to have teeth")
+    assert(!want.exists(p => p._1 == 6L || p._2 == 6L))
+  }
 }

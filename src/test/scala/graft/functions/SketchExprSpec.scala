@@ -115,6 +115,29 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     assert(nat.exists(_._2.isEmpty))
   }
 
+  private def refJaccard(df: DataFrame, n: Int): Map[Long, Double] =
+    df.select($"doc_id", TextOps.jaccard(
+        TextOps.shingles($"text", n), TextOps.shingles($"qtext", n)).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def natJaccard(df: DataFrame, n: Int): Map[Long, Double] =
+    df.select($"doc_id",
+      call_function("jaccard_shingles", $"text", $"qtext", lit(n)).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def pairedCorpus(texts: Seq[String]): DataFrame = {
+    val q = texts.headOption.getOrElse("")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, q) }
+      .toDF("doc_id", "text", "qtext")
+  }
+
+  test("jaccard_shingles is value-exact with the array_intersect " +
+      "formulation (counts are integers, division correctly rounded)") {
+    val df = pairedCorpus(edgeTexts)
+    natJaccard(df, 3) shouldBe refJaccard(df, 3)
+    natJaccard(df, 2) shouldBe refJaccard(df, 2)
+  }
+
   test("simhash63 is bit-exact with the 63-conditional-sum formulation") {
     val df = corpus(edgeTexts.filter(_.nonEmpty)) // explode drops no rows here
     natSimhash(df) shouldBe refSimhash(df)
@@ -133,7 +156,9 @@ class SketchExprSpec extends SparkTestBase with Matchers {
         fps.toSet == refW.getOrElse(id, Set.empty[Long]) }
       val nonEmpty = corpus(texts.filter(_.nonEmpty))
       val simOk = natSimhash(nonEmpty) == refSimhash(nonEmpty)
-      sigOk && bandsOk && winnowOk && simOk
+      val paired = pairedCorpus(texts)
+      val jacOk = natJaccard(paired, 3) == refJaccard(paired, 3)
+      sigOk && bandsOk && winnowOk && simOk && jacOk
     }
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(5)
@@ -152,6 +177,7 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       natBands(df, 8, 4, 3)
       natWinnow(df, 5, 4)
       natSimhash(df)
+      natJaccard(pairedCorpus(edgeTexts), 3)
     }
   }
 
