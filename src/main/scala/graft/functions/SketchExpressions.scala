@@ -129,7 +129,11 @@ object SketchAlgos {
     * deque, O(n)), return the DISTINCT minima sorted ascending. Texts
     * with fewer than w k-gram positions have no full window -> empty
     * array. */
-  def winnowData(text: UTF8String, k: Int, w: Int): ArrayData = {
+  def winnowData(text: UTF8String, k: Int, w: Int): ArrayData =
+    winnowImpl(text, k, w, portable = false)
+
+  private def winnowImpl(text: UTF8String, k: Int, w: Int,
+      portable: Boolean): ArrayData = {
     val nPos = math.max(text.numChars() - (k - 1), 1)
     if (nPos < w) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val nChars = text.numChars()
@@ -140,8 +144,10 @@ object SketchAlgos {
     while (p < nPos) {
       val off = starts(p)
       val end = starts(math.min(p + k, nChars))
-      hs(p) = XXH64.hashUnsafeBytes(
-        bytes, Platform.BYTE_ARRAY_OFFSET + off, end - off, Seed)
+      hs(p) =
+        if (portable) md5Prefix60(bytes, off, end - off)
+        else XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + off, end - off, Seed)
       p += 1
     }
     val mins = new Array[Long](nPos - w + 1)
@@ -166,6 +172,102 @@ object SketchAlgos {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, n))
   }
+
+  // ---- portable (md5/sha-prefix) hashing, for the *_portable oracle
+  // twins: DuckDB recomputes these exactly, so the kernels below give
+  // the NATIVE pipeline an independent cross-engine hash check ----
+
+  private val md5TL = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val sha256TL = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("SHA-256"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** First 15 hex digits of md5 as a 60-bit long — bit-exact with
+    * `conv(substring(md5(col AS BINARY), 1, 15), 16, 10)::LONG` and
+    * DuckDB `('0x' || substring(md5(col), 1, 15))::BIGINT`: 15 nibbles
+    * = the big-endian first 8 digest bytes shifted right one nibble. */
+  def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5TL.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** First 16 hex chars of sha256(s) — bit-exact with
+    * `substring(sha2(s AS BINARY, 256), 1, 16)` / DuckDB
+    * `substring(sha256(s), 1, 16)`. */
+  private def sha256Prefix16(s: String): UTF8String = {
+    val md = sha256TL.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** Portable-hash MinHash + banded digests: mins over DISTINCT
+    * shingles of md5Prefix60(shingle ++ "#i"); band j's digest is
+    * sha256-prefix-16 of "mins(2j)_mins(2j+1)" (decimal concat — the
+    * `concat_ws("_", mh, mh)` + `sha2` column layout). Output
+    * array<string> of k/2 digests, band index = position. */
+  def minhashPortableBandsData(text: UTF8String, k: Int,
+      shingleLen: Int): ArrayData = {
+    require(k <= MaxK && k % 2 == 0, s"k=$k must be even and <= $MaxK")
+    val nChars = text.numChars()
+    val nPos = math.max(nChars - (shingleLen - 1), 1)
+    val bytes = text.getBytes
+    val set = new ShingleSet(bytes, charStarts(bytes, nChars), nChars,
+      shingleLen, nPos)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var buf = new Array[Byte](shingleLen * 4 + 8)
+    var p = 0
+    while (p < nPos) {
+      if (set.add(p)) {
+        val off = set.starts(p)
+        val shLen = set.end(p) - off
+        if (buf.length < shLen + 8) buf = new Array[Byte](shLen + 8)
+        System.arraycopy(bytes, off, buf, 0, shLen)
+        var i = 0
+        while (i < k) {
+          val suf = saltSuffix(i)
+          System.arraycopy(suf, 0, buf, shLen, suf.length)
+          val h = md5Prefix60(buf, 0, shLen + suf.length)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      p += 1
+    }
+    val out = new Array[AnyRef](k / 2)
+    var j = 0
+    while (j < k / 2) {
+      out(j) = sha256Prefix16(s"${mins(2 * j)}_${mins(2 * j + 1)}")
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Portable-hash winnowing: [[winnowData]]'s deque pipeline over the
+    * md5-prefix k-gram hash. */
+  def winnowPortableData(text: UTF8String, k: Int, w: Int): ArrayData =
+    winnowImpl(text, k, w, portable = true)
+
+  /** Portable-hash SimHash: [[simhash63]]'s vote/assemble over the
+    * md5-prefix token hash (its top 3 bits are always clear, so bits
+    * 60..62 vote -1 on every token — both engines reproduce that). */
+  def simhash63Portable(tokens: ArrayData): Long =
+    simhashImpl(tokens, portable = true)
 
   /** Exact distinct-shingle set over one text's byte array: the same
     * linear-probe + byte-verify table [[minhashSig]] uses, factored out
@@ -266,7 +368,9 @@ object SketchAlgos {
     * when the sum is >= 0 (the `when(s >= 0, ...)` tie rule of
     * [[graft.ext.TextOps.assembleSimhash]]). A null token votes -1 on
     * every bit, matching `when(null_hash & bit =!= 0, 1).otherwise(-1)`. */
-  def simhash63(tokens: ArrayData): Long = {
+  def simhash63(tokens: ArrayData): Long = simhashImpl(tokens, portable = false)
+
+  private def simhashImpl(tokens: ArrayData, portable: Boolean): Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](63)
     var i = 0
@@ -275,7 +379,10 @@ object SketchAlgos {
         var b = 0
         while (b < 63) { votes(b) -= 1; b += 1 }
       } else {
-        val th = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+        val tok = tokens.getUTF8String(i)
+        val th =
+          if (portable) { val tb = tok.getBytes; md5Prefix60(tb, 0, tb.length) }
+          else XXH64.hashUTF8String(tok, Seed)
         var b = 0
         while (b < 63) {
           if (((th >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -346,6 +453,54 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     s"graft.functions.SketchAlgos.winnowData($c, $k, $w)"
   override def nullSafeEval(input: Any): Any =
     SketchAlgos.winnowData(input.asInstanceOf[UTF8String], k, w)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_bands_md5(text, k, shingleLen)` — array<string> of k/2
+  * portable (md5-prefix minhash, sha256-prefix digest) LSH band
+  * digests; the cross-engine-checkable twin of [[MinHashBands]]. */
+case class MinHashBandsPortable(child: Expression, k: Int, shingleLen: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "minhash_bands_md5"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.minhashPortableBandsData($c, $k, $shingleLen)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.minhashPortableBandsData(
+      input.asInstanceOf[UTF8String], k, shingleLen)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_fps_md5(text, k, w)` — [[WinnowFps]] over the portable
+  * md5-prefix k-gram hash. */
+case class WinnowFpsPortable(child: Expression, k: Int, w: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "winnow_fps_md5"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.winnowPortableData($c, $k, $w)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.winnowPortableData(input.asInstanceOf[UTF8String], k, w)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash63_md5(tokens)` — [[SimHash63]] over the portable md5-prefix
+  * token hash. */
+case class SimHash63Portable(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash63_md5"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash63_md5 expects array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.simhash63Portable(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchAlgos.simhash63Portable($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -102,6 +102,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_shingles", exprs => JaccardShingles(exprs(0), exprs(1),
         intArg(exprs(2), "n")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands_md5", exprs => MinHashBandsPortable(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "shingleLen")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps_md5", exprs => WinnowFpsPortable(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash63_md5", exprs => SimHash63Portable(exprs(0)), "scala_udf")
   }
 
   /** For sessions configured with

@@ -411,14 +411,15 @@ object TextQueries {
   }
 
   /** MinHash + LSH banding with a PORTABLE hash (md5 prefix as a
-    * 60-bit integer): the same shingle → k-min-signature → banded
-    * band-digest pipeline as `dedup_minhash_lsh`, but every stage is
-    * engine-replayable, so the WHOLE near-dup pipeline gets a DuckDB
-    * hash check. The production path keeps xxhash64 (several times
-    * cheaper per shingle); a green row here certifies the pipeline
-    * logic both variants share. Same explode-then-k-min-aggs shape —
-    * the k-projected-copies trap documented at Dedup.minhashSignature
-    * applies to this variant too. */
+    * 60-bit integer, sha256-prefix band digests): the same
+    * shingle → k-min-signature → banded-digest pipeline as
+    * `dedup_minhash_lsh`, with every stage engine-replayable — and
+    * since the Spark side is the NATIVE single-pass kernel
+    * (`minhash_bands_md5`, sharing the distinct-shingle/min/band
+    * structure with the production `minhash_bands`), a green row here
+    * is a cross-engine DuckDB check of the production kernel pipeline
+    * itself, not just of a column re-formulation. The production path
+    * keeps xxhash64 (several times cheaper per shingle). */
   val dedupMinhashPortable: CatalogEntry = {
     val k = 8
     val mins = (0 until k).map(i =>
@@ -445,29 +446,21 @@ object TextQueries {
          |  substring(sha256(pair), 1, 16) AS band_sha
          |FROM b ORDER BY doc_id, band""".stripMargin) { (s, d) =>
       import s.implicits._
-      val sh = Tables.documents(s, d)
-        .select($"doc_id", explode(TextOps.shingles($"text", 3)).as("sh"))
-      val hashes = (0 until k).map { i =>
-        min(conv(substring(md5(concat($"sh", lit(s"#$i")).cast("binary")),
-          1, 15), 16, 10).cast("long")).as(s"mh$i")
-      }
-      val h = sh.groupBy($"doc_id").agg(hashes.head, hashes.tail: _*)
-      val bandRows = (0 until k / 2).map { j =>
-        h.select($"doc_id", lit(j).as("band"),
-          concat_ws("_", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("pair"))
-      }.reduce(_ unionByName _)
-      bandRows
-        .select($"doc_id", $"band",
-          substring(sha2($"pair".cast("binary"), 256), 1, 16).as("band_sha"))
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select($"doc_id", posexplode(
+          call_function("minhash_bands_md5", $"text", lit(k), lit(3)))
+          .as(Seq("band", "band_sha")))
         .orderBy($"doc_id", $"band")
     }
   }
 
-  /** SimHash with the portable md5-prefix token hash: identical vote /
-    * assemble machinery to `text_simhash` (63 conditional sums, sign
-    * vector; the hash's top 3 bits are always clear, which both
-    * engines reproduce), so the fingerprint algorithm itself gets a
-    * DuckDB hash check. The production entry keeps xxhash64. */
+  /** SimHash with the portable md5-prefix token hash, via the native
+    * `simhash63_md5` kernel — the identical vote/assemble machinery to
+    * the production `simhash63` (the hash's top 3 bits are always
+    * clear, which both engines reproduce), so the production kernel's
+    * fingerprint algorithm gets a cross-engine DuckDB hash check. The
+    * production entry keeps xxhash64. */
   val textSimhashPortable: CatalogEntry = {
     val bits = TextOps.SimhashBits
     val sums = (0 until bits).map(i =>
@@ -493,25 +486,24 @@ object TextQueries {
          |  $assemble AS simhash
          |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val h = conv(substring(md5($"tok".cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-      val voted = Tables.documents(s, d)
-        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-        .select($"doc_id" +: TextOps.simhashBitVotes(h)
-          .zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
-      val sumCols = (0 until bits).map(i => sum(col(s"v$i")).as(s"s$i"))
-      voted.groupBy($"doc_id")
-        .agg(sumCols.head, sumCols.tail: _*)
-        .select($"doc_id", TextOps.assembleSimhash(
-          (0 until bits).map(i => col(s"s$i"))).as("simhash"))
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        // null text: the explode/unnest formulations drop the row in
+        // both engines; filter the input column (scan-pushable, and the
+        // kernel stays a single per-row evaluation)
+        .where($"text".isNotNull)
+        .select($"doc_id",
+          call_function("simhash63_md5", TextOps.tokens($"text"))
+            .as("simhash"))
         .orderBy($"doc_id")
     }
   }
 
-  /** Winnowing with the portable md5-prefix k-gram hash: the identical
-    * posexplode → window-min → full-windows → distinct pipeline as
-    * `doc_winnow_fingerprint`, DuckDB-replayed hash-for-hash — the
-    * MOSS algorithm itself is now oracle-verified. Production keeps
+  /** Winnowing with the portable md5-prefix k-gram hash, via the
+    * native `winnow_fps_md5` kernel — the identical k-gram →
+    * window-min-deque → distinct pipeline as the production
+    * `winnow_fps`, DuckDB-replayed hash-for-hash, so the MOSS kernel
+    * itself is oracle-verified cross-engine. Production keeps
     * xxhash64. */
   val docWinnowPortable: CatalogEntry = CatalogEntry(
     "doc_winnow_portable",
@@ -534,13 +526,14 @@ object TextQueries {
       |  min(fp) AS min_fp, max(fp) AS max_fp
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val portableHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-    Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
-      k = 5, w = 4, hashFn = portableHash)
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_fingerprints"),
-        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        call_function("winnow_fps_md5", $"text", lit(5), lit(4)).as("fps"))
+      .select($"doc_id",
+        size($"fps").cast("long").as("n_fingerprints"),
+        when(size($"fps") > 0, element_at($"fps", 1)).as("min_fp"),
+        when(size($"fps") > 0, element_at($"fps", -1)).as("max_fp"))
       .orderBy($"doc_id")
   }
 

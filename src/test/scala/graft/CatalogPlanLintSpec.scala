@@ -77,7 +77,10 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "text_simhash" -> "simhash63",
         "dedup_minhash_lsh" -> "minhash_bands",
         "doc_winnow_fingerprint" -> "winnow_fps",
-        "dedup_simhash_hamming" -> "simhash63")) {
+        "dedup_simhash_hamming" -> "simhash63",
+        "dedup_minhash_portable" -> "minhash_bands_md5",
+        "text_simhash_portable" -> "simhash63_md5",
+        "doc_winnow_portable" -> "winnow_fps_md5")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
       assert(shuffleCount(physical) <= 1,

@@ -178,6 +178,13 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       natWinnow(df, 5, 4)
       natSimhash(df)
       natJaccard(pairedCorpus(edgeTexts), 3)
+      // portable (md5/sha-prefix) kernels — cross-engine values are
+      // DuckDB-oracled in the *_portable catalog entries; here just
+      // prove the generated code compiles and runs codegen-only
+      df.select(
+        call_function("minhash_bands_md5", $"text", lit(8), lit(3)),
+        call_function("winnow_fps_md5", $"text", lit(5), lit(4)),
+        call_function("simhash63_md5", TextOps.tokens($"text"))).collect()
     }
   }
 
