@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ext.TextOps
+
+/** A doc's fingerprint in one SimHash band bucket, on the stream. */
+case class BandedDoc(band: Int, bval: Long, doc_id: Long, fp: Long)
+
+/** A confirmed streaming near-dup: `id_b` arrived while `id_a` (an
+  * earlier doc within Hamming <= maxHamming) was still in state. */
+case class NearDupHit(id_a: Long, id_b: Long, band: Int, hamming: Int)
 
 /** Streaming exact dedup — the streaming face of `ext/Dedup.exact`:
   * suppress re-occurrences of identical content as the corpus streams
@@ -28,4 +38,65 @@ object StreamDedup {
     df.withColumn("content_sha", sha2(col(contentCol).cast("binary"), 256))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_sha")
+
+  /** Streaming NEAR-dup detection — the streaming face of
+    * `ext/Dedup.simhashNearDupPairs`, same Manku multi-index geometry:
+    * each doc's 63-bit single-pass SimHash splits into 4 16-bit bands;
+    * a pair within Hamming <= maxHamming (< 4) agrees exactly on >= 1
+    * band (pigeonhole), so state partitions by (band, band_value) and a
+    * new doc only ever compares against its own bucket — never the
+    * stream history. Both fingerprints are in hand at the bucket (8
+    * bytes each beside the id — the state carries sketches, never
+    * documents), so the band hit is CONFIRMED with `bit_count` before
+    * it is emitted: the output is (id_a, id_b, band, hamming) near-dup
+    * pairs, not raw candidates.
+    *
+    * A pair sharing several bands emits once per shared band
+    * (exactly like the batch band join pre-`distinct`) — downstream
+    * dedups on (id_a, id_b), batch-cheap on the thinned pair stream.
+    * State per bucket is a FIFO of the last `stateDocsPerBand`
+    * (id, fp) entries: bounded state on an unbounded stream, with the
+    * honest recall trade every eviction policy has (a near-dup of an
+    * evicted doc is missed — size the cap to the bucket's expected
+    * dwell time, or add an event-time timeout for calendar eviction).
+    */
+  def nearDupBySimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, stateDocsPerBand: Int = 64): Dataset[NearDupHit] = {
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming breaks the 4-band pigeonhole guarantee")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val banded = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        call_function("simhash63", TextOps.tokens(col(textCol))).as("fp"))
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"),
+          col("doc_id"), col("fp"))): _*)).as("bd"))
+      .select($"bd.band", $"bd.bval", $"bd.doc_id", $"bd.fp")
+      .as[BandedDoc]
+    banded
+      .groupByKey(bd => (bd.band, bd.bval))
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil) // newest first
+          val hits = List.newBuilder[NearDupHit]
+          // arrival order within a batch is nondeterministic; doc_id
+          // order makes the emitted (a, b) orientation deterministic
+          for (r <- rows.toSeq.sortBy(_.doc_id)) {
+            for ((sid, sfp) <- seen if sid != r.doc_id) {
+              val h = java.lang.Long.bitCount(sfp ^ r.fp)
+              if (h <= maxHamming)
+                hits += NearDupHit(math.min(sid, r.doc_id),
+                  math.max(sid, r.doc_id), band, h)
+            }
+            seen = ((r.doc_id, r.fp) :: seen).take(stateDocsPerBand)
+          }
+          state.update(seen)
+          hits.result().iterator
+      }
+  }
 }

@@ -37,6 +37,71 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep green forest before sunset tonight"
+
+  test("streaming near-dup: banded simhash state reproduces brute-force " +
+      "all-pairs Hamming <= 3 across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val docs = Seq(
+      1L -> base,
+      2L -> base, // exact dup, same batch as 1 (in-batch pairing)
+      3L -> base.replace("quick", "quikc"),
+      6L -> ("entirely unrelated content about database query engines " +
+        "optimizers shuffles partitions and columnar storage formats"))
+    val q = StreamDedup.nearDupBySimhash(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    try {
+      source.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      source.addData(docs(2), docs(3)) // cross-batch vs state
+      q.processAllAvailable()
+      val got = spark.table("stream_neardup")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.functions.GraftFunctions.register(spark)
+      val fps = docs.toDF("doc_id", "text")
+        .select($"doc_id", org.apache.spark.sql.functions.call_function(
+          "simhash63", graft.ext.TextOps.tokens($"text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+      } yield (a, b)).toSet
+      assert(got == want, s"stream $got vs brute force $want")
+      assert(want.contains((1L, 2L)), "exact dup must be present")
+      assert(!want.exists(p => p._1 == 6L || p._2 == 6L))
+      // every emitted hamming is confirmed, not just band-matched
+      val hams = spark.table("stream_neardup")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3)))
+      for (((a, b), h) <- hams)
+        assert(h == java.lang.Long.bitCount(fps(a) ^ fps(b)) && h <= 3)
+    } finally q.stop()
+  }
+
+  test("near-dup state is a bounded FIFO: an evicted doc no longer pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = StreamDedup.nearDupBySimhash(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      stateDocsPerBand = 1)
+      .writeStream.format("memory").queryName("stream_neardup_fifo")
+      .outputMode("append").start()
+    try {
+      source.addData(1L -> base); q.processAllAvailable()
+      source.addData(2L -> base); q.processAllAvailable() // pairs with 1, evicts 1
+      source.addData(3L -> base); q.processAllAvailable() // pairs with 2 only
+      val got = spark.table("stream_neardup_fifo")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (2L, 3L)),
+        s"cap=1 must drop the (1,3) pair, got $got")
+    } finally q.stop()
+  }
+
   test("emitted rows carry the 64-hex content digest for downstream joins") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
