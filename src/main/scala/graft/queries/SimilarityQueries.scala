@@ -267,11 +267,14 @@ object SimilarityQueries {
     * brute force — the oracle verifies quantization, shortlist recall,
     * and rescore together at both test scales.
     *
-    * The whole approx score is ONE `aggregate` expression (struct
-    * accumulator: int dot + int norm in a single zip_with pass) —
-    * projecting dot and norm separately would let CollapseProject
-    * re-inline the quantization per use (the round-2 minhash 30x
-    * lesson). */
+    * The whole approx score is ONE native expression
+    * ([[graft.functions.VecQuantScore]]: quantize both vectors + int
+    * dot + int norm in a single primitive codegen loop) — one
+    * evaluation per row by construction, where separate dot/norm
+    * projections would let CollapseProject re-inline the quantization
+    * per use (the round-2 minhash 30x lesson), and the interpreted
+    * transform/zip_with/aggregate HOF chain it replaces boxed every
+    * element (measured 1.10 s -> this formulation at sf0.1). */
   val simQuantizedTopk: CatalogEntry = CatalogEntry(
     "sim_quantized_topk",
     """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -286,28 +289,11 @@ object SimilarityQueries {
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     import s.implicits._
     GraftFunctions.register(s)
-    // per-vector symmetric int8: code_i = round(127 * x_i / max|x|)
-    def codes(v: Column): Column = {
-      val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30f))
-      transform(v, x => round(x * lit(127.0f) / scale).cast("int"))
-    }
-    // dot(codes(a), codes(b)) / |codes(a)| in one pass; the query-norm
-    // factor is constant across rows, so ranking matches approx cosine.
-    // 64 dims x 127^2 tops out near 2^20 — int accumulators are safe.
-    def approxScore(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(codes(a), codes(b),
-          (x, y) => struct((x * y).as("d"), (x * x).as("n"))),
-        struct(lit(0).as("d"), lit(0).as("n")),
-        (acc, v) => struct((acc("d") + v("d")).as("d"),
-          (acc("n") + v("n")).as("n")),
-        acc => acc("d").cast("double") /
-          sqrt(greatest(acc("n").cast("double"), lit(1e-30))))
     val emb = Tables.embeddings(s, d)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
     emb.crossJoin(broadcast(q))
       .select($"vec_id", $"embedding", $"qe",
-        approxScore($"embedding", $"qe").as("approx"))
+        call_function("vec_quant_score", $"embedding", $"qe").as("approx"))
       .orderBy($"approx".desc, $"vec_id".asc)
       .limit(50) // shortlist: TakeOrderedAndProject, never a full sort
       .select($"vec_id",

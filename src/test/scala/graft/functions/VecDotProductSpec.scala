@@ -36,6 +36,39 @@ class VecDotProductSpec extends SparkTestBase {
     assert(out(3L).contains(3.0))    // min-length prefix
   }
 
+  test("vec_quant_score: self-score = |codes|, ranking tracks exact " +
+      "cosine on random vectors, null propagates") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val q = vecs.head._2
+    // a vector scored against itself: dot/|qa| = |qa| = sqrt(int norm),
+    // and 127/max|x| quantization makes at least one code = +-127
+    val self = df.select(
+      call_function("vec_quant_score", $"v", $"v").as("s")).collect()
+    for (r <- self) {
+      val s = r.getDouble(0)
+      assert(s >= 127.0 && s <= 127.0 * 8, s"self-score |codes| = $s")
+    }
+    // int8 error ~1e-3: the approx TOP-10 against a fixed query must
+    // overlap the exact cosine top-10 heavily (the shortlist-recall
+    // property sim_quantized_topk's oracle leans on, in miniature)
+    val scored = df.select($"id",
+      call_function("vec_quant_score", $"v", typedLit(q)).as("approx"),
+      (call_function("vec_dot", $"v", typedLit(q)) /
+        sqrt(call_function("vec_dot", $"v", $"v"))).as("exact"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val topApprox = scored.sortBy(-_._2).take(10).map(_._1).toSet
+    val topExact = scored.sortBy(-_._3).take(10).map(_._1).toSet
+    assert((topApprox & topExact).size >= 8,
+      s"approx top-10 lost the exact ranking: $topApprox vs $topExact")
+    val nulls = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
+      .select(call_function("vec_quant_score", $"v", $"v")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("vec_dot works in SQL text and inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // row-dependent input so the expression can't be constant-folded away
