@@ -363,6 +363,85 @@ object SketchAlgos {
     inter.toDouble / (aSet.distinctCount + bSet.distinctCount - inter)
   }
 
+  /** Per-document token statistics in ONE row-local pass — the integer
+    * moments every quality filter derives its ratios from: token count,
+    * summed char length, distinct-token count, max term frequency, and
+    * stopword occurrence count. Split semantics replicate
+    * `split(text, " ")` with Java's limit=-1: single-space separators,
+    * empty tokens KEPT ("a  b" -> [a, "", b]; "" -> [""]). Tokenizing,
+    * TF counting, and the moments happen in the same exact
+    * (byte-verified) linear-probe table the shingle kernels use, so a
+    * quality score at 100 TB never shuffles a token — the explode +
+    * per-(doc, term) count + per-doc re-aggregate formulation shuffles
+    * the entire tokenized corpus TWICE for what is per-row math. */
+  def tokenStats(text: UTF8String,
+      stopwords: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    var nTokens = 1 // k separators -> k+1 tokens, empties included
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTokens += 1; i += 1 }
+    val cap = Integer.highestOneBit(math.max(nTokens * 2 - 1, 2)) << 1
+    val mask = cap - 1
+    val slotOff = new Array[Int](cap) // token byte offset + 1 (0 = empty)
+    val slotLen = new Array[Int](cap)
+    val slotHash = new Array[Long](cap)
+    val slotCount = new Array[Int](cap)
+    val slotStop = new Array[Boolean](cap)
+    var sumLen = 0L
+    var nUniq = 0L
+    var nStop = 0L
+    var maxC = 0L
+    var start = 0
+    var p = 0
+    while (p <= bytes.length) {
+      if (p == bytes.length || bytes(p) == 0x20) {
+        val len = p - start
+        var chars = 0
+        var j = start
+        while (j < p) { if ((bytes(j) & 0xC0) != 0x80) chars += 1; j += 1 }
+        sumLen += chars
+        val h = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, len, Seed)
+        var slot = (h & mask).toInt
+        var probing = true
+        while (probing) {
+          if (slotOff(slot) == 0) {
+            slotOff(slot) = start + 1
+            slotLen(slot) = len
+            slotHash(slot) = h
+            slotCount(slot) = 1
+            nUniq += 1
+            var s = 0
+            while (s < stopwords.length && !slotStop(slot)) {
+              val sw = stopwords(s)
+              if (sw.length == len && java.util.Arrays.equals(
+                  bytes, start, start + len, sw, 0, len)) slotStop(slot) = true
+              s += 1
+            }
+            probing = false
+          } else if (slotHash(slot) == h && slotLen(slot) == len &&
+              java.util.Arrays.equals(bytes, slotOff(slot) - 1,
+                slotOff(slot) - 1 + len, bytes, start, start + len)) {
+            slotCount(slot) += 1
+            probing = false
+          } else slot = (slot + 1) & mask
+        }
+        start = p + 1
+      }
+      p += 1
+    }
+    i = 0
+    while (i < cap) {
+      if (slotOff(i) != 0) {
+        if (slotCount(i) > maxC) maxC = slotCount(i)
+        if (slotStop(i)) nStop += slotCount(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens.toLong, sumLen, nUniq, maxC, nStop))
+  }
+
   /** 63-bit SimHash over a token array: per bit, +1 for tokens whose
     * xxhash64 has the bit set, -1 otherwise; the fingerprint sets bit i
     * when the sum is >= 0 (the `when(s >= 0, ...)` tie rule of
@@ -453,6 +532,37 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     s"graft.functions.SketchAlgos.winnowData($c, $k, $w)"
   override def nullSafeEval(input: Any): Any =
     SketchAlgos.winnowData(input.asInstanceOf[UTF8String], k, w)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `token_stats(text, stopCsv)` — one-pass per-document token moments
+  * struct<n_tokens, sum_len, n_uniq, max_c, n_stop> (all long); the
+  * ratio/round math that quality filters apply on top stays in plain
+  * column expressions, so entries derived from these integers are
+  * value-identical to the explode + double-groupBy formulation
+  * (SketchExprSpec). */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  private lazy val stopBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes("UTF-8")).toArray
+
+  override def prettyName: String = "token_stats"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_tokens", "sum_len", "n_uniq", "max_c", "n_stop").map(
+      org.apache.spark.sql.types.StructField(_, LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_stats expects a string column, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.tokenStats(input.asInstanceOf[UTF8String], stopBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopWords", stopBytes, "byte[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchAlgos.tokenStats($c, $stopRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

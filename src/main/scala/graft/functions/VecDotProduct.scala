@@ -181,6 +181,13 @@ object GraftFunctions {
         intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63_md5", exprs => SimHash63Portable(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_stats", exprs => TokenStats(exprs(0), {
+        require(exprs(1).foldable, "stopCsv must be a string literal")
+        val csv = exprs(1).eval()
+        if (csv == null) Nil
+        else csv.toString.split(',').toSeq.filter(_.nonEmpty)
+      }), "scala_udf")
   }
 
   /** For sessions configured with

@@ -142,17 +142,29 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     val surv = Dedup.exact(docs, "doc_id", "text").select($"doc_id")
     val sdocs = docs.join(surv, "doc_id")
-    val tf = sdocs
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-    val q = tf.groupBy($"doc_id").agg(
-      sum($"c").as("n_tokens"),
-      round(sum(length($"term") * $"c").cast("double") / sum($"c"), 4).as("mwl"),
-      round(count(lit(1)).cast("double") / sum($"c"), 4).as("ttr"),
-      round(max($"c").cast("double") / sum($"c"), 4).as("twf"))
+    // quality moments from the one-pass token_stats kernel — the
+    // curation gate shuffles no tokens (SketchExprSpec proves the
+    // integer moments equal the explode + double-groupBy formulation)
+    graft.functions.GraftFunctions.register(s)
+    val q = sdocs
+      .select($"doc_id", call_function("token_stats", $"text", lit("")).as("ts"))
+      .select($"doc_id",
+        $"ts.n_tokens".as("n_tokens"),
+        round($"ts.sum_len".cast("double") / $"ts.n_tokens", 4).as("mwl"),
+        round($"ts.n_uniq".cast("double") / $"ts.n_tokens", 4).as("ttr"),
+        round($"ts.max_c".cast("double") / $"ts.n_tokens", 4).as("twf"))
+    // typed filter, deliberately: a Column predicate here gets
+    // substituted through the projection by PushDownPredicates,
+    // re-inlining the token_stats kernel once per referenced field
+    // (10 evaluations/row — the plan lint pins this at 1); the typed
+    // barrier keeps the gate above the single kernel projection at the
+    // cost of deserializing 5 fields per doc
     val kept = sdocs.join(
-      q.filter($"n_tokens".between(20, 100000) && $"ttr" >= 0.2 &&
-        $"twf" <= 0.2 && $"mwl".between(3, 10)).select($"doc_id"),
+      q.filter((r: org.apache.spark.sql.Row) =>
+        r.getLong(1) >= 20 && r.getLong(1) <= 100000 &&
+          r.getDouble(3) >= 0.2 && r.getDouble(4) <= 0.2 &&
+          r.getDouble(2) >= 3 && r.getDouble(2) <= 10)
+        .select($"doc_id"),
       "doc_id")
     kept.filter(Sampling.hashKeep($"text", "c0"))
       .groupBy($"lang")

@@ -285,10 +285,14 @@ object TextQueries {
   /** Gopher-style document quality gate, adapted to this corpus's
     * signals: token-count bounds, type-token ratio (repetition),
     * top-word fraction, mean word length bounds, stopword fraction.
-    * One explode + one (doc,term) agg + one per-doc agg — every ratio
-    * is an exact-integer double division, so the oracle comparison is
-    * bit-stable with no transcendental math. Emits the per-rule flags
-    * alongside the verdict so a pipeline can report WHY a doc dropped. */
+    * All five integer moments come from ONE row-local `token_stats`
+    * pass (SketchExprSpec proves them equal to the explode + double
+    * groupBy formulation), so the quality gate plans ZERO shuffles
+    * beyond the determinism sort — at 100 TB the old shape shuffled the
+    * tokenized corpus twice. Every ratio is an exact-integer double
+    * division, so the oracle comparison is bit-stable with no
+    * transcendental math. Emits the per-rule flags alongside the
+    * verdict so a pipeline can report WHY a doc dropped. */
   val docQualityFilter: CatalogEntry = CatalogEntry(
     "doc_quality_filter",
     """WITH tok AS (
@@ -316,19 +320,21 @@ object TextQueries {
       |   AND mean_word_len BETWEEN 3 AND 10) AS keep
       |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val stop = Seq("the", "a", "of", "and", "to")
-    val tf = Tables.documents(s, d)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-    val q = tf.groupBy($"doc_id").agg(
-      sum($"c").as("n_tokens"),
-      count(lit(1)).as("n_uniq"),
-      round(sum(length($"term") * $"c").cast("double") / sum($"c"), 4)
-        .as("mean_word_len"),
-      round(count(lit(1)).cast("double") / sum($"c"), 4).as("ttr"),
-      round(max($"c").cast("double") / sum($"c"), 4).as("top_word_frac"),
-      round(coalesce(sum(when($"term".isInCollection(stop), $"c")), lit(0L))
-        .cast("double") / sum($"c"), 4).as("stopword_frac"))
+    graft.functions.GraftFunctions.register(s)
+    val q = Tables.documents(s, d)
+      .select($"doc_id",
+        call_function("token_stats", $"text", lit("the,a,of,and,to"))
+          .as("ts"))
+      .select($"doc_id",
+        $"ts.n_tokens".as("n_tokens"),
+        $"ts.n_uniq".as("n_uniq"),
+        round($"ts.sum_len".cast("double") / $"ts.n_tokens", 4)
+          .as("mean_word_len"),
+        round($"ts.n_uniq".cast("double") / $"ts.n_tokens", 4).as("ttr"),
+        round($"ts.max_c".cast("double") / $"ts.n_tokens", 4)
+          .as("top_word_frac"),
+        round($"ts.n_stop".cast("double") / $"ts.n_tokens", 4)
+          .as("stopword_frac"))
     q.select($"doc_id", $"n_tokens", $"n_uniq", $"mean_word_len", $"ttr",
         $"top_word_frac", $"stopword_frac",
         $"n_tokens".between(20, 100000).as("ok_len"),

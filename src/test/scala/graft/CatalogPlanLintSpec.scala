@@ -80,13 +80,25 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "dedup_simhash_hamming" -> "simhash63",
         "dedup_minhash_portable" -> "minhash_bands_md5",
         "text_simhash_portable" -> "simhash63_md5",
-        "doc_winnow_portable" -> "winnow_fps_md5")) {
+        "doc_winnow_portable" -> "winnow_fps_md5",
+        "doc_quality_filter" -> "token_stats")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
       assert(shuffleCount(physical) <= 1,
         s"$name: sketch + determinism sort allow at most 1 shuffle " +
           s"exchange, got ${shuffleCount(physical)}:\n$physical")
       val optimized = df.queryExecution.optimizedPlan.toString
+      val evals = kernel.r.findAllMatchIn(optimized).size
+      assert(evals == 1,
+        s"$name: kernel $kernel must appear exactly once in the " +
+          s"optimized plan, found $evals:\n$optimized")
+    }
+    // multi-shuffle pipelines that embed a kernel: only the
+    // single-evaluation guard applies (filter pushdown through the
+    // kernel projection would inline it once per referenced field)
+    for ((name, kernel) <- Seq("corpus_curation_e2e" -> "token_stats")) {
+      val optimized = SparkEntry.catalog(name).query(spark, sf)
+        .queryExecution.optimizedPlan.toString
       val evals = kernel.r.findAllMatchIn(optimized).size
       assert(evals == 1,
         s"$name: kernel $kernel must appear exactly once in the " +

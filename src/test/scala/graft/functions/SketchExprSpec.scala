@@ -138,6 +138,38 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     natJaccard(df, 2) shouldBe refJaccard(df, 2)
   }
 
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  private def refTokenStats(df: DataFrame): Map[Long, (Long, Long, Long, Long, Long)] =
+    df.select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"),
+        sum(org.apache.spark.sql.functions.length($"term") * $"c")
+          .as("sum_len"),
+        count(lit(1)).as("n_uniq"),
+        max($"c").as("max_c"),
+        coalesce(sum(when($"term".isInCollection(stop), $"c")), lit(0L))
+          .as("n_stop"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  private def natTokenStats(df: DataFrame): Map[Long, (Long, Long, Long, Long, Long)] =
+    df.select($"doc_id",
+      call_function("token_stats", $"text", lit(stop.mkString(","))).as("ts"))
+      .select($"doc_id", $"ts.n_tokens", $"ts.sum_len", $"ts.n_uniq",
+        $"ts.max_c", $"ts.n_stop")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("token_stats matches the explode + double-groupBy moments, " +
+      "including empty tokens and stopword counts") {
+    val df = corpus(edgeTexts :+ "the cat and the dog and the bird to fly")
+    natTokenStats(df) shouldBe refTokenStats(df)
+  }
+
   test("simhash63 is bit-exact with the 63-conditional-sum formulation") {
     val df = corpus(edgeTexts.filter(_.nonEmpty)) // explode drops no rows here
     natSimhash(df) shouldBe refSimhash(df)
@@ -158,7 +190,8 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       val simOk = natSimhash(nonEmpty) == refSimhash(nonEmpty)
       val paired = pairedCorpus(texts)
       val jacOk = natJaccard(paired, 3) == refJaccard(paired, 3)
-      sigOk && bandsOk && winnowOk && simOk && jacOk
+      val tsOk = natTokenStats(df) == refTokenStats(df)
+      sigOk && bandsOk && winnowOk && simOk && jacOk && tsOk
     }
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(5)
