@@ -86,7 +86,19 @@ case class VecDotProduct(left: Expression, right: Expression)
   * 1/4 the bytes of the float scan; locally both live in one pass —
   * the int accumulators (64 dims x 127^2 < 2^21) and the plan shape
   * are what carry over. Replaces a 3-deep interpreted HOF chain
-  * (transform + zip_with + aggregate with a struct accumulator). */
+  * (transform + zip_with + aggregate with a struct accumulator).
+  *
+  * Semantics vs the HOF form it replaced (exact where it matters, the
+  * candidate ORDERING feeding the exact rescore — documented like
+  * VecDotProduct's null/length contract):
+  *   - mismatched lengths score the min-length PREFIX (the HOF
+  *     `zip_with` zero-pads the shorter side instead; embeddings in
+  *     this engine are fixed-dim so neither path is exercised);
+  *   - `Math.round` is half-up toward +inf, SQL `round` is half away
+  *     from zero — they differ only when a NEGATIVE component lands
+  *     exactly on a .5 quantization boundary, shifting that code by
+  *     1/127 of scale. Candidate sets are re-scored exactly, so a
+  *     boundary flip can only reorder the quantized PRE-ranking. */
 case class VecQuantScore(left: Expression, right: Expression)
     extends BinaryExpression {
 

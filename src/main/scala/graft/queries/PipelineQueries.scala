@@ -140,6 +140,10 @@ object PipelineQueries {
     import graft.Tables
     import graft.ext.{Dedup, Sampling, TextOps}
     val docs = Tables.documents(s, d)
+      // null text: every downstream stage (dedup digest, token_stats
+      // kernel, md5 sample hash) treats null differently from ''; the
+      // oracle's tokenize CTE drops such docs — drop them at the scan
+      .where($"text".isNotNull)
     val surv = Dedup.exact(docs, "doc_id", "text").select($"doc_id")
     val sdocs = docs.join(surv, "doc_id")
     // quality moments from the one-pass token_stats kernel — the
@@ -160,10 +164,15 @@ object PipelineQueries {
     // barrier keeps the gate above the single kernel projection at the
     // cost of deserializing 5 fields per doc
     val kept = sdocs.join(
-      q.filter((r: org.apache.spark.sql.Row) =>
-        r.getLong(1) >= 20 && r.getLong(1) <= 100000 &&
-          r.getDouble(3) >= 0.2 && r.getDouble(4) <= 0.2 &&
-          r.getDouble(2) >= 3 && r.getDouble(2) <= 10)
+      q.filter { (r: org.apache.spark.sql.Row) =>
+        // by-name access: a select-order change must not silently
+        // re-bind a threshold to a different moment
+        val nTok = r.getAs[Long]("n_tokens")
+        nTok >= 20 && nTok <= 100000 &&
+          r.getAs[Double]("ttr") >= 0.2 &&
+          r.getAs[Double]("twf") <= 0.2 &&
+          r.getAs[Double]("mwl") >= 3 && r.getAs[Double]("mwl") <= 10
+      }
         .select($"doc_id"),
       "doc_id")
     kept.filter(Sampling.hashKeep($"text", "c0"))

@@ -193,7 +193,7 @@ object TextQueries {
       .select($"doc_id",
         call_function("winnow_fps", $"text", lit(5), lit(4)).as("fps"))
       .select($"doc_id",
-        size($"fps").cast("long").as("n_fingerprints"),
+        coalesce(size($"fps").cast("long"), lit(0L)).as("n_fingerprints"),
         when(size($"fps") > 0, element_at($"fps", 1)).as("min_fp"),
         when(size($"fps") > 0, element_at($"fps", -1)).as("max_fp"))
       .orderBy($"doc_id")
@@ -322,6 +322,10 @@ object TextQueries {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val q = Tables.documents(s, d)
+      // null text: the oracle's tokenize-CTE drops the row (unnest of a
+      // NULL list); token_stats(null) would instead keep an all-null
+      // row — filter the input column like text_simhash does
+      .where($"text".isNotNull)
       .select($"doc_id",
         call_function("token_stats", $"text", lit("the,a,of,and,to"))
           .as("ts"))
@@ -527,17 +531,25 @@ object TextQueries {
       |  FROM g
       |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
-      |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4)
-      |SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
-      |  min(fp) AS min_fp, max(fp) AS max_fp
-      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4),
+      |p AS (SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+      |        min(fp) AS min_fp, max(fp) AS max_fp
+      |      FROM f GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+      |  p.min_fp, p.max_fp
+      |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select($"doc_id",
         call_function("winnow_fps_md5", $"text", lit(5), lit(4)).as("fps"))
       .select($"doc_id",
-        size($"fps").cast("long").as("n_fingerprints"),
+        // profile semantics: every doc reports a row; short docs (< one
+        // full window) and null text report 0 fingerprints — the oracle
+        // LEFT JOINs back to documents so both engines agree
+        coalesce(size($"fps").cast("long"), lit(0L)).as("n_fingerprints"),
         when(size($"fps") > 0, element_at($"fps", 1)).as("min_fp"),
         when(size($"fps") > 0, element_at($"fps", -1)).as("max_fp"))
       .orderBy($"doc_id")

@@ -93,7 +93,11 @@ object StreamDedup {
                 hits += NearDupHit(math.min(sid, r.doc_id),
                   math.max(sid, r.doc_id), band, h)
             }
-            seen = ((r.doc_id, r.fp) :: seen).take(stateDocsPerBand)
+            // a re-delivered doc_id replaces its old entry (state stays
+            // one entry per doc) instead of shrinking FIFO capacity and
+            // re-emitting its pairs on every arrival
+            seen = ((r.doc_id, r.fp) :: seen.filterNot(_._1 == r.doc_id))
+              .take(stateDocsPerBand)
           }
           state.update(seen)
           hits.result().iterator

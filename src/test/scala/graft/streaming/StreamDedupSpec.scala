@@ -102,6 +102,38 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a re-delivered doc_id replaces its state entry: no self-pairs, " +
+      "no re-emission, and FIFO capacity is not consumed") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = StreamDedup.nearDupBySimhash(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      stateDocsPerBand = 2)
+      .writeStream.format("memory").queryName("stream_neardup_redeliver")
+      .outputMode("append").start()
+    try {
+      source.addData(1L -> base); q.processAllAvailable()
+      // re-deliver doc 1 twice: must not pair with itself, must not
+      // occupy a second state slot
+      source.addData(1L -> base); q.processAllAvailable()
+      source.addData(1L -> base); q.processAllAvailable()
+      source.addData(2L -> base); q.processAllAvailable() // pairs with 1
+      source.addData(3L -> base); q.processAllAvailable() // pairs with 1 AND 2
+      val got = spark.table("stream_neardup_redeliver")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // cap=2 with dedup'd state holds {1,2} when 3 arrives; if
+      // re-deliveries stacked, doc 1 would fill both slots and (1,3)
+      // would emit twice while (2,3) never could after eviction
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"re-delivery must not shrink capacity or self-pair, got $got")
+      val pairCounts = spark.table("stream_neardup_redeliver")
+        .groupBy($"id_a", $"id_b", $"band").count()
+        .filter($"count" > 1).count()
+      assert(pairCounts == 0, "no (pair, band) emitted more than once")
+    } finally q.stop()
+  }
+
   test("emitted rows carry the 64-hex content digest for downstream joins") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
