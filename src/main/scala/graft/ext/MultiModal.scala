@@ -84,27 +84,58 @@ object MultiModal {
   final class PngCodec(deflateQuality: Option[Float] = None) {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import javax.imageio.{IIOImage, ImageIO, ImageReader, ImageWriteParam}
+    import javax.imageio.stream.{ImageInputStream,
+      MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
-    /** PNG-encode through one reused writer instance (per-partition
-      * statefulness, like the reader path), honouring
+    // ImageIO defaults to DISK-backed stream caches: every
+    // createImageInputStream/createImageOutputStream call creates and
+    // deletes a temp FILE. For in-memory byte[] codec work that is pure
+    // overhead (and temp-dir contention across 32 executor threads made
+    // the media entries the most jitter-prone in the whole bench), so
+    // this codec constructs MemoryCache streams directly and disables
+    // the JVM-global cache flag for any residual ImageIO entry points.
+    ImageIO.setUseCache(false)
+
+    // One writer/reader instance held per codec = per partition, reused
+    // across that partition's rows. The ImageIO registry walk
+    // (getImageWritersByFormatName / getImageReaders) is a synchronized
+    // provider scan; per-row lookups serialize across executor threads —
+    // the same 30x pathology measured for AudioSystem in [[WavCodec]].
+    private val writer = ImageIO.getImageWritersByFormatName("png").next()
+    private var cachedReader: ImageReader = null
+
+    /** Content-sniffed reader, cached across rows: re-probes the cached
+      * instance's own provider first (spec-required to reset the stream
+      * position), falls back to a registry scan only on format change. */
+    private def readerFor(iis: ImageInputStream, id: Long): ImageReader = {
+      if (cachedReader != null &&
+          cachedReader.getOriginatingProvider.canDecodeInput(iis)) {
+        cachedReader
+      } else {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no codec for media id=$id")
+        cachedReader = readers.next()
+        cachedReader
+      }
+    }
+
+    /** PNG-encode through the reused writer instance, honouring
       * `deflateQuality` when set. */
     private def writePng(img: BufferedImage): Array[Byte] = {
       val out = new ByteArrayOutputStream()
-      deflateQuality match {
-        case None => ImageIO.write(img, "png", out)
-        case Some(q) =>
-          val writer = ImageIO.getImageWritersByFormatName("png").next()
-          try {
+      val ios = new MemoryCacheImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        deflateQuality match {
+          case None => writer.write(null, new IIOImage(img, null, null), null)
+          case Some(q) =>
             val param = writer.getDefaultWriteParam
             param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
             param.setCompressionQuality(q)
-            val ios = ImageIO.createImageOutputStream(out)
-            writer.setOutput(ios)
             writer.write(null, new IIOImage(img, null, null), param)
-            ios.close()
-          } finally writer.dispose()
-      }
+        }
+      } finally ios.close()
       out.toByteArray
     }
 
@@ -113,16 +144,18 @@ object MultiModal {
       * distinct pixels). */
     def encode(id: Long, width: Int, height: Int): Array[Byte] = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y, (((x * 255 / width) << 16) |
-            ((y * 255 / height) << 8) | ((id % 256).toInt)) & 0xffffff)
+          px(y * width + x) = (((x * 255 / width) << 16) |
+            ((y * 255 / height) << 8) | ((id % 256).toInt)) & 0xffffff
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, width, height, px, 0, width)
       writePng(img)
     }
 
@@ -132,7 +165,13 @@ object MultiModal {
       * JDK. */
     def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
       require(width > 0 && height > 0, s"bad target ${width}x$height")
-      val src = ImageIO.read(new ByteArrayInputStream(bytes))
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      val src =
+        try {
+          val reader = readerFor(iis, -1L)
+          reader.setInput(iis)
+          try reader.read(0) finally reader.setInput(null)
+        } finally iis.close()
       require(src != null, "undecodable image bytes")
       val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -147,20 +186,20 @@ object MultiModal {
     /** Decode real image bytes: dimensions from the actual decoded
       * raster, format from the matched ImageIO reader. */
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      val readers = ImageIO.getImageReaders(iis)
-      require(readers.hasNext, s"no codec for media id=$id")
-      val reader = readers.next()
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
       try {
+        val reader = readerFor(iis, id)
         reader.setInput(iis)
-        val img = reader.read(0)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-        DecodedMedia(id, bytes.length,
-          "image/" + reader.getFormatName.toLowerCase,
-          img.getWidth, img.getHeight, h)
-      } finally { reader.dispose(); iis.close() }
+        try {
+          val img = reader.read(0)
+          var h = 1125899906842597L
+          var i = 0
+          while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+          DecodedMedia(id, bytes.length,
+            "image/" + reader.getFormatName.toLowerCase,
+            img.getWidth, img.getHeight, h)
+        } finally reader.setInput(null)
+      } finally iis.close()
     }
   }
 
@@ -355,6 +394,17 @@ object MultiModal {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.{IIOImage, ImageIO}
+    import javax.imageio.stream.{MemoryCacheImageInputStream,
+      MemoryCacheImageOutputStream}
+
+    // Same per-partition statefulness as [[PngCodec]]: memory-cached
+    // streams (no per-row temp files) and ONE writer/reader instance
+    // reused across the partition's rows instead of a synchronized
+    // registry walk + dispose per row — the per-row lookups made this
+    // codec the slowest, highest-variance entry in the whole bench.
+    ImageIO.setUseCache(false)
+    private val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    private val reader = ImageIO.getImageReadersByFormatName("gif").next()
 
     /** Deterministic synthetic animation → real GIF89a bytes: per-frame
       * gradient pattern shifted by (id, frame), so distinct ids and
@@ -362,9 +412,9 @@ object MultiModal {
     def encode(id: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
       require(width > 0 && height > 0 && nFrames > 0,
         s"bad gif spec ${width}x$height x$nFrames")
-      val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val out = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(out)
+      val ios = new MemoryCacheImageOutputStream(out)
+      val px = new Array[Int](width * height)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
@@ -375,18 +425,19 @@ object MultiModal {
           while (y < height) {
             var x = 0
             while (x < width) {
-              img.setRGB(x, y, (((x * 255 / width) << 16) |
+              px(y * width + x) = (((x * 255 / width) << 16) |
                 ((y * 255 / height) << 8) |
-                (((id + f * 31) % 256).toInt)) & 0xffffff)
+                (((id + f * 31) % 256).toInt)) & 0xffffff
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, width, height, px, 0, width)
           writer.writeToSequence(new IIOImage(img, null, null), null)
           f += 1
         }
         writer.endWriteSequence()
-      } finally { ios.close(); writer.dispose() }
+      } finally ios.close()
       out.toByteArray
     }
 
@@ -397,8 +448,7 @@ object MultiModal {
     def decodeSampled(id: Long, bytes: Array[Byte],
         nSample: Int): DecodedFrames = {
       require(nSample >= 2, s"nSample must be >= 2, got $nSample")
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis)
         val nFrames = reader.getNumImages(/* allowSearch = */ true)
@@ -420,7 +470,7 @@ object MultiModal {
         DecodedFrames(id, bytes.length,
           "image/" + reader.getFormatName.toLowerCase,
           w, ht, nFrames, idxs.length, idxs.map(_.toLong).sum, h)
-      } finally { reader.dispose(); iis.close() }
+      } finally { reader.setInput(null); iis.close() }
     }
   }
 
