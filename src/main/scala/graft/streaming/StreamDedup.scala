@@ -93,9 +93,12 @@ object StreamDedup {
                 hits += NearDupHit(math.min(sid, r.doc_id),
                   math.max(sid, r.doc_id), band, h)
             }
-            // a re-delivered doc_id replaces its old entry (state stays
-            // one entry per doc) instead of shrinking FIFO capacity and
-            // re-emitting its pairs on every arrival
+            // a re-delivered doc_id replaces its old entry, so state
+            // stays one entry per doc instead of shrinking FIFO capacity
+            // and causing peers to emit duplicate pairs. The re-delivery
+            // itself still re-compares against the bucket and re-emits
+            // its (already-seen) pairs once per arrival — absorbed by
+            // the same downstream (id_a, id_b) dedup as multi-band hits.
             seen = ((r.doc_id, r.fp) :: seen.filterNot(_._1 == r.doc_id))
               .take(stateDocsPerBand)
           }

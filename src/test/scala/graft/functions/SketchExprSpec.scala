@@ -21,6 +21,10 @@ class SketchExprSpec extends SparkTestBase with Matchers {
 
   GraftFunctions.register(spark)
 
+  /** `functions.size` under a name Matchers' `size` word can't shadow. */
+  private def fsize(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   private val edgeTexts = Seq(
     "the quick brown fox jumps over the lazy dog tonight",
     "", "a", "ab", "abc", "abcd", "   ", "a  b",
@@ -198,6 +202,45 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       .withInitialSeed(Seed(424242L))
     val res = SCTest.check(params, prop)
     assert(res.passed, s"sketch equivalence: ${res.status}")
+  }
+
+  test("winnow profile semantics: null text and shorter-than-window docs " +
+      "report 0 fingerprints with null min/max (doc_winnow_portable shape)") {
+    // The sf corpus has no null-text or sub-window documents, so the
+    // catalog entry's coalesce/when projection never exercises these
+    // paths there — pin them on an inline fixture instead. k=5, w=4:
+    // a doc needs >= k+w-1 = 8 chars for one full window.
+    val df = Seq(
+      (1L, null: String),       // null in  -> null fps array
+      (2L, "abc"),              // < k      -> zero k-grams
+      (3L, "abcdef"),           // 2 k-grams < one full window
+      (4L, "abcdefgh"),         // exactly one full window
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        call_function("winnow_fps_md5", $"text", lit(5), lit(4)).as("fps"))
+      .select($"doc_id",
+        coalesce(fsize($"fps").cast("long"), lit(0L)).as("n_fingerprints"),
+        when(fsize($"fps") > 0, element_at($"fps", 1)).as("min_fp"),
+        when(fsize($"fps") > 0, element_at($"fps", -1)).as("max_fp"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      got(id) shouldBe ((0L, None, None))
+    got(4L)._1 shouldBe 1L
+    got(4L)._2 shouldBe got(4L)._3 // single window: min == max
+    got(5L)._1 should be > 1L
+    assert(got(5L)._2.get.asInstanceOf[Long] <=
+      got(5L)._3.get.asInstanceOf[Long])
+    // the production-hash kernel agrees on the empty/null contract
+    val prod = df.select($"doc_id",
+        call_function("winnow_fps", $"text", lit(5), lit(4)).as("fps"))
+      .select($"doc_id",
+        coalesce(fsize($"fps").cast("long"), lit(0L)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L, 3L)) prod(id) shouldBe 0L
+    prod(4L) shouldBe 1L
   }
 
   test("kernels run inside whole-stage codegen (no fallback to eval)") {

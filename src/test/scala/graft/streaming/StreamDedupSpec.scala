@@ -134,6 +134,42 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a doc re-delivered AFTER a peer is in state re-emits its pairs " +
+      "exactly once per arrival (downstream-deduped), state unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = StreamDedup.nearDupBySimhash(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      stateDocsPerBand = 2)
+      .writeStream.format("memory").queryName("stream_neardup_repeer")
+      .outputMode("append").start()
+    try {
+      source.addData(1L -> base); q.processAllAvailable()
+      source.addData(2L -> base); q.processAllAvailable() // (1,2) emitted
+      // re-deliver doc 1 with peer 2 already in state: the arrival
+      // re-compares against its bucket, so (1,2) is emitted ONE more
+      // time per shared band — the documented behavior the downstream
+      // (id_a, id_b) dedup absorbs — never 2+ per arrival (stacked
+      // state) and never a self-pair
+      source.addData(1L -> base); q.processAllAvailable()
+      val rows = spark.table("stream_neardup_repeer")
+        .select($"id_a", $"id_b", $"band").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      assert(rows.map(_._1).toSet == Set((1L, 2L)), "only the (1,2) pair")
+      val perBand = rows.groupBy(identity).map(_._2.size)
+      assert(perBand.forall(_ == 2),
+        s"each shared band: initial + exactly one re-emission, got ${
+          rows.groupBy(identity).view.mapValues(_.size).toMap}")
+      // ...and the re-delivery left state one-entry-per-doc: a third doc
+      // still pairs with BOTH 1 and 2 at cap=2
+      source.addData(3L -> base); q.processAllAvailable()
+      val afterThird = spark.table("stream_neardup_repeer")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterThird == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"$afterThird")
+    } finally q.stop()
+  }
+
   test("emitted rows carry the 64-hex content digest for downstream joins") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
