@@ -12,9 +12,26 @@ import org.apache.spark.sql.SparkSession
   *     the correctness gate never checked;
   *   - one untimed warm-up pass first, so JVM/Spark/codegen startup
   *     isn't billed to whichever query happens to run first;
-  *   - median of 3 timed runs per query — the r2 artifact recorded a
-  *     single-shot 17s GC/JIT hiccup for a 1.4s query; a median absorbs
-  *     one outlier, so two bench runs agree within noise;
+  *   - median of 3 timed runs per query, INTERLEAVED as full catalog
+  *     sweeps (run every query once, then repeat) rather than 3
+  *     back-to-back runs: the r2 artifact recorded a single-shot 17s
+  *     GC/JIT hiccup for a 1.4s query, and the r8 artifact showed a
+  *     several-minute session-pressure window inflating one
+  *     alphabetical stretch of back-to-back triples 10-30x — with
+  *     sweeps, each query's 3 samples are minutes apart, so a transient
+  *     window can tax at most one sample and the median sheds it;
+  *   - System.gc() between sweeps: it both stops heap growth from
+  *     biasing later sweeps and lets Spark's ContextCleaner reclaim
+  *     accumulated broadcast/RDD state (~400 query executions share one
+  *     session here);
+  *   - a fixed CPU calibration probe (single-thread and all-thread LCG
+  *     spin) timed before each sweep, reported as calib1_sec /
+  *     calibN_sec: the probe's cost is machine-constant, so a probe
+  *     reading far above its recorded baseline means THE SESSION was
+  *     slow (co-located load, CPU contention), not the engine — the r7
+  *     bench read 1.478x baseline on a commit that changed no plans,
+  *     and without a calibration record that is indistinguishable from
+  *     a real regression;
   *   - emit the JSON line on stdout AND to bench_out.json, because the
   *     stdout line drowns in sbt log noise ("parsed": null in r01);
   *   - split the total into production vs verification subtotals: the
@@ -33,6 +50,33 @@ object Bench {
   val verificationOnly: Set[String] =
     Set("doc_winnow_portable", "dedup_minhash_portable",
       "text_simhash_portable")
+
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+
+  private def lcgSpin(iters: Long): Long = {
+    var h = 0L
+    var i = 0L
+    while (i < iters) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    h
+  }
+
+  /** Fixed-cost CPU probe: `threads` concurrent LCG spins of 2e8 steps
+    * each. Pure integer ALU work — no allocation, no I/O — so its wall
+    * time moves ONLY with machine load/contention, never with any code
+    * in this repo. */
+  private def calibrate(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => { calibSink = lcgSpin(200000000L) })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -57,10 +101,20 @@ object Bench {
     }
 
     names.foreach(runOnce) // warm-up: fills code/metadata caches, untimed
+    // 3 interleaved sweeps: each query's samples land minutes apart, so
+    // a transient contention window taxes at most one of its 3 samples.
+    val sweeps = (1 to 3).map { _ =>
+      System.gc()
+      val c1 = calibrate(1)
+      val cN = calibrate(cpus.toInt)
+      (c1, cN, names.map(n => n -> runOnce(n)).toMap)
+    }
     val results = names.map { n =>
-      val t = Seq.fill(3)(runOnce(n))
+      val t = sweeps.map(_._3(n))
       n -> (if (t.contains(-1.0)) -1.0 else t.sorted.apply(1)) // median of 3
     }
+    val calib1 = sweeps.map(_._1).sorted.apply(1)
+    val calibN = sweeps.map(_._2).sorted.apply(1)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -78,15 +132,15 @@ object Bench {
     // a flat JSON object; scrape it with regexes (no JSON library on
     // the allowed deps).
     val baselinePath = Paths.get("BASELINE_BENCH.json")
-    val vsBaseline: Option[Double] =
-      if (!Files.exists(baselinePath)) None
+    val (vsBaseline, vsBaselineCal): (Option[Double], Option[Double]) =
+      if (!Files.exists(baselinePath)) (None, None)
       else {
         val text = Files.readString(baselinePath)
         val baseSf = """"sf":\s*"([^"]+)"""".r
           .findFirstMatchIn(text).map(_.group(1))
         val baseCpus = """"cpus":\s*"?([0-9]+)"?""".r
           .findFirstMatchIn(text).map(_.group(1))
-        if (!baseSf.contains(sfDir) || !baseCpus.contains(cpus)) None
+        if (!baseSf.contains(sfDir) || !baseCpus.contains(cpus)) (None, None)
         else {
           val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
           val base = kv.findAllMatchIn(text)
@@ -95,15 +149,29 @@ object Bench {
             case (k, v) if v >= 0 && base.contains(k) &&
               !verificationOnly(k) => (v, base(k)) }
           val baseSum = shared.map(_._2).sum
-          if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
+          val raw =
+            if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
+          // Session-speed-normalized ratio: divide out how much slower
+          // this session ran the fixed CPU probe than the baseline
+          // session did. raw answers "is this run slower than the
+          // recorded one"; calibrated answers "did the PLANS get
+          // slower". Both are reported — neither replaces the other.
+          val cal = for {
+            r <- raw
+            b <- base.get("calibn_sec") if b > 0 && calibN > 0
+          } yield r * b / calibN
+          (raw, cal)
         }
       }
-    val extra = vsBaseline
-      .map(r => s""","vs_baseline":${math.rint(r * 1000) / 1000}""")
-      .getOrElse("")
+    def ratio3(name: String, v: Option[Double]): String =
+      v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
+    val extra = ratio3("vs_baseline", vsBaseline) +
+      ratio3("vs_baseline_cal", vsBaselineCal)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""production_sec":$prod,"verification_sec":${total - prod}""" +
+        s""""production_sec":$prod,"verification_sec":${total - prod},""" +
+        s""""calib1_sec":${math.rint(calib1 * 1000) / 1000},""" +
+        s""""calibn_sec":${math.rint(calibN * 1000) / 1000}""" +
         s"""$extra,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line)
