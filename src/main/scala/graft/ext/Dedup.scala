@@ -147,4 +147,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Distinct token n-grams per row as a column expression; short rows
+    * (< n tokens) yield an empty array — `sequence()` flips to a
+    * DESCENDING range on a negative span, so the short side must be
+    * guarded, not clamped. */
+  def tokenNgrams(textCol: Column, n: Int): Column = {
+    val toks = TextOps.tokens(textCol)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train/eval contamination counts — the decontamination primitive of
+    * an LLM training-data pipeline: for every corpus document sharing at
+    * least one token `n`-gram with `evalDocs` (a benchmark/eval suite),
+    * the count of its distinct n-grams that appear anywhere in the eval
+    * set. Standard overlap rule (n=13 in the GPT-3/PaLM data cards):
+    * any hit marks the document for exclusion; the count grades
+    * severity (verbatim copy vs one shared boilerplate sentence).
+    *
+    * 100 TB shape: eval suites are MBs, so their distinct-gram set is
+    * BROADCAST and the corpus is scanned exactly once with no
+    * corpus-wide shuffle — per-doc grams explode, survive the broadcast
+    * inner join only on a hit (rare in a clean corpus), and only hits
+    * reach the per-doc count exchange. Production would hash grams to
+    * int64 (xxhash64) to shrink the broadcast ~10x; gram TEXT is kept
+    * so a SQL oracle can replay the pipeline verbatim. */
+  def ngramOverlapCounts(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val corpusGrams = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), tokenNgrams(col(textCol), n).as("gs"))
+    val evalGrams = evalDocs
+      .where(col(textCol).isNotNull)
+      .select(explode(tokenNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    corpusGrams
+      .select(col(idCol), explode(col("gs")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+  }
 }

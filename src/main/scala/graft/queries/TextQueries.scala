@@ -555,10 +555,51 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Train/eval CONTAMINATION detection — the decontamination step of an
+    * LLM training-data pipeline: flag corpus documents sharing any
+    * 13-token n-gram with an eval/benchmark set (the overlap rule the
+    * GPT-3/PaLM data cards describe). Here the eval set is the
+    * deterministic `doc_id % 101 = 0` slice of the corpus standing in
+    * for a benchmark suite; eval docs self-flag by construction and any
+    * duplicated/plagiarized doc flags with them (at sf0.1 the corpus'
+    * duplicated docs produce real non-eval hits).
+    *
+    * 100 TB shape: the eval side is tiny (benchmark suites are MBs) —
+    * its distinct n-gram set is BROADCAST, so the corpus is scanned
+    * once with NO corpus-wide shuffle: per-doc grams explode, survive
+    * the broadcast inner join only on a hit (rare by construction in a
+    * clean corpus), and only those hits reach the per-doc count — the
+    * one exchange carries flagged (doc_id, gram) pairs, not the corpus.
+    * Production would hash grams to int64 (xxhash64) to shrink the
+    * broadcast ~10x; raw gram TEXT is kept here so the DuckDB oracle
+    * replays the pipeline verbatim. */
+  val decontamNgramOverlap: CatalogEntry = CatalogEntry(
+    "decontam_ngram_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(list_slice(toks, i, i + 12), ' ')
+      |                   for i in range(1, greatest(len(toks) - 11, 1))]) AS gs
+      |  FROM t),
+      |e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 101 = 0),
+      |h AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+      |SELECT h.doc_id, count(*)::BIGINT AS n_hit
+      |FROM h JOIN e ON h.gram = e.gram
+      |GROUP BY h.doc_id
+      |ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.ngramOverlapCounts(docs, docs.where($"doc_id" % 101 === 0),
+        "doc_id", "text", n = 13)
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
     textNormalize, dedupMinhashPortable, textSimhashPortable,
-    docWinnowPortable, dedupSimhashHamming)
+    docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap)
 }

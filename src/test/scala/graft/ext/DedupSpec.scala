@@ -119,4 +119,28 @@ class DedupSpec extends SparkTestBase {
       "exact-dup clusters must be present for the test to have teeth")
     assert(!want.exists(p => p._1 == 6L || p._2 == 6L))
   }
+
+  test("ngramOverlapCounts: planted 13-gram contamination is flagged, " +
+      "12-token overlap and short docs are not") {
+    // eval doc: 20 tokens t1..t20
+    val evalText = (1 to 20).map(i => s"t$i").mkString(" ")
+    val plagiarized = // a verbatim 13-token span inside fresh context
+      "intro words " + (3 to 15).map(i => s"t$i").mkString(" ") + " outro"
+    val nearMiss = // only 12 consecutive shared tokens: below the rule
+      "intro words " + (3 to 14).map(i => s"t$i").mkString(" ") + " outro"
+    val clean = (1 to 30).map(i => s"u$i").mkString(" ")
+    val short = "t1 t2 t3" // < 13 tokens: zero grams, empty-array branch
+    val docs = Seq(
+      100L -> evalText, // the eval doc itself, present in the corpus
+      1L -> plagiarized, 2L -> nearMiss, 3L -> clean, 4L -> short,
+      (5L, null: String))
+      .toDF("doc_id", "text")
+    val evalDocs = docs.where($"doc_id" === 100L)
+    val got = Dedup.ngramOverlapCounts(docs, evalDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // eval doc self-hits all its 8 distinct 13-grams; the plagiarized
+    // doc shares exactly one (t3..t15)
+    assert(got == Map(100L -> 8L, 1L -> 1L),
+      s"expected exactly the planted contamination, got $got")
+  }
 }
