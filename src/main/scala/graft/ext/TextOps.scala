@@ -83,4 +83,26 @@ object TextOps {
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^\\w\\s]", "")))
       .cast("double") / length(text)
+
+  /** PII patterns for corpus scrubbing (the C4-style regex pass).
+    * Deliberately restricted to the regex subset Java and RE2 agree on
+    * (character classes, bounded repeats, ASCII \b — no lookaround, no
+    * backreferences) so a SQL engine can replay the scrub verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Occurrence count of `re` in `text` (codegen'd, no UDF). */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Redact emails, then IPv4s, then phone numbers — email first so an
+    * address' dotted domain can never be half-eaten as an IP. Each class
+    * gets a typed sentinel, preserving downstream tokenization. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

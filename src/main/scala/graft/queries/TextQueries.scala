@@ -596,10 +596,70 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** PII detection + scrubbing — the C4-style regex cleaning pass of a
+    * training-data pipeline: count and redact emails / IPv4s / phone
+    * numbers per document. The sf corpus carries no PII, so the entry
+    * first INJECTS deterministic PII into id-selected docs (1/7 emails,
+    * 1/11 IPs, 1/13 phones — pure arithmetic both engines replay), then
+    * detects and scrubs it; the oracle hash covers the per-class counts
+    * AND the md5 of the scrubbed text, so a green run proves the
+    * patterns matched the same spans and the redaction byte-for-byte
+    * agrees cross-engine. Patterns live in [[TextOps]] restricted to
+    * the Java/RE2-common regex subset. 100 TB shape: narrow per-row
+    * expressions, codegen'd, no UDF, no shuffle before the final
+    * determinism sort. */
+  val piiScrub: CatalogEntry = CatalogEntry(
+    "pii_scrub",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text
+      |      || CASE WHEN doc_id % 7 = 0
+      |           THEN ' contact user' || doc_id || '@mail.example.com'
+      |           ELSE '' END
+      |      || CASE WHEN doc_id % 11 = 0
+      |           THEN ' from 10.0.' || (doc_id % 200) || '.1' ELSE '' END
+      |      || CASE WHEN doc_id % 13 = 0
+      |           THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |           ELSE '' END AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+      |    len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+      |  FROM aug)
+      |SELECT doc_id, n_emails, n_ips, n_phones, md5(scrubbed) AS scrub_md5
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val aug = concat($"text",
+      when($"doc_id" % 7 === 0, concat(lit(" contact user"),
+        $"doc_id".cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 11 === 0, concat(lit(" from 10.0."),
+        ($"doc_id" % 200).cast("string"), lit(".1"))).otherwise(lit("")),
+      when($"doc_id" % 13 === 0, concat(lit(" call 555-867-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", aug.as("t"))
+      .select($"doc_id",
+        TextOps.countMatches($"t", TextOps.EmailRe).cast("long").as("n_emails"),
+        TextOps.countMatches($"t", TextOps.Ipv4Re).cast("long").as("n_ips"),
+        TextOps.countMatches($"t", TextOps.PhoneRe).cast("long").as("n_phones"),
+        md5(TextOps.scrubPii($"t").cast("binary")).as("scrub_md5"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
     textNormalize, dedupMinhashPortable, textSimhashPortable,
-    docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap)
+    docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub)
 }

@@ -49,4 +49,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1) == "fr")
     assert(out(2) == "fr") // 0-0 tie → lexicographically larger code wins
   }
+
+  test("PII scrub: counts and redaction, email-before-IP ordering, " +
+      "version strings are the documented false-positive") {
+    val rows = Seq(
+      "write to alice.b+spam@mail.example.co.uk or bob@ex.io today",
+      "server 10.0.200.1 and 192.168.1.1 rebooted",
+      "call 555-867-5309 now",
+      "released 1.2.3.4 of the engine at v1.2.3.4 tag", // bare quad only
+      "no pii here at all",
+      "mixed bob@ex.io from 10.0.0.1 call 555-123-4567")
+      .toDF("t")
+      .select(
+        TextOps.countMatches($"t", TextOps.EmailRe).as("e"),
+        TextOps.countMatches($"t", TextOps.Ipv4Re).as("i"),
+        TextOps.countMatches($"t", TextOps.PhoneRe).as("p"),
+        TextOps.scrubPii($"t").as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows(0)._1 == 2 && rows(0)._2 == 0 && rows(0)._3 == 0)
+    assert(rows(0)._4 == "write to <EMAIL> or <EMAIL> today",
+      s"email domains must be eaten whole, got '${rows(0)._4}'")
+    assert(rows(1)._2 == 2 && rows(1)._4 ==
+      "server <IP> and <IP> rebooted")
+    assert(rows(2)._3 == 1 && rows(2)._4 == "call <PHONE> now")
+    // a BARE dotted quad is the documented false positive; a vN.N.N.N
+    // token is saved by \b (no word boundary between 'v' and a digit)
+    assert(rows(3)._2 == 1, s"bare quad matches, v-prefixed does not: ${rows(3)}")
+    assert(rows(4) == ((0, 0, 0, "no pii here at all")))
+    assert(rows(5)._4 == "mixed <EMAIL> from <IP> call <PHONE>")
+  }
 }
