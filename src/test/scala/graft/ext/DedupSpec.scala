@@ -143,4 +143,37 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(100L -> 8L, 1L -> 1L),
       s"expected exactly the planted contamination, got $got")
   }
+
+  test("forAll: ngramOverlapCounts equals brute-force distinct-gram " +
+      "intersection on random small-alphabet corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val genDoc: Gen[String] =
+      Gen.choose(0, 10).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val genCorpus: Gen[List[String]] =
+      Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, genDoc))
+    val n = 3
+    def grams(text: String): Set[String] = {
+      val toks = text.split(" ", -1).toSeq
+      if (toks.size < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val prop = Prop.forAll(genCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val evalIds = texts.indices.filter(_ % 3 == 0).map(_.toLong).toSet
+      val evalDocs = docs.where($"doc_id" % 3 === 0)
+      val got = Dedup.ngramOverlapCounts(docs, evalDocs, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val evalGrams = evalIds.flatMap(i => grams(texts(i.toInt)))
+      val want = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> (grams(t) & evalGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(Seed(24680L)), prop)
+    assert(res.passed, s"ngramOverlapCounts law: ${res.status}")
+  }
 }
