@@ -39,6 +39,39 @@ object StreamDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Streaming CONTAMINATION flagging — the streaming face of
+    * `ext/Dedup.ngramOverlapCounts`: as the corpus streams in, emit each
+    * document that shares any token `n`-gram with the (static, small)
+    * eval/benchmark set, so contaminated docs are dropped during
+    * ingestion instead of by a later batch sweep.
+    *
+    * Scale shape, unchanged from batch: the eval side's distinct grams
+    * are BROADCAST into every micro-batch (stream-static join — no
+    * stream state for the join itself); a doc's exploded grams survive
+    * only on a hit, and `dropDuplicatesWithinWatermark` collapses
+    * multi-gram hits to one flag row per doc with WATERMARK-BOUNDED
+    * state (the id, not the document). A doc re-arriving after its
+    * horizon re-flags — idempotent for the downstream exclusion join.
+    *
+    * @param delay watermark delay on `tsCol`, also the per-doc dedup
+    *              horizon */
+  def contaminatedByNgrams(df: DataFrame, evalDocs: DataFrame,
+      tsCol: String, idCol: String, textCol: String,
+      n: Int = 13, delay: String = "10 minutes"): DataFrame = {
+    val evalGrams = evalDocs
+      .where(col(textCol).isNotNull)
+      .select(explode(graft.ext.Dedup.tokenNgrams(col(textCol), n))
+        .as("gram"))
+      .distinct()
+    df.where(col(textCol).isNotNull)
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol),
+        explode(graft.ext.Dedup.tokenNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col(tsCol), col(idCol))
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** Streaming NEAR-dup detection — the streaming face of
     * `ext/Dedup.simhashNearDupPairs`, same Manku multi-index geometry:
     * each doc's 63-bit single-pass SimHash splits into 4 16-bit bands;

@@ -170,6 +170,39 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming contamination: docs sharing a 13-gram with the static " +
+      "eval set flag exactly once across micro-batches; clean docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = (1 to 20).map(i => s"t$i").mkString(" ")
+    val plagiarized =
+      "intro words " + (3 to 15).map(i => s"t$i").mkString(" ") + " outro"
+    val nearMiss =
+      "intro words " + (3 to 14).map(i => s"t$i").mkString(" ") + " outro"
+    val clean = (1 to 30).map(i => s"u$i").mkString(" ")
+    val evalDocs = Seq(100L -> evalText).toDF("doc_id", "text")
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamDedup.contaminatedByNgrams(
+      source.toDF().toDF("ts", "doc_id", "text"), evalDocs,
+      "ts", "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_decontam")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, plagiarized),
+        (ts("2024-01-01 10:00:10"), 2L, nearMiss),
+        (ts("2024-01-01 10:00:20"), 3L, clean))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 10:01:00"), 1L, plagiarized), // re-arrival in horizon
+        (ts("2024-01-01 10:01:10"), 4L, evalText))    // verbatim eval copy
+      q.processAllAvailable()
+      val flagged = spark.table("stream_decontam")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(flagged == Seq(1L, 4L),
+        s"plagiarized + verbatim flagged once each, got $flagged")
+    } finally q.stop()
+  }
+
   test("emitted rows carry the 64-hex content digest for downstream joins") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
