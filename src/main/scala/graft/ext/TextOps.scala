@@ -84,6 +84,62 @@ object TextOps {
     (length(text) - length(regexp_replace(text, "[^\\w\\s]", "")))
       .cast("double") / length(text)
 
+  /** Array of space-joined token n-grams, one per window position.
+    * Guarded for short docs: `sequence(1, 0)` counts DOWN in Spark, so
+    * a doc with fewer than n tokens must short-circuit to the empty
+    * array instead. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Characters covered by the MOST FREQUENT n-gram of a doc —
+    * `chars(g) * count(g)`, the numerator of the Gopher (Rae et al.
+    * 2021, arXiv:2112.11446 §A1.1) top-n-gram repetition signal. Count
+    * ties break to the lexicographically smallest gram so a SQL engine
+    * can replay the choice exactly.
+    *
+    * One `array_sort` + one linear fold over the sorted grams (equal
+    * grams are adjacent, so the max count is the longest run) — all
+    * row-local, so the signal costs ZERO shuffles; the alternative
+    * explode + groupBy(doc, gram) shape would shuffle every token of
+    * a 100 TB corpus. Folding in sorted order means the FIRST longest
+    * run wins on strict `>`, which IS the lexicographically-smallest
+    * tie-break. */
+  def topGramChars(grams: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best_run"), lit(0).as("best_chars"))
+    aggregate(array_sort(grams), zero,
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc("best_run"), run)
+            .otherwise(acc("best_run")).as("best_run"),
+          when(run > acc("best_run"), length(g) * run)
+            .otherwise(acc("best_chars")).as("best_chars"))
+      },
+      acc => acc("best_chars"))
+  }
+
+  /** Extra characters contributed by DUPLICATE n-grams:
+    * `sum over grams with count c > 1 of chars(g) * (c - 1)` — the
+    * duplicate-n-gram mass of the Gopher repetition filter, in its
+    * non-overlap-adjusted form (each repeated occurrence is charged in
+    * full; the original de-overlaps, which needs positional interval
+    * merging — this variant is exactly replayable in ANSI SQL, and is
+    * the stricter of the two). Sorted adjacency again: every occurrence
+    * beyond a gram's first equals its left neighbor, so one zip_with
+    * over the sorted array counts the duplicate mass row-locally. */
+  def dupGramExtraChars(grams: Column): Column = {
+    val s = array_sort(grams)
+    val extras = zip_with(
+      slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+      (a, b) => when(a === b, length(a)).otherwise(lit(0)))
+    when(size(s) >= 2, aggregate(extras, lit(0), (acc, x) => acc + x))
+      .otherwise(lit(0))
+  }
+
   /** PII patterns for corpus scrubbing (the C4-style regex pass).
     * Deliberately restricted to the regex subset Java and RE2 agree on
     * (character classes, bounded repeats, ASCII \b — no lookaround, no

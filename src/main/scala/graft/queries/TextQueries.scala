@@ -351,6 +351,151 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1), the second half of the quality gate: the fraction of a
+    * doc's characters covered by its most frequent 2/3/4-gram and the
+    * duplicate-mass fraction of its 5- and 10-grams, with the paper's
+    * thresholds folded into a `rep_keep` verdict. Overlapping windows
+    * mean a top-gram fraction can exceed 1 (the paper's does too) —
+    * thresholds only ever test the low end.
+    *
+    * Every signal is a row-local sort+fold over the doc's own grams
+    * (TextOps.topGramChars / dupGramExtraChars): the whole entry plans
+    * ZERO shuffles beyond the determinism sort, where the naive
+    * explode + groupBy(doc_id, gram) formulation (what the oracle runs)
+    * would shuffle the full tokenized corpus five times at 100 TB.
+    * Ratios are exact-integer divisions, so the cross-engine hash
+    * compare is bit-stable.
+    *
+    * `dup3_frac` sits below the paper's 5-10 duplicate-gram range and
+    * carries no threshold — it exists because this corpus contains NO
+    * duplicate 5- or 10-grams at any SF, so without it the
+    * duplicate-mass path would hash-match on all-zeros without ever
+    * running (27 docs have duplicate 3-grams at sf0.01). */
+  val docRepetitionStats: CatalogEntry = CatalogEntry(
+    "doc_repetition_stats",
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS s
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |gr AS (
+      |  SELECT doc_id, n.n AS n,
+      |    unnest([array_to_string(s[i:i+n.n-1], ' ')
+      |            for i in range(1, len(s) - n.n + 2)]) AS gram
+      |  FROM t, (VALUES (2), (3), (4), (5), (10)) AS n(n)),
+      |g AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
+      |      FROM gr GROUP BY 1, 2, 3),
+      |p AS (SELECT doc_id, n, gram, c, row_number() OVER (
+      |        PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rk
+      |      FROM g),
+      |a AS (
+      |  SELECT doc_id, n,
+      |    coalesce(max(length(gram) * c) FILTER (rk = 1), 0) AS top_chars,
+      |    coalesce(sum(length(gram) * (c - 1)) FILTER (c > 1), 0) AS dup_extra
+      |  FROM p GROUP BY 1, 2),
+      |f AS (
+      |  SELECT t.doc_id,
+      |    round(coalesce(max(a.top_chars) FILTER (a.n = 2), 0)::DOUBLE
+      |          / t.n_chars, 4) AS top2_frac,
+      |    round(coalesce(max(a.top_chars) FILTER (a.n = 3), 0)::DOUBLE
+      |          / t.n_chars, 4) AS top3_frac,
+      |    round(coalesce(max(a.top_chars) FILTER (a.n = 4), 0)::DOUBLE
+      |          / t.n_chars, 4) AS top4_frac,
+      |    round(coalesce(max(a.dup_extra) FILTER (a.n = 3), 0)::DOUBLE
+      |          / t.n_chars, 4) AS dup3_frac,
+      |    round(coalesce(max(a.dup_extra) FILTER (a.n = 5), 0)::DOUBLE
+      |          / t.n_chars, 4) AS dup5_frac,
+      |    round(coalesce(max(a.dup_extra) FILTER (a.n = 10), 0)::DOUBLE
+      |          / t.n_chars, 4) AS dup10_frac
+      |  FROM t LEFT JOIN a USING (doc_id)
+      |  GROUP BY t.doc_id, t.n_chars)
+      |SELECT doc_id, top2_frac, top3_frac, top4_frac, dup3_frac, dup5_frac,
+      |  dup10_frac,
+      |  (top2_frac <= 0.2 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+      |   AND dup5_frac <= 0.15 AND dup10_frac <= 0.1) AS rep_keep
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    def topFrac(n: Int) = round(
+      TextOps.topGramChars(TextOps.tokenNgrams(toks, n)).cast("double")
+        / length($"text"), 4)
+    def dupFrac(n: Int) = round(
+      TextOps.dupGramExtraChars(TextOps.tokenNgrams(toks, n)).cast("double")
+        / length($"text"), 4)
+    Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id",
+        topFrac(2).as("top2_frac"), topFrac(3).as("top3_frac"),
+        topFrac(4).as("top4_frac"), dupFrac(3).as("dup3_frac"),
+        dupFrac(5).as("dup5_frac"), dupFrac(10).as("dup10_frac"))
+      .withColumn("rep_keep",
+        $"top2_frac" <= 0.2 && $"top3_frac" <= 0.18 &&
+          $"top4_frac" <= 0.16 && $"dup5_frac" <= 0.15 &&
+          $"dup10_frac" <= 0.1)
+      .orderBy($"doc_id")
+  }
+
+  /** Fixed-size token-window chunking with overlap — how a corpus is
+    * cut into training sequences (size 50, stride 40 → 10 tokens of
+    * overlap carry context across boundaries). One chunk row per
+    * window position; the last window starts at the LAST stride step
+    * that still adds unseen tokens — `max k: k*stride < n` alone would
+    * emit a tail chunk fully contained in its predecessor whenever
+    * `n <= size + k*stride` — so the chunk count is
+    * `1 + max(0, ceil((n - size) / stride))` and the tail chunk is the
+    * natural remainder, 11..50 tokens, never pure overlap (no padding —
+    * that's the tokenizer's job downstream). Each chunk carries its
+    * sha-256 so chunk-level exact dedup can run on the output directly.
+    *
+    * Chunking is pure row-local fan-out: compute the window starts
+    * with `sequence`, slice the token array per start, `posexplode` —
+    * no shuffle anywhere before the determinism sort. At 100 TB the
+    * output is ~1.25x the corpus (the overlap), written straight back
+    * out; a formulation that grouped or windowed over token rows
+    * instead would shuffle the entire corpus. */
+  val docChunkTokens: CatalogEntry = CatalogEntry(
+    "doc_chunk_tokens",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(0, (len(s) - 11) // 40) + 1)) AS chunk_id,
+      |    s
+      |  FROM t)
+      |SELECT doc_id, chunk_id::INT AS chunk_id,
+      |  (chunk_id * 40 + 1)::INT AS chunk_start,
+      |  least(50, len(s) - chunk_id * 40)::INT AS chunk_len,
+      |  array_to_string(s[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ')
+      |    AS chunk_text,
+      |  sha256(array_to_string(s[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' '))
+      |    AS chunk_sha
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val Size = 50
+    val Stride = 40
+    val toks = TextOps.tokens($"text")
+    Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", toks.as("s"))
+      .select($"doc_id", $"s",
+        posexplode(transform(
+          // ceil((n - size)/stride) via (n - size + stride - 1)/stride:
+          // Column `/` promotes to double and the toward-zero cast can
+          // only disagree with floor on the negative side, where the
+          // quotient stays in (-1, 0] (n >= 1) and both round to the
+          // 0 that the single-chunk case needs
+          sequence(lit(0), greatest(lit(0),
+            ((size($"s") - (Size - Stride + 1)) / Stride).cast("int"))),
+          k => array_join(slice($"s", k * Stride + 1, lit(Size)), " "))))
+      .select($"doc_id", $"pos".cast("int").as("chunk_id"),
+        ($"pos" * Stride + 1).cast("int").as("chunk_start"),
+        least(lit(Size), size($"s") - $"pos" * Stride).cast("int")
+          .as("chunk_len"),
+        $"col".as("chunk_text"),
+        sha2($"col".cast("binary"), 256).as("chunk_sha"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Corpus bigram counts, top-20 — the n-gram statistics pass of
     * corpus analysis. Adjacent-token pairs via `zip_with` over two
     * slices (narrow, codegen'd), then explode + count: shuffle carries
@@ -661,5 +806,6 @@ object TextQueries {
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
     textNormalize, dedupMinhashPortable, textSimhashPortable,
-    docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub)
+    docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub,
+    docRepetitionStats, docChunkTokens)
 }

@@ -221,6 +221,34 @@ object TransformQueries {
       .orderBy($"n_regionkey")
   }
 
+  /** XML sink + source roundtrip — Spark 4's built-in XML data source
+    * (the spark-xml connector folded into core). Row-per-element
+    * layout under an explicit rowTag; read back with the writer's
+    * schema (XML carries no types, so inference would have to guess —
+    * same discipline as the JSON roundtrip). Verified like the other
+    * roundtrips: the aggregate over the re-read data must hash-match
+    * the oracle's aggregate over the ORIGINAL parquet, proving the
+    * container lossless for the projected columns. */
+  val roundtripXml: CatalogEntry = CatalogEntry(
+    "roundtrip_xml",
+    """SELECT c_mktsegment,
+      |  count(*)::BIGINT AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val src = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip_" +
+      s.sparkContext.applicationId
+    src.write.mode("overwrite").option("rowTag", "customer").xml(tmp)
+    s.read.schema(src.schema).option("rowTag", "customer").xml(tmp)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Sketch-based column profile — the 100 TB path for
     * `profile_columns`: ONE pass over the melted columns with
     * `approx_count_distinct` (HLL) instead of an exact distinct
@@ -243,5 +271,6 @@ object TransformQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     transformChain, roundtripCsv, profileColumns, unionByNameEvolve,
-    dateFunctions, roundtripJson, roundtripOrc, profileColumnsApprox)
+    dateFunctions, roundtripJson, roundtripOrc, roundtripXml,
+    profileColumnsApprox)
 }

@@ -79,4 +79,56 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows(4) == ((0, 0, 0, "no pii here at all")))
     assert(rows(5)._4 == "mixed <EMAIL> from <IP> call <PHONE>")
   }
+
+  test("tokenNgrams: window positions, short-doc and exact-length edges") {
+    val out = Seq("a b c d", "a b", "a", "x y z")
+      .toDF("t")
+      .select(TextOps.tokenNgrams(TextOps.tokens($"t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty) // 2 tokens < n=3: guarded empty, not [1,0]
+    assert(out(2) == Seq.empty)
+    assert(out(3) == Seq("x y z")) // exactly n tokens: one gram
+  }
+
+  test("topGramChars: chars(g)*count(g) of the most frequent gram, " +
+      "lexicographically-smallest tie-break") {
+    val out = Seq(
+      Seq("b b", "a a", "b b", "a a", "c c"), // tie at 2: "a a" wins → 3*2
+      Seq("zz zz"), // single gram: 5*1
+      Seq.empty[String]) // no grams: 0
+      .toDF("g")
+      .select(TextOps.topGramChars($"g")).collect().map(_.getInt(0))
+    assert(out(0) == 6, "count-2 tie must break to 'a a' (3 chars * 2)")
+    assert(out(1) == 5)
+    assert(out(2) == 0)
+  }
+
+  test("dupGramExtraChars: chars(g)*(c-1) summed over duplicated grams") {
+    val out = Seq(
+      Seq("ab", "cd", "ab", "ab", "ef"), // "ab" c=3 → 2*(3-1)=4
+      Seq("xyz", "xyz"), // 3*(2-1)=3
+      Seq("a", "b", "c"), // all unique → 0
+      Seq("q"), // size<2 guard
+      Seq.empty[String])
+      .toDF("g")
+      .select(TextOps.dupGramExtraChars($"g")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(4, 3, 0, 0, 0))
+  }
+
+  test("repetition fractions: hand-computed Gopher signals on a " +
+      "pathological doc") {
+    // "a a a a": 2-grams = ["a a"]x3 → top chars 3*3=9, text len 7.
+    // Overlapping windows make the fraction exceed 1, as in the paper.
+    val row = Seq("a a a a").toDF("text")
+      .select(
+        (TextOps.topGramChars(
+          TextOps.tokenNgrams(TextOps.tokens($"text"), 2)).cast("double")
+          / length($"text")).as("top2"),
+        TextOps.dupGramExtraChars(
+          TextOps.tokenNgrams(TextOps.tokens($"text"), 2)).as("dup2"))
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 9.0 / 7.0) < 1e-12)
+    assert(row.getInt(1) == 6) // "a a" c=3 → 3*(3-1)
+  }
 }
