@@ -17,9 +17,11 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** BPE-ish token count: word runs plus isolated punctuation, the
-    * standard pre-tokenizer regex shape. */
+    * standard pre-tokenizer regex shape. `regexp_count` walks the
+    * matches with one reused Matcher — no per-row ArrayData of match
+    * strings like `size(regexp_extract_all(...))` built. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
 
   /** Distinct character n-gram shingles — the unit for Jaccard
     * similarity and MinHash. `text.substr` accepts column offsets, so
@@ -148,9 +150,10 @@ object TextOps {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
-  /** Occurrence count of `re` in `text` (codegen'd, no UDF). */
+  /** Occurrence count of `re` in `text` (codegen'd, no UDF; counts
+    * without materializing the matches). */
   def countMatches(text: Column, re: String): Column =
-    size(regexp_extract_all(text, lit(re), lit(0)))
+    regexp_count(text, lit(re))
 
   /** Redact emails, then IPv4s, then phone numbers — email first so an
     * address' dotted domain can never be half-eaten as an IP. Each class

@@ -163,6 +163,65 @@ object EventQueries {
       .orderBy($"user_id")
   }
 
+  /** Weekly cohort retention — the classic engagement matrix: users
+    * bucketed by the week of their first event (the cohort), then each
+    * cohort's share of users still active N weeks later. Week buckets
+    * are `date_trunc('week', ...)` in both engines (Monday start), so
+    * the offset arithmetic is exact day-multiples-of-7 — no
+    * calendar-library drift to reconcile.
+    *
+    * Scale shape: one shuffle builds per-user first-event times, one
+    * builds the distinct (user, week) activity set — both partial-agg
+    * on user_id before exchanging, so the wire carries one row per
+    * user(+week), never raw events. The cohort-size side is
+    * weeks-not-users cardinality; Spark broadcasts it into the final
+    * join on its own (the plan lint's no-cartesian guard holds). The
+    * retention ratio divides two exact integers → bit-stable 4dp
+    * round. */
+  val eventsCohortRetention: CatalogEntry = CatalogEntry(
+    "events_cohort_retention",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts::TIMESTAMP)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |w AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS week
+      |  FROM events),
+      |sz AS (SELECT cohort_week, count(DISTINCT user_id)::BIGINT AS cohort_size
+      |       FROM f GROUP BY 1),
+      |j AS (
+      |  SELECT f.cohort_week,
+      |    (date_diff('day', f.cohort_week, w.week) // 7)::INT AS week_offset,
+      |    w.user_id
+      |  FROM w JOIN f USING (user_id))
+      |SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week_s,
+      |  week_offset,
+      |  count(DISTINCT j.user_id)::BIGINT AS n_active,
+      |  sz.cohort_size,
+      |  round(count(DISTINCT j.user_id)::DOUBLE / sz.cohort_size, 4)
+      |    AS retention_r
+      |FROM j JOIN sz USING (cohort_week)
+      |GROUP BY j.cohort_week, week_offset, sz.cohort_size
+      |ORDER BY cohort_week_s, week_offset""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+      .select($"user_id", date_trunc("week", $"first_ts").as("cohort_week"))
+    val weekly = ev
+      .select($"user_id", date_trunc("week", $"ts").as("week")).distinct()
+    val sizes = first.groupBy($"cohort_week")
+      .agg(countDistinct($"user_id").as("cohort_size"))
+    weekly.join(first, Seq("user_id"))
+      .groupBy($"cohort_week",
+        (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week_s"),
+        $"week_offset", $"n_active", $"cohort_size",
+        round($"n_active".cast("double") / $"cohort_size", 4)
+          .as("retention_r"))
+      .orderBy($"cohort_week_s", $"week_offset")
+  }
+
   /** Grouped top-k: the 3 highest-revenue days per event type — the
     * per-group ranking that at scale must stay one shuffle (partial agg
     * on (type, day)) + one window, never a global sort. */
@@ -326,5 +385,5 @@ object EventQueries {
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
-    eventsGroupingSets, statsAgg)
+    eventsGroupingSets, statsAgg, eventsCohortRetention)
 }
