@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for duplicate clustering.
+  *
+  * A near-dup detector (MinHash/LSH, SimHash, shared-n-gram) emits
+  * PAIRS, but a curation pipeline needs CLUSTERS: if A~B and B~C, all
+  * three are one duplicate group and exactly one survivor should be
+  * kept. That closure is connected components over the pair graph.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation: every
+    * node starts labeled with its own id; each round every node takes
+    * the minimum label among itself and its neighbors; at fixpoint each
+    * component is labeled with its smallest member id.
+    *
+    * Output: one row per node that appears in `edges` —
+    * (`id`, `component`), where component = min node id reachable.
+    *
+    * Scale shape: each round is one shuffle of the (symmetrized) edge
+    * list joined against the label table — both hash-partitioned on
+    * node id, no driver-side state beyond the converged flag. Rounds
+    * needed = graph diameter. Near-dup clusters are small and dense
+    * (diameter 2-3 in practice), so this converges in a handful of
+    * rounds; a corpus with adversarially long chain-shaped components
+    * would want the large-star/small-star contraction of Kiveris et
+    * al. (MR-CC), which bounds rounds at O(log n) — same join-per-round
+    * skeleton, different propagation rule. `localCheckpoint` truncates
+    * the growing lineage each round; on a production cluster use
+    * reliable `checkpoint` so recomputation-on-executor-loss doesn't
+    * replay every round.
+    *
+    * Termination is a fixpoint count probe per round (the labels frame
+    * is materialized by the checkpoint, so the probe re-reads cached
+    * blocks, it does not recompute the round). Throws if `maxRounds` is
+    * hit while labels are still moving — a silent early stop would
+    * return WRONG components, so refusing is the only safe behavior.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var round = 0
+    var moved = 1L
+    while (moved > 0) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds " +
+            "(component diameter exceeds the round budget)")
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      moved = next.as("n").join(labels.as("p"), "id")
+        .where(col("n.component") =!= col("p.component"))
+        .count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+}

@@ -658,3 +658,130 @@ case class SimHash63(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Single-pass kernel for the Gopher repetition signals (Rae et al.
+  * 2021, arXiv:2112.11446 §A1.1): for each n in {2,3,4,5,10}, the
+  * characters covered by the most frequent token n-gram (count ties →
+  * lexicographically smallest gram) and the extra characters of
+  * duplicate n-grams (chars(g)·(c−1) summed over c>1).
+  *
+  * Value-identical to the column algebra in [[graft.ext.TextOps]]
+  * (`topGramChars`/`dupGramExtraChars` over `tokenNgrams`, proven in
+  * SketchExprSpec) but ONE pass per row: the column form builds seven
+  * gram arrays per document (each gram a fresh string), array_sorts
+  * each, and folds them through interpreted higher-order lambdas —
+  * measured 60 s for 5 000 small docs at sf0.1, ~500× this kernel.
+  * Grams are compared as byte sequences (= UTF8String/array_sort
+  * binary order) and never concatenated; gram char lengths come from
+  * token-char prefix sums. */
+object RepStatsAlgo {
+
+  /** The Gopher n set; output array is [top_n, dup_n] per n, flattened. */
+  val Ns: Array[Int] = Array(2, 3, 4, 5, 10)
+
+  def repStatsData(text: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(repStats(text))
+
+  def repStats(text: UTF8String): Array[Long] = {
+    val bytes = text.getBytes
+    // token boundaries of split(text, " "): empties kept, k separators
+    // -> k+1 tokens
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    val tokStart = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { tokStart(t) = i + 1; t += 1 }
+      i += 1
+    }
+    tokStart(nTok) = bytes.length + 1 // virtual separator past the end
+    // char-count prefix sums: chars of token t = charPre(t+1) - charPre(t)
+    val charPre = new Array[Int](nTok + 1)
+    t = 0
+    while (t < nTok) {
+      val end = tokStart(t + 1) - 1
+      var c = 0
+      var b = tokStart(t)
+      while (b < end) { if ((bytes(b) & 0xC0) != 0x80) c += 1; b += 1 }
+      charPre(t + 1) = charPre(t) + c
+      t += 1
+    }
+    val out = new Array[Long](Ns.length * 2)
+    var ni = 0
+    while (ni < Ns.length) {
+      val n = Ns(ni)
+      if (nTok >= n) {
+        val m = nTok - n + 1
+        // gram p = tokens [p, p+n) joined with ' ': as BYTES that is
+        // exactly the slice [tokStart(p), tokStart(p+n)-1) of the text
+        // (separators included), so grams sort/compare without any
+        // join allocation
+        val idx = new Array[Integer](m)
+        var p = 0
+        while (p < m) { idx(p) = Integer.valueOf(p); p += 1 }
+        java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+          override def compare(a: Integer, b: Integer): Int = {
+            val sa = tokStart(a.intValue); val ea = tokStart(a.intValue + n) - 1
+            val sb = tokStart(b.intValue); val eb = tokStart(b.intValue + n) - 1
+            var pa = sa; var pb = sb
+            while (pa < ea && pb < eb) {
+              val d = (bytes(pa) & 0xFF) - (bytes(pb) & 0xFF)
+              if (d != 0) return d
+              pa += 1; pb += 1
+            }
+            (ea - sa) - (eb - sb)
+          }
+        })
+        def gramChars(p: Int): Long =
+          (charPre(p + n) - charPre(p)) + (n - 1).toLong
+        def gramEq(a: Int, b: Int): Boolean = {
+          val la = tokStart(a + n) - 1 - tokStart(a)
+          if (la != tokStart(b + n) - 1 - tokStart(b)) return false
+          var pa = tokStart(a); var pb = tokStart(b)
+          val ea = pa + la
+          while (pa < ea) {
+            if (bytes(pa) != bytes(pb)) return false
+            pa += 1; pb += 1
+          }
+          true
+        }
+        // one walk over the sorted grams: equal grams are adjacent, so
+        // runs are count groups; strict > keeps the FIRST longest run,
+        // which in sorted order IS the lexicographically smallest gram
+        // with the max count (the oracle's rank(c DESC, gram ASC) = 1)
+        var bestRun = 0
+        var bestChars = 0L
+        var dupExtra = 0L
+        p = 0
+        while (p < m) {
+          var q = p + 1
+          while (q < m && gramEq(idx(p).intValue, idx(q).intValue)) q += 1
+          val run = q - p
+          val chars = gramChars(idx(p).intValue)
+          if (run > bestRun) { bestRun = run; bestChars = chars * run }
+          if (run > 1) dupExtra += chars * (run - 1)
+          p = q
+        }
+        out(ni * 2) = bestChars
+        out(ni * 2 + 1) = dupExtra
+      }
+      ni += 1
+    }
+    out
+  }
+}
+
+/** `rep_stats(text)` — array<long> of [top_n_chars, dup_n_extra_chars]
+  * for n in 2,3,4,5,10 (array positions 1..10 in SQL `element_at`
+  * terms: top2,dup2,top3,dup3,top4,dup4,top5,dup5,top10,dup10). */
+case class RepStats(child: Expression) extends StringSketchExpression {
+  override def prettyName: String = "rep_stats"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.RepStatsAlgo.repStatsData($c)"
+  override def nullSafeEval(input: Any): Any =
+    RepStatsAlgo.repStatsData(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -183,6 +183,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63", exprs => SimHash63(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rep_stats", exprs => RepStats(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_shingles", exprs => JaccardShingles(exprs(0), exprs(1),
         intArg(exprs(2), "n")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -193,6 +195,25 @@ object GraftFunctions {
         intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63_md5", exprs => SimHash63Portable(exprs(0)), "scala_udf")
+    // Spark's own runtime-filter bloom expressions, surfaced as callable
+    // functions (they are not in the public registry): `bloom_agg(hash,
+    // n_items)` aggregates xxhash64 values into a serialized
+    // org.apache.spark.util.sketch.BloomFilter; `bloom_might_contain
+    // (bloom, hash)` probes it. Used for broadcastable membership
+    // prefilters (decontamination against an eval set) — a bloom of the
+    // small side is KBs where the exact distinct set is MBs, and the
+    // probe is a scan-local predicate, not a join.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0),
+            intArg(exprs(1), "estimatedItems").toLong),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_stats", exprs => TokenStats(exprs(0), {
         require(exprs(1).foldable, "stopCsv must be a string literal")

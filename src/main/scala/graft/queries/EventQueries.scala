@@ -382,8 +382,136 @@ object EventQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Hopping (sliding) 1 h window, 30 min slide — the overlapping-window
+    * counterpart of `events_tumbling_window`: every event lands in
+    * exactly size/slide = 2 windows. Spark's `window(ts, size, slide)`
+    * expands each row into its covering windows before the group-by, so
+    * the plan is the tumbling plan with a 2× pre-aggregation fanout —
+    * at 100 TB the fanout happens map-side and partial aggregation
+    * collapses it before the (bucket, type) exchange. The oracle
+    * replays the expansion as a 2-row cross join of 30 min buckets
+    * shifted by the slide. */
+  val eventsSlidingWindow: CatalogEntry = CatalogEntry(
+    "events_sliding_window",
+    s"""SELECT strftime(ws, '$dfmt') AS window_start, event_type,
+       |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+       |FROM (
+       |  SELECT e.*, time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+       |           - s.i * INTERVAL '30 minutes' AS ws
+       |  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+       |WHERE ts::TIMESTAMP >= ws AND ts::TIMESTAMP < ws + INTERVAL '1 hour'
+       |GROUP BY ws, event_type
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", fmt).as("window_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** SCD2 dimension versioning from an event log — the warehouse-side
+    * upgrade of the reference's MERGE snapshot (load_to_bigquery.py:
+    * 98-111 keeps only the latest row per key; SCD2 keeps EVERY version
+    * with its validity interval): per user, open a new version only
+    * when `value` actually changes (change suppression via lag), close
+    * it at the next change (valid_to = lead), latest version flagged
+    * current with an open interval.
+    *
+    * Scale shape: one shuffle on user_id; both window passes
+    * (lag-suppress, lead-close) share the same partitioning AND sort
+    * order, so the second pass reuses the first's exchange and sort.
+    * At 100 TB this is the standard event-log → dimension pass: range
+    * partition by key, sort within partitions, no driver state. */
+  val scd2FromHistory: CatalogEntry = CatalogEntry(
+    "scd2_from_history",
+    s"""WITH h AS (
+       |  SELECT user_id, event_id, ts::TIMESTAMP AS tsx, value,
+       |    lag(value) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev
+       |  FROM events),
+       |c AS (SELECT user_id, event_id, tsx, value FROM h
+       |      WHERE prev IS DISTINCT FROM value)
+       |SELECT user_id, event_id, value,
+       |  strftime(tsx, '$dfmt') AS valid_from,
+       |  strftime(lead(tsx) OVER w2, '$dfmt') AS valid_to,
+       |  (lead(tsx) OVER w2 IS NULL) AS is_current
+       |FROM c
+       |WINDOW w2 AS (PARTITION BY user_id ORDER BY tsx, event_id)
+       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev", lag($"value", 1).over(w))
+      .where(!($"prev" <=> $"value"))
+      .select($"user_id", $"event_id", $"value",
+        date_format($"ts", fmt).as("valid_from"),
+        date_format(lead($"ts", 1).over(w), fmt).as("valid_to"),
+        lead($"ts", 1).over(w).isNull.as("is_current"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Per-group anomaly ranking: top-5 events per type by |z-score| of
+    * the integer props.k metric. Moments (n, Σk, Σk²) are EXACT integer
+    * aggregates — the z formula `(nk − S) / sqrt((nQ − S²)·n/(n−1))`
+    * then runs the same IEEE double ops from the same exact integers in
+    * both engines, so the scores (and hence the ranking) are
+    * bit-identical cross-engine: no summation-order jitter at the
+    * rank-5 boundary, the same discipline as `stats_agg`. The S² / n·Q
+    * products are widened to Decimal(38,0) / HUGEINT first — exceeding
+    * int64 at ~1e11 rows per group, exactly the 100 TB regime.
+    *
+    * Scale shape: one map-side-partial exchange for the 5-row moment
+    * table, broadcast back over the scan, then top-5-per-group via
+    * rank window on the (tiny) per-type partitions. */
+  val anomalyZscoreTopk: CatalogEntry = CatalogEntry(
+    "anomaly_zscore_topk",
+    """WITH ev AS (
+      |  SELECT event_id, event_type, (props->>'$.k')::BIGINT AS k
+      |  FROM events WHERE (props->>'$.k') IS NOT NULL),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS s,
+      |    sum(k * k)::BIGINT AS q
+      |  FROM ev GROUP BY event_type),
+      |z AS (
+      |  SELECT ev.event_id, ev.event_type, ev.k,
+      |    ((st.n * ev.k - st.s)::DOUBLE)
+      |      / sqrt(((st.n::HUGEINT * st.q - st.s::HUGEINT * st.s)::DOUBLE
+      |              * st.n) / (st.n - 1)) AS z
+      |  FROM ev JOIN st USING (event_type))
+      |SELECT event_type, event_id, k, round(z, 6) AS z
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY abs(z) DESC, event_id) AS rn
+      |      FROM z)
+      |WHERE rn <= 5
+      |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables.events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
+      .where($"k".isNotNull)
+      .select($"event_id", $"event_type", $"k")
+    val st = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("s"),
+        sum($"k" * $"k").as("q"))
+    val varNum = ($"n".cast(dec38) * $"q".cast(dec38) -
+      $"s".cast(dec38) * $"s".cast(dec38)).cast("double")
+    val z = (($"n" * $"k" - $"s").cast("double") /
+      sqrt(varNum * $"n" / ($"n" - 1))).as("z")
+    val rn = row_number().over(
+      Window.partitionBy($"event_type").orderBy(abs($"z").desc, $"event_id"))
+    ev.join(broadcast(st), "event_type")
+      .select($"event_id", $"event_type", $"k", z)
+      .withColumn("rn", rn)
+      .where($"rn" <= 5)
+      .select($"event_type", $"event_id", $"k", round($"z", 6).as("z"))
+      .orderBy($"event_type", $"event_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
-    eventsGroupingSets, statsAgg, eventsCohortRetention)
+    eventsGroupingSets, statsAgg, eventsCohortRetention,
+    eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk)
 }

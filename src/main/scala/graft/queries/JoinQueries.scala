@@ -274,9 +274,48 @@ object JoinQueries {
       ORDER BY o_orderpriority""")
   }
 
+  /** Fuzzy (approximate-string) self-join — entity-resolution style:
+    * pairs of part-name vocabulary words within Levenshtein distance 3,
+    * found WITHOUT an all-pairs comparison. Standard ER blocking: an
+    * equi-join on a cheap block key (first character) bounds the
+    * candidate set; a length-difference band (|len a − len b| ≤ 3, a
+    * necessary condition for edit distance ≤ 3) prunes inside the
+    * block; the exact `levenshtein` confirm runs only on survivors.
+    * Blocking trades recall for scale — a pair whose FIRST letter
+    * differs is missed by construction (the classic blocking bargain;
+    * multi-pass blocking on different keys recovers it) — and the
+    * oracle mirrors the same blocking so the contract is explicit.
+    * At 100 TB the block key becomes (prefix, length bucket) and each
+    * block is one AQE-sized shuffle partition; no cross join exists in
+    * the plan (the lint forbids CartesianProduct globally). */
+  val fuzzyJoinLevenshtein: CatalogEntry = CatalogEntry(
+    "fuzzy_join_levenshtein",
+    """WITH w AS (
+      |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),
+      |b AS (SELECT w, substring(w, 1, 1) AS blk FROM w)
+      |SELECT a.w AS w_a, b2.w AS w_b,
+      |  levenshtein(a.w, b2.w)::BIGINT AS dist
+      |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.w < b2.w
+      |  AND abs(length(a.w) - length(b2.w)) <= 3
+      |WHERE levenshtein(a.w, b2.w) <= 3
+      |ORDER BY w_a, w_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val words = Tables.part(s, d)
+      .select(explode(split($"p_name", " ")).as("w"))
+      .distinct()
+      .select($"w", substring($"w", 1, 1).as("blk"))
+    words.as("a").join(words.as("b"),
+        $"a.blk" === $"b.blk" && $"a.w" < $"b.w" &&
+          abs(length($"a.w") - length($"b.w")) <= 3)
+      .select($"a.w".as("w_a"), $"b.w".as("w_b"),
+        levenshtein($"a.w", $"b.w").cast("long").as("dist"))
+      .where($"dist" <= 3)
+      .orderBy($"w_a", $"w_b")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
     setUnion, setIntersect, setExcept,
     aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
-    joinFullOuter, sqlExistsSubquery)
+    joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein)
 }

@@ -20,7 +20,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_cosine_topk",       // broadcast 1 query embedding
     "sim_quantized_topk",    // broadcast 1 query embedding (rescore ANN)
     "sim_ivf",               // centroid table (|clusters| rows) x 1 query row
-    "events_grouping_sets")  // grouping-sets expand over broadcast scalar
+    "events_grouping_sets",  // grouping-sets expand over broadcast scalar
+    "decontam_bloom_prefilter") // broadcast 1-row bloom-filter sketch
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle
@@ -81,7 +82,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "dedup_minhash_portable" -> "minhash_bands_md5",
         "text_simhash_portable" -> "simhash63_md5",
         "doc_winnow_portable" -> "winnow_fps_md5",
-        "doc_quality_filter" -> "token_stats")) {
+        "doc_quality_filter" -> "token_stats",
+        "doc_repetition_stats" -> "rep_stats")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
       assert(shuffleCount(physical) <= 1,

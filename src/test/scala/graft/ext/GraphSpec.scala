@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** Connected components: closure correctness, multi-round convergence,
+  * and the refuse-dont-truncate guard on the round budget. */
+class GraphSpec extends SparkTestBase {
+
+  private def cc(edges: Seq[(Long, Long)], maxRounds: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle, pair, and chain resolve to min-member components") {
+    val got = cc(Seq(
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (10L, 11L),                         // isolated pair
+      (1L, 2L), (2L, 3L)))                // chain
+    assert(got == Map(
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      10L -> 10L, 11L -> 10L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("long chain needs diameter rounds and still converges") {
+    // path 0-1-2-...-9: min label must walk the whole chain
+    val got = cc((0L until 9L).map(i => (i, i + 1)))
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("edge direction does not matter") {
+    assert(cc(Seq((5L, 1L), (1L, 9L))) == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("hitting the round budget mid-propagation throws, never truncates") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](cc(chain, maxRounds = 2))
+  }
+}

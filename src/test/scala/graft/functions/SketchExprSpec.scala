@@ -179,6 +179,44 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     natSimhash(df) shouldBe refSimhash(df)
   }
 
+  // rep_stats reference: the per-n gram-array column algebra it replaces
+  private def refRepStats(df: DataFrame): Map[Long, Seq[Long]] = {
+    val toks = TextOps.tokens($"text")
+    val cols = RepStatsAlgo.Ns.toSeq.flatMap(n => Seq(
+      TextOps.topGramChars(TextOps.tokenNgrams(toks, n)).cast("long"),
+      TextOps.dupGramExtraChars(TextOps.tokenNgrams(toks, n)).cast("long")))
+    df.select($"doc_id", array(cols: _*).as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+  }
+
+  private def natRepStats(df: DataFrame): Map[Long, Seq[Long]] =
+    df.select($"doc_id", call_function("rep_stats", $"text").as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("rep_stats is value-exact with the per-n gram array algebra, " +
+      "including tie-breaks, empty tokens, and multi-byte chars") {
+    val df = corpus(edgeTexts ++ Seq(
+      "spam spam spam spam egg", // dominant 1-run across every n
+      "a b a b a b a b",         // alternating: every 2-gram duplicated
+      "x y x z x y x z x y",     // competing runs exercise the tie-break
+      "é漢 é漢 é漢 mix",          // multi-byte gram chars
+      "one two three four five six seven eight nine ten eleven twelve"))
+    natRepStats(df) shouldBe refRepStats(df)
+  }
+
+  test("property: rep_stats agrees with the column algebra on random " +
+      "small-alphabet corpora") {
+    val prop = Prop.forAll(Gen.listOfN(25, genText)) { texts =>
+      val df = corpus(texts)
+      natRepStats(df) == refRepStats(df)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(5)
+      .withInitialSeed(Seed(434343L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"rep_stats equivalence: ${res.status}")
+  }
+
   test("property: all four sketches agree with the column formulations " +
       "on random corpora") {
     // raw ScalaCheck (no scalatest bridge on the offline classpath);
