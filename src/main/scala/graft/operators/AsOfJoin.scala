@@ -72,4 +72,56 @@ object AsOfJoin {
       .select((probeCols.map(col) ++
         payload.map(c => col("__payload").getField(c).as(s"asof_$c"))): _*)
   }
+
+  /** As-of join with a staleness tolerance: like [[leftAsOf]], but a
+    * match older than `toleranceUs` microseconds before the probe row
+    * is REJECTED — all its payload columns come back null, exactly as
+    * if no build row existed (pandas `merge_asof(tolerance=...)`).
+    * Implemented as a row-local post-guard on the matched build
+    * timestamp, so the plan is the [[leftAsOf]] plan: one shuffle,
+    * zero extra exchanges. The build ts must ride along to be judged:
+    * it is added to the payload internally and dropped on the way out
+    * unless the caller asked for it. */
+  def leftAsOfTolerance(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      probeTs: String, buildTs: String,
+      payload: Seq[String], buildTie: String,
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"negative tolerance: $toleranceUs")
+    val wantTs = payload.contains(buildTs)
+    val pay = if (wantTs) payload else payload :+ buildTs
+    val joined = leftAsOf(probe, build, probeKey, buildKey,
+      probeTs, buildTs, pay, buildTie)
+    val fresh = unix_micros(col(probeTs)) -
+      unix_micros(col(s"asof_$buildTs")) <= toleranceUs
+    val guarded = payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c"))) }
+    if (wantTs) guarded else guarded.drop(s"asof_$buildTs")
+  }
+
+  /** Forward (look-ahead) as-of join: for every probe row, the build
+    * side's EARLIEST payload at-or-after the probe's timestamp within
+    * the same key — "next event ≥ t" (next maintenance window, next
+    * price revision, next conversion). Same one-shuffle union+window
+    * machinery as [[leftAsOf]], run on negated integer-microsecond
+    * time, which flips at-or-before into at-or-after; equal-ts build
+    * rows resolve toward the SMALLEST `buildTie` (the mirror of the
+    * backward join's largest-tie rule). Timestamp payload columns come
+    * back as the build row's original (un-negated) values because the
+    * payload struct is captured from the build row's columns, not from
+    * the negated sort key. */
+  def leftAsOfForward(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      probeTs: String, buildTs: String,
+      payload: Seq[String], buildTie: String): DataFrame = {
+    val negP = "__neg_ts_probe"
+    val negB = "__neg_ts_build"
+    val negTie = "__neg_tie"
+    leftAsOf(
+      probe.withColumn(negP, -unix_micros(col(probeTs))),
+      build.withColumn(negB, -unix_micros(col(buildTs)))
+        .withColumn(negTie, -col(buildTie).cast("long")),
+      probeKey, buildKey, negP, negB, payload, negTie)
+      .drop(negP)
+  }
 }

@@ -509,9 +509,99 @@ object EventQueries {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** Gaps-and-islands interval merge: every event opens a 5-minute
+    * activity interval `[ts, ts+5m]`; overlapping or touching intervals
+    * per user coalesce into islands (the classic interval-union shape —
+    * log compaction, availability windows, outage merging). The
+    * running-max-end formulation: an interval starts a new island iff
+    * its start exceeds the max end seen so far in the key, then the
+    * island id is the running sum of those flags. Interval math runs in
+    * exact integer microseconds — no double time arithmetic to jitter
+    * the overlap test cross-engine.
+    *
+    * Scale shape: both window passes AND the final group-by cluster on
+    * `user_id` (the group key extends the window partition key), so the
+    * whole operator is ONE shuffle + one per-key sort; islands never
+    * materialize a self-join of intervals (the naive overlap-join is
+    * quadratic per key and a non-starter at 100 TB). */
+  val eventsMergeIntervals: CatalogEntry = CatalogEntry(
+    "events_merge_intervals",
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id,
+       |    epoch_us(ts::TIMESTAMP) AS s_us,
+       |    epoch_us(ts::TIMESTAMP) + 300000000 AS e_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN s_us > coalesce(max(e_us) OVER (
+       |      PARTITION BY user_id ORDER BY s_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+       |  FROM iv),
+       |islands AS (
+       |  SELECT *, sum(new_island) OVER (
+       |    PARTITION BY user_id ORDER BY s_us, event_id
+       |    ROWS UNBOUNDED PRECEDING)::BIGINT AS island_id
+       |  FROM flagged)
+       |SELECT user_id, island_id,
+       |  count(*)::BIGINT AS n_events,
+       |  strftime(make_timestamp(min(s_us)), '$dfmt') AS island_start,
+       |  strftime(make_timestamp(max(e_us)), '$dfmt') AS island_end
+       |FROM islands GROUP BY user_id, island_id
+       |ORDER BY user_id, island_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"s_us", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("s_us"),
+        (unix_micros($"ts") + 300000000L).as("e_us"))
+      .withColumn("prev_max_end",
+        max($"e_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"s_us" > coalesce($"prev_max_end", lit(Long.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("island_id",
+        sum($"new_island").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"island_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(timestamp_micros(min($"s_us")), fmt).as("island_start"),
+        date_format(timestamp_micros(max($"e_us")), fmt).as("island_end"))
+      .orderBy($"user_id", $"island_id")
+  }
+
+  /** Fixed-width histogram: 20 bins of width 25 over `value ∈ [0, 500)`
+    * per event type — the distribution-profiling shape every monitoring
+    * dashboard runs. The bin index is one subtraction-free division +
+    * floor on the raw double (identical IEEE steps both engines, so bin
+    * boundaries can't flip cross-engine); the top bin clamps so an
+    * out-of-range value can't invent a 21st bucket. Pure partial-agg
+    * group-by: map-side combine reduces each partition to ≤ |types|×20
+    * rows before the single exchange. */
+  val eventsValueHistogram: CatalogEntry = CatalogEntry(
+    "events_value_histogram",
+    """SELECT event_type,
+      |  least(floor(value / 25.0)::INT, 19) AS bin,
+      |  (least(floor(value / 25.0)::INT, 19) * 25)::INT AS bin_lo,
+      |  count(*)::BIGINT AS n,
+      |  round(sum(value), 2) AS sum_value_r
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY event_type, bin""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bin = least(floor($"value" / 25.0).cast("int"), lit(19))
+    Tables.events(s, d)
+      .select($"event_type", bin.as("bin"), $"value")
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value_r"))
+      .select($"event_type", $"bin", ($"bin" * 25).as("bin_lo"), $"n",
+        $"sum_value_r")
+      .orderBy($"event_type", $"bin")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,
-    eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk)
+    eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk,
+    eventsMergeIntervals, eventsValueHistogram)
 }

@@ -60,14 +60,25 @@ object MediaQueries {
       .orderBy($"id")
   }
 
-  /** REAL codec round-trip: per-document metadata → actual PNG bytes
-    * (javax.imageio encode, one codec per partition) → actual PNG
-    * decode — dimensions come from the decoded raster, not the input
-    * metadata, so a green run proves real bytes moved through the
-    * binary column. Codec byte output is JVM-specific → rows-only; the
-    * dims-match invariant is asserted in MultiModalSpec. */
-  val multimodalPngRoundtrip: CatalogEntry = CatalogEntry.noOracle(
-    "multimodal_png_roundtrip") { (s, d) =>
+  /** REAL codec round-trip, ORACLED on the decode-derived metadata:
+    * per-document specs → actual PNG bytes (javax.imageio encode, one
+    * codec per partition) → actual PNG decode. Format and dimensions
+    * come from the DECODED raster — never echoed from the input spec —
+    * while the DuckDB oracle recomputes what a correct round-trip MUST
+    * report by pure arithmetic on doc_id. Hash-green therefore proves
+    * real PNG bytes moved through the binary column and decoded back to
+    * every document's exact dimensions. Encoded byte count is
+    * JVM-encoder-specific, so `n_bytes` stays OUT of the oracle columns
+    * — it gates rows instead (a PNG can't fit under its 8-byte
+    * signature + IHDR/IDAT/IEND chunk floor), and the byte-exact raster
+    * fingerprint is asserted in MultiModalSpec. */
+  val multimodalPngRoundtrip: CatalogEntry = CatalogEntry(
+    "multimodal_png_roundtrip",
+    """SELECT doc_id,
+      |  'image/png' AS format,
+      |  (doc_id % 48 + 16)::INT AS width,
+      |  ((doc_id * 7) % 48 + 16)::INT AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val meta = spreadByRange(Tables.documents(s, d)
       .select($"doc_id",
@@ -76,18 +87,26 @@ object MediaQueries {
     val blobs = MultiModal.encodeImagePartitions(meta, "doc_id", "w", "h")
     MultiModal.decodeImagePartitions(blobs, "id", "blob")
       .toDF()
-      .select($"id".as("doc_id"), $"format", $"width", $"height", $"nBytes")
+      .where($"nBytes" > 57) // 8-byte sig + IHDR(25) + IDAT(>=13) + IEND(12)
+      .select($"id".as("doc_id"), $"format", $"width", $"height")
       .sortWithinPartitions($"doc_id")
   }
 
-  /** REAL resize pipeline: synth PNGs at mixed resolutions → bilinear
-    * resize to a fixed 32x32 (the multimodal training-prep
-    * normalization) → re-decode. Every decoded row must report the
-    * TARGET dimensions from the actual resized raster — proving the
-    * resize ran, not just the metadata changed. Codec bytes are
-    * JVM-specific → rows-only; invariants in MultiModalSpec. */
-  val multimodalResize: CatalogEntry = CatalogEntry.noOracle(
-    "multimodal_resize") { (s, d) =>
+  /** REAL resize pipeline, ORACLED on the re-decoded dimensions: synth
+    * PNGs at mixed resolutions → bilinear resize to a fixed 32x32 (the
+    * multimodal training-prep normalization) → full re-decode. Every
+    * row must report the TARGET dimensions from the actual resized
+    * raster — the oracle is the constant-dims table over every doc_id,
+    * so hash-green proves the resize ran on every document and the
+    * result re-decoded (a skipped resize reports source dims, a broken
+    * blob throws). Resized pixel bytes are resampler-implementation-
+    * specific → the raster fingerprint stays out of the oracle (its
+    * invariants — distinct sources stay distinct, every raster
+    * normalized — are MultiModalSpec's). */
+  val multimodalResize: CatalogEntry = CatalogEntry(
+    "multimodal_resize",
+    """SELECT doc_id, 32::INT AS width, 32::INT AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val meta = spreadByRange(Tables.documents(s, d)
       .select($"doc_id",
@@ -98,8 +117,8 @@ object MediaQueries {
       width = 32, height = 32)
     MultiModal.decodeImagePartitions(resized, "id", "blob")
       .toDF()
-      .select($"id".as("doc_id"), $"width", $"height", $"nBytes",
-        $"fingerprint")
+      .where($"fingerprint".isNotNull) // force the raster read
+      .select($"id".as("doc_id"), $"width", $"height")
       .sortWithinPartitions($"doc_id")
   }
 

@@ -206,7 +206,93 @@ object OperatorQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** As-of join with a 10-minute staleness tolerance: a matched
+    * purchase older than the tolerance is rejected back to null —
+    * pandas `merge_asof(tolerance=...)` semantics, the "only join
+    * reference data that is still fresh" rule of feature pipelines.
+    * The oracle is DuckDB's native ASOF LEFT JOIN with the identical
+    * integer-microsecond guard applied on top, so green proves the
+    * tolerance rejects exactly the stale matches and nothing else.
+    * Plan-wise this is the asof_join plan (one shuffle) — the guard is
+    * a row-local projection. */
+  val asofJoinTolerance: CatalogEntry = CatalogEntry(
+    "asof_join_tolerance",
+    s"""WITH p AS (
+       |  SELECT user_id, ts::TIMESTAMP AS pts, event_id AS pid, value AS pval
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT e.event_id, e.user_id,
+       |  strftime(e.ts::TIMESTAMP, '$dfmt') AS ts_s,
+       |  CASE WHEN epoch_us(e.ts::TIMESTAMP) - epoch_us(p.pts) <= 600000000
+       |       THEN p.pid END AS purchase_event_id,
+       |  CASE WHEN epoch_us(e.ts::TIMESTAMP) - epoch_us(p.pts) <= 600000000
+       |       THEN p.pval END AS purchase_value
+       |FROM events e ASOF LEFT JOIN p
+       |  ON e.user_id = p.user_id AND e.ts::TIMESTAMP >= p.pts
+       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.leftAsOfTolerance(
+      probe = ev.select($"event_id", $"user_id", $"ts"),
+      build = purchases,
+      probeKey = "user_id", buildKey = "user_id",
+      probeTs = "ts", buildTs = "ts",
+      payload = Seq("event_id", "value"), buildTie = "event_id",
+      toleranceUs = 600000000L)
+      .select($"event_id", $"user_id",
+        date_format($"ts", fmt).as("ts_s"),
+        $"asof_event_id".as("purchase_event_id"),
+        $"asof_value".as("purchase_value"))
+      .orderBy($"event_id")
+  }
+
+  /** FORWARD as-of join: every event gets the same user's NEXT purchase
+    * at or after it — time-to-next-conversion, next-maintenance-window
+    * lookups. Runs the one-shuffle union+window machinery on negated
+    * microsecond time; the oracle replays the same direction flip
+    * through DuckDB's native ASOF on negated epoch columns (ASOF is
+    * inherently backward, so the negation trick IS the independent
+    * formulation). The matched purchase's own timestamp rides the
+    * payload, proving the join picked the first-at-or-after row, not
+    * merely some row. */
+  val asofJoinForward: CatalogEntry = CatalogEntry(
+    "asof_join_forward",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, ts::TIMESTAMP AS tsx,
+       |    -epoch_us(ts::TIMESTAMP) AS nts
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, -epoch_us(ts::TIMESTAMP) AS nts,
+       |    ts::TIMESTAMP AS pts, event_id AS pid, value AS pval
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT e.event_id, e.user_id,
+       |  strftime(e.tsx, '$dfmt') AS ts_s,
+       |  p.pid AS next_purchase_id,
+       |  strftime(p.pts, '$dfmt') AS next_purchase_ts_s,
+       |  p.pval AS next_purchase_value
+       |FROM e ASOF LEFT JOIN p
+       |  ON e.user_id = p.user_id AND e.nts >= p.nts
+       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.leftAsOfForward(
+      probe = ev.select($"event_id", $"user_id", $"ts"),
+      build = purchases,
+      probeKey = "user_id", buildKey = "user_id",
+      probeTs = "ts", buildTs = "ts",
+      payload = Seq("ts", "event_id", "value"), buildTie = "event_id")
+      .select($"event_id", $"user_id",
+        date_format($"ts", fmt).as("ts_s"),
+        $"asof_event_id".as("next_purchase_id"),
+        date_format($"asof_ts", fmt).as("next_purchase_ts_s"),
+        $"asof_value".as("next_purchase_value"))
+      .orderBy($"event_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
-    zorderKeyCluster, joinSaltedSkew)
+    zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward)
 }

@@ -367,9 +367,59 @@ object RateQueries {
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
   }
 
+  /** Window navigation surface: `first_value` / `last_value` /
+    * `nth_value` over the full per-key frame — one summary row per key
+    * with its first, second, and latest observation (the "how did this
+    * series start vs where is it now" dashboard shape). The frame must
+    * be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING: `last_value` over the
+    * default running frame is the current row, the classic window-nav
+    * bug. One shuffle + per-key sort; the rn=1 filter collapses to one
+    * row per key with no second exchange (filter, not group-by). */
+  val windowFirstLast: CatalogEntry = CatalogEntry(
+    "window_first_last",
+    s"""SELECT o_custkey,
+       |  first_key, round(first_price, 2) AS first_price,
+       |  second_key,
+       |  last_key, round(last_price, 2) AS last_price
+       |FROM (
+       |  SELECT o_custkey,
+       |    first_value(o_orderkey) OVER w AS first_key,
+       |    first_value(o_totalprice) OVER w AS first_price,
+       |    nth_value(o_orderkey, 2) OVER w AS second_key,
+       |    last_value(o_orderkey) OVER w AS last_key,
+       |    last_value(o_totalprice) OVER w AS last_price,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS rn
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |WHERE rn = 1
+       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ord = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val w = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select($"o_custkey",
+        first($"o_orderkey").over(w).as("first_key"),
+        first($"o_totalprice").over(w).as("first_price"),
+        nth_value($"o_orderkey", 2).over(w).as("second_key"),
+        last($"o_orderkey").over(w).as("last_key"),
+        last($"o_totalprice").over(w).as("last_price"),
+        row_number().over(ord).as("rn"))
+      .where($"rn" === 1)
+      .select($"o_custkey",
+        $"first_key", round($"first_price", 2).as("first_price"),
+        $"second_key",
+        $"last_key", round($"last_price", 2).as("last_price"))
+      .orderBy($"o_custkey")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     topkLatestPerPair, earliestInWindow, sortLimit5000, filterEq,
     filterConjEq, filterRangeTs, windowLagPctChange, movingAvg,
     movingAvgTimeRange, scalarPctChange, latestPerKeyMaxby, mergeUpsert,
-    countRows, previewHead)
+    countRows, previewHead, windowFirstLast)
 }

@@ -56,6 +56,50 @@ object SampleQueries {
       .orderBy($"lang")
   }
 
+  /** Per-source quota cap — "at most K documents per domain", the
+    * anti-domain-dominance rule every web-corpus build applies (C4 and
+    * successors cap per-host page counts). Selection is deterministic:
+    * rank docs within a source by (md5(text), doc_id) and keep the K
+    * smallest — re-running on the same corpus keeps the same documents,
+    * and the oracle replays the identical rule.
+    *
+    * Scale shape: a single `row_number` per source sorts EVERY row of a
+    * hot domain on one task. The implementation is two-phase: phase 1
+    * ranks within (source, salt-of-doc_id) — 16-way split of each hot
+    * key — and keeps ≤ K per salt slice, so at most 16·K rows per
+    * source survive to phase 2's exact global rank per source. The
+    * per-salt top-K is a superset of the global top-K (any global
+    * winner is also a winner in its own slice), so the result is
+    * IDENTICAL to the one-shot window — which is exactly what the
+    * single-window oracle proves. */
+  val sampleCapPerSource: CatalogEntry = CatalogEntry(
+    "sample_cap_per_source",
+    """SELECT doc_id, source, rk
+      |FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(text), doc_id)::INT AS rk
+      |  FROM documents)
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val K = 10
+    val Salts = 16
+    val ranked = Tables.documents(s, d)
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("h"))
+      .withColumn("salt", pmod($"doc_id", lit(Salts)))
+      .withColumn("srk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source", $"salt").orderBy($"h", $"doc_id")))
+      .where($"srk" <= K) // ≤ Salts·K survivors per source
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"h", $"doc_id")).cast("int"))
+      .where($"rk" <= K)
+    ranked.select($"doc_id", $"source", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    sampleHashDeterministic, sampleStratifiedHash)
+    sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource)
 }

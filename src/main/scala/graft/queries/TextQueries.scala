@@ -909,6 +909,135 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Sub-document dedup at segment granularity — the C4/RefinedWeb
+    * paragraph-dedup rule, recast over fixed 25-token segments (this
+    * corpus has no newlines to split on): any segment whose exact text
+    * already occurred earlier in the corpus (first occurrence =
+    * smallest (doc_id, seg_idx)) is REMOVED, and each document is
+    * reassembled from its surviving segments in order. Whole-document
+    * dedup misses boilerplate shared across distinct pages; this is the
+    * operator that strips it. Docs that lose every segment survive with
+    * n_kept = 0 and empty text (the downstream length filter's job).
+    *
+    * Scale shape: segmentation is row-local fan-out (sequence → slice →
+    * posexplode, no token-row shuffle); first-occurrence election is
+    * ONE row_number window partitioned by segment text (at 100 TB the
+    * shuffle necessarily carries the segment text anyway — it is the
+    * reassembly payload); reassembly is one group-by on doc_id; the
+    * per-doc segment census rides the pre-explode row so the final join
+    * is doc-level, never segment-level. */
+  val dedupSegments: CatalogEntry = CatalogEntry(
+    "dedup_segments",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |segs AS (
+      |  SELECT doc_id, ((len(s) + 24) // 25)::INT AS n_segs,
+      |    unnest(range(0, (len(s) + 24) // 25)) AS seg_idx, s
+      |  FROM t),
+      |seg2 AS (
+      |  SELECT doc_id, n_segs, seg_idx::INT AS seg_idx,
+      |    array_to_string(s[seg_idx * 25 + 1 : seg_idx * 25 + 25], ' ')
+      |      AS seg_text
+      |  FROM segs),
+      |kept AS (
+      |  SELECT doc_id, seg_idx, seg_text FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+      |    FROM seg2)
+      |  WHERE rn = 1),
+      |agg AS (
+      |  SELECT doc_id, count(*)::INT AS n_kept,
+      |    array_to_string(list(seg_text ORDER BY seg_idx), ' ') AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |perdoc AS (
+      |  SELECT DISTINCT doc_id, n_segs FROM seg2)
+      |SELECT p.doc_id, p.n_segs,
+      |  coalesce(a.n_kept, 0)::INT AS n_kept,
+      |  coalesce(a.clean_text, '') AS clean_text
+      |FROM perdoc p LEFT JOIN agg a USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val Seg = 25
+    val t = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("s"))
+      .withColumn("n_segs",
+        ((size($"s") + (Seg - 1)) / Seg).cast("int")) // ceil(n/25): n ≥ 1
+    val seg2 = t
+      .select($"doc_id", $"n_segs",
+        posexplode(transform(sequence(lit(0), $"n_segs" - 1),
+          k => array_join(slice($"s", k * Seg + 1, lit(Seg)), " "))))
+      .select($"doc_id", $"n_segs", $"pos".cast("int").as("seg_idx"),
+        $"col".as("seg_text"))
+    val kept = seg2
+      .withColumn("rn", row_number().over(Window
+        .partitionBy($"seg_text").orderBy($"doc_id", $"seg_idx")))
+      .where($"rn" === 1)
+    val agg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct($"seg_idx", $"seg_text"))),
+          x => x.getField("seg_text")), " ").as("clean_text"))
+    t.select($"doc_id", $"n_segs")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_segs",
+        coalesce($"n_kept", lit(0)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus vocabulary with cumulative coverage — the tokenizer-prep
+    * census: global token frequencies, frequency rank, and what
+    * fraction of all token occurrences the vocabulary up to each rank
+    * covers (the Zipf curve a BPE vocab size is chosen from). Emits the
+    * top 100 terms; cumulative coverage at rank k depends only on
+    * counts at ranks ≤ k, so ranking and the running sum operate on the
+    * top-100 slice alone.
+    *
+    * Scale shape: token counting is a partial-agg group-by (map-side
+    * combine shrinks each partition to its distinct tokens before the
+    * one vocab-sized exchange); the top-100 slice arrives via
+    * TakeOrderedAndProject (never a global sort of the vocabulary); the
+    * single-partition cumsum window then touches exactly 100 rows, and
+    * the corpus-total token count joins as a broadcast one-row scalar. */
+  val vocabCoverage: CatalogEntry = CatalogEntry(
+    "vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |counts AS (
+      |  SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+      |tot AS (SELECT sum(n)::BIGINT AS t FROM counts),
+      |top AS (
+      |  SELECT token, n,
+      |    row_number() OVER (ORDER BY n DESC, token)::INT AS rank,
+      |    sum(n) OVER (ORDER BY n DESC, token
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      |  FROM counts)
+      |SELECT token, n, rank,
+      |  round(cum::DOUBLE / t::DOUBLE, 6) AS cum_frac
+      |FROM top, tot WHERE rank <= 100
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n").as("t"))
+    val w = Window.orderBy($"n".desc, $"token")
+    counts
+      .orderBy($"n".desc, $"token").limit(100) // TakeOrderedAndProject
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum",
+        sum($"n").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select($"token", $"n", $"rank",
+        round($"cum".cast("double") / $"t".cast("double"), 6).as("cum_frac"))
+      .orderBy($"rank")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -916,5 +1045,5 @@ object TextQueries {
     textNormalize, dedupMinhashPortable, textSimhashPortable,
     docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
-    decontamBloomPrefilter)
+    decontamBloomPrefilter, dedupSegments, vocabCoverage)
 }

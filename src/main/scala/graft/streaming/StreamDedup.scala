@@ -9,6 +9,10 @@ import graft.ext.TextOps
 /** A doc's fingerprint in one SimHash band bucket, on the stream. */
 case class BandedDoc(band: Int, bval: Long, doc_id: Long, fp: Long)
 
+/** [[BandedDoc]] plus event time, for the TTL-evicting variant. */
+case class BandedDocTs(band: Int, bval: Long, doc_id: Long, fp: Long,
+    ts: java.sql.Timestamp)
+
 /** A confirmed streaming near-dup: `id_b` arrived while `id_a` (an
   * earlier doc within Hamming <= maxHamming) was still in state. */
 case class NearDupHit(id_a: Long, id_b: Long, band: Int, hamming: Int)
@@ -137,6 +141,90 @@ object StreamDedup {
           }
           state.update(seen)
           hits.result().iterator
+      }
+  }
+
+  /** [[nearDupBySimhash]] with CALENDAR eviction — the event-time
+    * timeout the capacity-only variant's docstring promises: state
+    * entries older than `ttl` behind the WATERMARK are dropped at the
+    * bucket's next arrival, and a bucket idle past its newest entry's
+    * ttl is removed whole by the event-time timeout (no tombstone
+    * accumulation from buckets that stop receiving). The recall
+    * contract becomes a TIME guarantee instead of a count guarantee:
+    * two near-dups whose event times are within `ttl` (and inside the
+    * watermark's lag discipline) always pair, no matter how many
+    * unrelated docs landed in the bucket between them — while at-scale
+    * state is bounded by arrival rate × ttl, not by stream lifetime.
+    * The FIFO cap stays as a backstop against a single hot bucket.
+    *
+    * The caller must NOT pre-apply `withWatermark` — it is applied here
+    * on `tsCol` with `delay`, because `EventTimeTimeout` requires the
+    * watermark and the eviction rule is defined against it.
+    *
+    * @param ttlMs eviction horizon in EVENT-TIME milliseconds
+    * @param delay watermark delay, e.g. "10 seconds" — late data beyond
+    *              this is dropped before the bucket sees it */
+  def nearDupBySimhashTtl(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, ttlMs: Long, delay: String,
+      maxHamming: Int = 3,
+      stateDocsPerBand: Int = 1024): Dataset[NearDupHit] = {
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming breaks the 4-band pigeonhole guarantee")
+    require(ttlMs > 0, s"ttlMs must be positive: $ttlMs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // ts stays a TOP-LEVEL column through the fan-out: the event-time
+    // watermark tag lives in the attribute's metadata, and a field
+    // re-extracted from a struct is a fresh attribute without it
+    val banded = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(tsCol).cast("timestamp").as("ts"),
+        call_function("simhash63", TextOps.tokens(col(textCol))).as("fp"))
+      .withWatermark("ts", delay)
+      .select($"ts", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"),
+          col("doc_id"), col("fp"))): _*)).as("bd"))
+      .select($"bd.band", $"bd.bval", $"bd.doc_id", $"bd.fp", $"ts")
+      .as[BandedDocTs]
+    banded
+      .groupByKey(bd => (bd.band, bd.bval))
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // idle bucket: every entry is past its ttl by construction
+            // of the timeout timestamp — drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            // calendar eviction first: entries whose event time is more
+            // than ttl behind the watermark can no longer pair with any
+            // in-horizon arrival — drop before comparing
+            var seen = state.getOption.getOrElse(Nil) // newest first
+              .filter(_._3 >= wmMs - ttlMs)
+            val hits = List.newBuilder[NearDupHit]
+            for (r <- rows.toSeq.sortBy(_.doc_id)) {
+              val tsMs = r.ts.getTime
+              for ((sid, sfp, _) <- seen if sid != r.doc_id) {
+                val h = java.lang.Long.bitCount(sfp ^ r.fp)
+                if (h <= maxHamming)
+                  hits += NearDupHit(math.min(sid, r.doc_id),
+                    math.max(sid, r.doc_id), band, h)
+              }
+              seen = ((r.doc_id, r.fp, tsMs) ::
+                seen.filterNot(_._1 == r.doc_id)).take(stateDocsPerBand)
+            }
+            state.update(seen)
+            // the bucket as a whole expires when its NEWEST entry falls
+            // ttl behind the watermark; the timestamp must sit strictly
+            // ahead of the current watermark or the runtime rejects it
+            val newestMs = seen.map(_._3).max
+            state.setTimeoutTimestamp(math.max(newestMs + ttlMs, wmMs + 1))
+            hits.result().iterator
+          }
       }
   }
 }

@@ -21,7 +21,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_quantized_topk",    // broadcast 1 query embedding (rescore ANN)
     "sim_ivf",               // centroid table (|clusters| rows) x 1 query row
     "events_grouping_sets",  // grouping-sets expand over broadcast scalar
-    "decontam_bloom_prefilter") // broadcast 1-row bloom-filter sketch
+    "decontam_bloom_prefilter", // broadcast 1-row bloom-filter sketch
+    "vocab_coverage")        // broadcast 1-row corpus token total
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle

@@ -91,6 +91,75 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map(1L -> None, 2L -> Some(100L)))
   }
 
+  test("tolerance: stale matches reject to null, fresh ones survive, " +
+      "and the matched ts column stays internal unless requested") {
+    val out = AsOfJoin.leftAsOfTolerance(
+      Seq((1L, 1L, ts("2024-01-01 10:30:00")),  // 30 min stale → keep
+        (2L, 1L, ts("2024-01-01 11:30:00")),    // 90 min stale → null
+        (3L, 1L, ts("2024-01-01 12:00:00")),    // exact hit, 0 stale → keep
+        (4L, 3L, ts("2024-01-01 12:00:00")))    // no match at all → null
+        .toDF("pid", "user_id", "ts"),
+      build, "user_id", "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id", toleranceUs = 3600000000L)
+    assert(out.columns.toSeq ==
+      Seq("pid", "user_id", "ts", "asof_event_id", "asof_value"),
+      s"internal asof_ts must be dropped, got ${out.columns.toSeq}")
+    val got = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> Some(101L),
+      4L -> None))
+    // a stale match nulls EVERY payload column, not just the first
+    val vals = out.collect().map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(vals == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("forward: picks earliest at-or-after; inclusive; equal-ts build " +
+      "ties resolve toward the SMALLER tie; null when none ahead") {
+    val out = AsOfJoin.leftAsOfForward(
+      Seq((1L, 1L, ts("2024-01-01 11:00:00")),  // between → next is 101
+        (2L, 1L, ts("2024-01-01 12:00:00")),    // exactly at build → 101
+        (3L, 1L, ts("2024-01-01 13:00:00")),    // after all → null
+        (4L, 2L, ts("2024-01-01 10:00:00")))    // key 2 → 200
+        .toDF("pid", "user_id", "ts"),
+      build, "user_id", "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(1L -> Some(101L), 2L -> Some(101L), 3L -> None,
+      4L -> Some(200L)))
+
+    val tied = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 9L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val tieOut = AsOfJoin.leftAsOfForward(
+      Seq((1L, 1L, ts("2024-01-01 09:00:00"))).toDF("pid", "user_id", "ts"),
+      tied, "user_id", "user_id", "ts", "ts", Seq("event_id"), "event_id")
+      .collect().head.getLong(3)
+    assert(tieOut == 7L, "forward ties resolve to the smallest tie value")
+  }
+
+  test("forward equivalence with the naive range-join + argmin on random data") {
+    val rnd = new scala.util.Random(29)
+    def t(h: Int) = new Timestamp(1704067200000L + h * 3600000L)
+    val b = Seq.fill(60)((rnd.nextInt(5).toLong, t(rnd.nextInt(100)),
+      rnd.nextLong().abs, rnd.nextDouble()))
+      .toDF("user_id", "ts", "event_id", "value")
+    val p = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(100))))
+      .toDF("pid", "user_id", "ts")
+    val fast = AsOfJoin.leftAsOfForward(p, b, "user_id", "user_id", "ts", "ts",
+      Seq("event_id"), "event_id")
+      .select($"pid", $"asof_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val naive = p.as("p").join(b.as("b"),
+        col("p.user_id") === col("b.user_id") && col("p.ts") <= col("b.ts"), "left")
+      .groupBy($"pid")
+      .agg(min(struct(col("b.ts"), col("b.event_id"))).as("m"))
+      .select($"pid", $"m.event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == naive)
+  }
+
   test("equivalence with the naive range-join + argmax on random data") {
     val rnd = new scala.util.Random(13)
     def t(h: Int) = new Timestamp(1704067200000L + h * 3600000L)

@@ -203,6 +203,58 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TTL near-dup: in-horizon docs pair; docs ttl behind the watermark " +
+      "are calendar-evicted (arrival path AND idle-bucket timeout path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val unrelated = "entirely unrelated content about database query " +
+      "engines optimizers shuffles partitions and columnar storage formats"
+    // distinct from `unrelated` — the two clock-pusher docs must not be
+    // near-dups of each other (6 is still inside ttl of the lagging
+    // watermark when 7 arrives)
+    val unrelated2 = "completely different musings on mountain weather " +
+      "patterns alpine climbing routes glacier travel and avalanche safety"
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamDedup.nearDupBySimhashTtl(
+      source.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      ttlMs = 60000L, delay = "0 seconds")
+      .writeStream.format("memory").queryName("stream_neardup_ttl")
+      .outputMode("append").start()
+    try {
+      def pairs(): Set[(Long, Long)] = spark.table("stream_neardup_ttl")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      source.addData((ts("2024-01-01 10:00:00"), 1L, base))
+      q.processAllAvailable()
+      // 30s apart, watermark at 10:00:00 — doc 1 is in horizon: pair
+      source.addData((ts("2024-01-01 10:00:30"), 2L, base))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)), s"in-horizon pair, got ${pairs()}")
+      // an unrelated doc an hour later drags the watermark to 11:00
+      source.addData((ts("2024-01-01 11:00:00"), 6L, unrelated))
+      q.processAllAvailable()
+      // doc 3 lands in the SAME buckets as 1/2 — arrival-path eviction:
+      // both entries are > 60s behind the 11:00 watermark, no pair
+      source.addData((ts("2024-01-01 11:00:10"), 3L, base))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)),
+        s"ttl must evict docs 1/2 before doc 3 arrives, got ${pairs()}")
+      // push the watermark again with bucket-foreign data only: the
+      // base bucket is idle past newest(3)+ttl → the event-time timeout
+      // removes it whole (timeout path), so doc 4 pairs with nothing
+      source.addData((ts("2024-01-01 11:30:00"), 7L, unrelated2))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 11:30:10"), 4L, base))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)),
+        s"idle-bucket timeout must clear doc 3, got ${pairs()}")
+      // the operator still works after evictions: a fresh in-horizon duo
+      source.addData((ts("2024-01-01 11:30:15"), 5L, base))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (4L, 5L)),
+        s"fresh in-horizon pair after evictions, got ${pairs()}")
+    } finally q.stop()
+  }
+
   test("emitted rows carry the 64-hex content digest for downstream joins") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
