@@ -85,6 +85,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the JVM-wide generated-class cache defaults to 100 entries; a
+      // ~110-entry catalog swept in interleaved order (r8 fix for
+      // session-noise robustness) evicts EVERY query's classes between
+      // its own repeats, so each timed run re-pays single-threaded
+      // Janino compilation (~1-2 s flat per query — the r8/r9 "uniform
+      // regression" vs the back-to-back-recorded baseline). Size it to
+      // hold the whole catalog so timed runs measure execution, not
+      // recompilation.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -242,5 +242,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       graft.plans.AutoRangeJoin(() =>
         session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong)
     }
+    ext.injectOptimizerRule(graft.plans.SummaryRewrite)
   }
 }

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, max, min, sum}
+
+/** A registered materialized summary: `summaryPath` holds the per-dims
+  * mergeable partial (cnt, sum, min, max over `valCol`) of the table at
+  * `basePath` — the layout `streaming/IncrementalAgg` maintains. */
+final case class SummarySpec(basePath: String, summaryPath: String,
+    dims: Seq[String], valCol: String)
+
+/** Process-wide registry the [[SummaryRewrite]] rule consults. Register
+  * a summary AFTER it is built (and re-register after base-table
+  * rewrites that bypass the incremental maintainer — a stale summary is
+  * the caller's contract to keep, exactly as with any materialized
+  * view). */
+object SummaryRegistry {
+  @volatile private var specs: Map[String, SummarySpec] = Map.empty
+
+  private[plans] def normalize(p: String): String =
+    new Path(p).toUri.getPath
+
+  def register(spec: SummarySpec): Unit = synchronized {
+    specs += (normalize(spec.basePath) -> spec)
+  }
+  def unregister(basePath: String): Unit = synchronized {
+    specs -= normalize(basePath)
+  }
+  def clear(): Unit = synchronized { specs = Map.empty }
+  def lookup(path: String): Option[SummarySpec] = specs.get(normalize(path))
+  def isEmpty: Boolean = specs.isEmpty
+}
+
+/** Optimizer rule: the AGGREGATE NAVIGATOR of classic OLAP engines —
+  * an aggregate over a base table whose grouping keys are a subset of a
+  * registered summary's dims, and whose aggregates are all DERIVABLE
+  * from the summary's mergeable partial, is rewritten to aggregate the
+  * (many-orders-smaller) summary instead:
+  *
+  *   count(*)      → sum(cnt)        sum(v) → sum(sum)
+  *   min(v)        → min(min)        max(v) → max(max)
+  *
+  * At 100 TB this turns a full-corpus scan + shuffle into a scan of a
+  * |dims|-cardinality table — the whole reason summary tables are
+  * maintained (`streaming/IncrementalAgg` keeps one current per
+  * micro-batch; this rule makes dashboard aggregates actually USE it).
+  *
+  * Scope (narrow on purpose, like [[AutoRangeJoin]] — a rewrite must
+  * never fire where it could be wrong):
+  *   - the aggregate's child is the bare registered relation (or a
+  *     column-pruning Project of it) — any Filter means the summary
+  *     rows can't answer (predicates don't commute with pre-aggregated
+  *     rows unless they are dim-only, a refinement not attempted);
+  *   - every grouping key is a plain dim attribute; every aggregate is
+  *     non-DISTINCT, unfiltered `count(*)` / `sum` / `min` / `max` of
+  *     exactly the summarized value column — anything else (avg over a
+  *     nullable column, median, count(col), distinct) disables the
+  *     rewrite for the whole aggregate;
+  *   - the rewritten plan's output is projected back onto the original
+  *     output attribute ids, so downstream operators are untouched.
+  *
+  * Count nullability note: `count(*)` counts rows and `cnt` was built
+  * as `count(*)` per batch, so `sum(cnt)` over the summary's (non-null,
+  * positive) counts equals it exactly; `count(col)` (null-skipping) is
+  * NOT derivable from this partial and is deliberately not matched.
+  */
+case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Unwrap a pure column-pruning projection. */
+  private def unwrap(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      child
+    case other => other
+  }
+
+  private def relationSpec(plan: LogicalPlan): Option[SummarySpec] =
+    unwrap(plan) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty =>
+          SummaryRegistry.lookup(fs.location.rootPaths.head.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** The summary-side expression deriving `fn`, or None if the
+    * aggregate isn't derivable from the (cnt, sum, min, max) partial. */
+  private def derive(fn: AggregateFunction,
+      valCol: String): Option[org.apache.spark.sql.Column] = fn match {
+    case Count(Seq(Literal(1, _))) => Some(sum(col("cnt")))
+    case Count(Nil)                => Some(sum(col("cnt")))
+    case Sum(e: AttributeReference, _) if e.name == valCol =>
+      Some(sum(col("sum")))
+    case Min(e: AttributeReference) if e.name == valCol =>
+      Some(min(col("min")))
+    case Max(e: AttributeReference) if e.name == valCol =>
+      Some(max(col("max")))
+    case _ => None
+  }
+
+  /** Per original output position: Left(dim name) for a grouping-attr
+    * passthrough, Right(summary aggregate) for a derivable aggregate. */
+  private type OutPart = scala.Either[String, org.apache.spark.sql.Column]
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (SummaryRegistry.isEmpty) plan
+    else plan transform {
+      case agg: Aggregate if relationSpec(agg.child).isDefined =>
+        val spec = relationSpec(agg.child).get
+        val groupAttrs = agg.groupingExpressions.collect {
+          case a: AttributeReference => a
+        }
+        val groupOk = groupAttrs.size == agg.groupingExpressions.size &&
+          groupAttrs.forall(a => spec.dims.contains(a.name))
+        val parts: Seq[Option[OutPart]] = agg.aggregateExpressions.map {
+          case a: AttributeReference
+              if groupAttrs.exists(_.exprId == a.exprId) =>
+            Some(scala.Left(a.name))
+          case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+            derive(fn, spec.valCol).map(scala.Right(_))
+          case _ => None
+        }
+        val aggParts = parts.zipWithIndex.collect {
+          case (Some(scala.Right(c)), i) => c.as(s"__a$i")
+        }
+        if (!groupOk || parts.exists(_.isEmpty) || aggParts.isEmpty) agg
+        else {
+          val summary = session.read.parquet(spec.summaryPath)
+          val grouped =
+            if (groupAttrs.isEmpty)
+              summary.agg(aggParts.head, aggParts.tail: _*)
+            else summary
+              .groupBy(groupAttrs.map(a => col(a.name)): _*)
+              .agg(aggParts.head, aggParts.tail: _*)
+          // original output order; the Project below grafts names/ids
+          val ordered = grouped.select(parts.zipWithIndex.map {
+            case (Some(scala.Left(dim)), _) => col(dim)
+            case (_, i)               => col(s"__a$i")
+          }: _*)
+          val rewritten = ordered.queryExecution.analyzed
+          // graft the original output ids so downstream refs still bind
+          Project(agg.output.zip(rewritten.output).map { case (o, n) =>
+            Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+          }, rewritten)
+        }
+    }
+}

@@ -181,6 +181,76 @@ object AggQueries {
       .limit(100)
   }
 
+  /** Per-group least-squares linear fit (slope / intercept / R²) —
+    * `regr_slope`-family semantics via EXACT integer moments, the same
+    * cross-engine discipline as `stats_agg` / `anomaly_zscore_topk`:
+    * aggregate (n, Σx, Σy, Σx², Σy², Σxy) as exact BIGINTs (x = days
+    * since 1995-01-01, y = the integral quantity), widen the n·Σ
+    * products to Decimal(38,0)/HUGEINT (int64 dies at ~1e11 rows per
+    * group — the 100 TB regime), then run the IDENTICAL IEEE double
+    * steps in both engines so slope, intercept, and R² are
+    * bit-identical before rounding. R²'s squared covariance term
+    * (~1e57 at scale) exceeds Decimal(38), so the exact differences
+    * narrow to double FIRST and square in double — same op, same
+    * result, both engines. One map-side-partial exchange of 6 moments
+    * per group; never a second pass over the data (the naive
+    * mean-centered formulation scans twice). */
+  val aggRegrFit: CatalogEntry = CatalogEntry(
+    "agg_regr_fit",
+    """WITH pts AS (
+      |  SELECT l_returnflag AS flag,
+      |    date_diff('day', DATE '1995-01-01', l_shipdate::DATE)::BIGINT AS x,
+      |    l_quantity::BIGINT AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+      |    sum(x * y)::BIGINT AS sxy
+      |  FROM pts GROUP BY flag),
+      |f AS (
+      |  SELECT flag, n, sx, sy, syy, sxy,
+      |    (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE AS cov_n,
+      |    (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE AS varx_n,
+      |    (n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE AS vary_n
+      |  FROM m)
+      |SELECT flag, n,
+      |  round(cov_n / varx_n, 8) AS slope,
+      |  round((sy::DOUBLE - (cov_n / varx_n) * sx::DOUBLE) / n::DOUBLE, 8)
+      |    AS intercept,
+      |  round((cov_n * cov_n) / (varx_n * vary_n), 8) AS r2
+      |FROM f ORDER BY flag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def wide(c: org.apache.spark.sql.Column) = c.cast(dec38)
+    val m = Tables.lineitem(s, d)
+      .select($"l_returnflag".as("flag"),
+        datediff($"l_shipdate".cast("date"), lit("1995-01-01").cast("date"))
+          .cast("bigint").as("x"),
+        $"l_quantity".cast("bigint").as("y"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+    val covN = (wide($"n") * wide($"sxy") - wide($"sx") * wide($"sy"))
+      .cast("double")
+    val varxN = (wide($"n") * wide($"sxx") - wide($"sx") * wide($"sx"))
+      .cast("double")
+    val varyN = (wide($"n") * wide($"syy") - wide($"sy") * wide($"sy"))
+      .cast("double")
+    m.select($"flag", $"n", $"sx", $"sy",
+        covN.as("cov_n"), varxN.as("varx_n"), varyN.as("vary_n"))
+      .select($"flag", $"n",
+        round($"cov_n" / $"varx_n", 8).as("slope"),
+        round(($"sy".cast("double") -
+          ($"cov_n" / $"varx_n") * $"sx".cast("double")) /
+          $"n".cast("double"), 8).as("intercept"),
+        round(($"cov_n" * $"cov_n") / ($"varx_n" * $"vary_n"), 8).as("r2"))
+      .orderBy($"flag")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders)
+    q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
+    aggRegrFit)
 }

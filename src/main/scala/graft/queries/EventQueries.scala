@@ -598,10 +598,96 @@ object EventQueries {
       .orderBy($"event_type", $"bin")
   }
 
+  /** SCD2 POINT-IN-TIME lookup — the composition the SCD2 dimension
+    * exists for: every purchase fact is joined to the dimension VERSION
+    * that was valid at its event time (not the current one — the
+    * as-of-transaction-time attribution rule of warehouse fact loads).
+    * Dimension = the change-suppressed value history per user (the
+    * `scd2_from_history` pass, minus the closing lead which a
+    * point-in-time lookup doesn't need); lookup = the custom
+    * [[graft.operators.AsOfJoin]] on (user, valid_from ≤ ts), so the
+    * whole composition is two key-clustered shuffles, never an
+    * interval/inequality join. A purchase that IS the version-opening
+    * event attributes to its own version (inclusive as-of). The oracle
+    * replays the dimension build and DuckDB's native ASOF join — both
+    * operators verified composed, not just alone. */
+  val scd2PointInTime: CatalogEntry = CatalogEntry(
+    "scd2_point_in_time",
+    s"""WITH h AS (
+       |  SELECT user_id, event_id, ts::TIMESTAMP AS tsx, value,
+       |    lag(value) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev
+       |  FROM events),
+       |v AS (
+       |  SELECT user_id, event_id AS version_id, tsx AS vfrom, value
+       |  FROM h WHERE prev IS DISTINCT FROM value),
+       |p AS (
+       |  SELECT event_id, user_id, ts::TIMESTAMP AS tsx
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id,
+       |  strftime(p.tsx, '$dfmt') AS ts_s,
+       |  v.version_id AS dim_version_id,
+       |  strftime(v.vfrom, '$dfmt') AS dim_since,
+       |  v.value AS dim_value
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.tsx >= v.vfrom
+       |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val versions = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev", lag($"value", 1).over(w))
+      .where(!($"prev" <=> $"value"))
+      .select($"user_id", $"event_id".as("version_id"),
+        $"ts".as("vfrom"), $"value")
+    val purchases = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    graft.operators.AsOfJoin.leftAsOf(
+      probe = purchases, build = versions,
+      probeKey = "user_id", buildKey = "user_id",
+      probeTs = "ts", buildTs = "vfrom",
+      payload = Seq("version_id", "vfrom", "value"), buildTie = "version_id")
+      .select($"event_id", $"user_id",
+        date_format($"ts", fmt).as("ts_s"),
+        $"asof_version_id".as("dim_version_id"),
+        date_format($"asof_vfrom", fmt).as("dim_since"),
+        $"asof_value".as("dim_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Bitwise and boolean aggregate surface: `bit_and` / `bit_or` /
+    * `bit_xor` (flag-mask folding, xor-checksums over id sets) and
+    * `bool_and` / `bool_or` (per-group invariant checks). All five are
+    * associative-commutative partial aggregates — map-side combine
+    * collapses each partition before the one exchange, and the xor
+    * checksum is order-independent by construction (exact cross-engine,
+    * no float anywhere). */
+  val eventsBitwiseAgg: CatalogEntry = CatalogEntry(
+    "events_bitwise_agg",
+    """SELECT event_type,
+      |  bit_and(user_id)::BIGINT AS uid_and,
+      |  bit_or(user_id)::BIGINT AS uid_or,
+      |  bit_xor(event_id)::BIGINT AS eid_xor,
+      |  bool_and(value > 0) AS all_pos,
+      |  bool_or(value > 480) AS any_huge
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(bit_and($"user_id").as("uid_and"),
+        bit_or($"user_id").as("uid_or"),
+        bit_xor($"event_id").as("eid_xor"),
+        bool_and($"value" > 0).as("all_pos"),
+        bool_or($"value" > 480).as("any_huge"))
+      .orderBy($"event_type")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,
     eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk,
-    eventsMergeIntervals, eventsValueHistogram)
+    eventsMergeIntervals, eventsValueHistogram, eventsBitwiseAgg,
+    scd2PointInTime)
 }

@@ -1038,6 +1038,52 @@ object TextQueries {
       .orderBy($"rank")
   }
 
+  /** Unigram-LM cross-entropy scoring — the CCNet-family quality
+    * signal: train a unigram language model on the corpus itself
+    * (token frequencies), then score every document by its average
+    * negative log-likelihood (and perplexity). High-ppl docs are
+    * gibberish/OCR noise; abnormally low-ppl docs are boilerplate —
+    * both are what the quality gate trims at the tails.
+    *
+    * Cross-engine determinism: log-probs are `ln` of ratios of EXACT
+    * integer counts (identical IEEE input → identical double, the
+    * round-3 discipline); the per-doc sum rides a rounded average, and
+    * ppl exponentiates the ROUNDED avg so both engines exponentiate the
+    * same decimal. Scale shape: one vocab-sized count exchange, the
+    * scoring join streams the token fan-out against the (orders
+    * smaller) vocab side — Catalyst broadcasts it when stats allow —
+    * and the per-doc aggregate is the only corpus-sized shuffle. */
+  val docLmScore: CatalogEntry = CatalogEntry(
+    "doc_lm_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |vocab AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+      |tot AS (SELECT sum(n)::BIGINT AS t FROM vocab),
+      |lp AS (SELECT token, ln(n::DOUBLE / t::DOUBLE) AS lp FROM vocab, tot),
+      |scored AS (SELECT doc_id, lp.lp FROM tok JOIN lp USING (token))
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  round(-sum(lp) / count(*), 6) AS avg_nll,
+      |  round(exp(round(-sum(lp) / count(*), 6)), 4) AS ppl
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum($"n").as("t"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select($"token",
+        log($"n".cast("double") / $"t".cast("double")).as("lp"))
+    val avgNll = round(-sum($"lp") / count(lit(1)), 6)
+    tok.join(lp, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avgNll.as("avg_nll"),
+        round(exp(avgNll), 4).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1045,5 +1091,5 @@ object TextQueries {
     textNormalize, dedupMinhashPortable, textSimhashPortable,
     docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
-    decontamBloomPrefilter, dedupSegments, vocabCoverage)
+    decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore)
 }
