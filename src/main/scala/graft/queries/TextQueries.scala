@@ -543,6 +543,50 @@ object TextQueries {
       .orderBy($"weight_lb".desc, $"term".asc)
   }
 
+  /** TWO-PASS exact heavy hitters — the production form of the MG
+    * sketch, and the entry that puts a FULL ORACLE on it: pass 1 runs
+    * the fixed-memory Misra-Gries Aggregator (capacity 40 → every term
+    * with true count > n/40 is guaranteed in the candidate set — the
+    * superset property HeavyHittersSpec asserts); pass 2 exactly
+    * recounts ONLY the ≤ 39 candidates (broadcast semi-join, map-side
+    * partial count) and keeps those whose exact count clears the
+    * threshold, compared in exact integers (`cnt * 40 > n`). The result
+    * is therefore EXACTLY the items with count > n/40 — which is
+    * precisely what the DuckDB `HAVING count(*) * 40 > n` oracle
+    * computes with no sketch at all. A dropped true heavy hitter
+    * (sketch bug) or an inflated candidate (recount bug) both break the
+    * hash. At 100 TB: pass 1 shuffles k counters per partition (never
+    * the vocabulary), pass 2 shuffles ≤ k partial counts per partition. */
+  val heavyHittersExact: CatalogEntry = CatalogEntry(
+    "heavy_hitters_exact",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+      |SELECT term, count(*)::BIGINT AS cnt
+      |FROM tok, tot
+      |GROUP BY term, tot.n
+      |HAVING count(*) * 40 > tot.n
+      |ORDER BY cnt DESC, term""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val K = 40
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select(explode(TextOps.tokens($"text")).as("term"))
+    val candidates = toks.as[String]
+      .select(graft.ext.HeavyHitters.sketch(K).toColumn)
+      .toDF("hits")
+      .select(explode($"hits").as("h"))
+      .select($"h.item".as("term"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), Seq("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where($"cnt" * K > $"n")
+      .select($"term", $"cnt")
+      .orderBy($"cnt".desc, $"term")
+  }
+
   /** Corpus normalization (the canonical pre-dedup cleanup): lowercase,
     * strip digits, collapse whitespace runs, trim — all codegen'd
     * string expressions fused into the scan. Emits a before/after
@@ -1091,5 +1135,6 @@ object TextQueries {
     textNormalize, dedupMinhashPortable, textSimhashPortable,
     docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
-    decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore)
+    decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
+    heavyHittersExact)
 }

@@ -23,7 +23,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "events_grouping_sets",  // grouping-sets expand over broadcast scalar
     "decontam_bloom_prefilter", // broadcast 1-row bloom-filter sketch
     "vocab_coverage",        // broadcast 1-row corpus token total
-    "doc_lm_score")          // broadcast 1-row corpus token total
+    "doc_lm_score",          // broadcast 1-row corpus token total
+    "heavy_hitters_exact")   // broadcast 1-row corpus token total
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle
