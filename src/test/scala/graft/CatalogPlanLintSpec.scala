@@ -111,6 +111,31 @@ class CatalogPlanLintSpec extends SparkTestBase {
     }
   }
 
+  test("single-keyed-exchange family: window chains and their group-bys " +
+      "share one shuffle; only the determinism sort adds another") {
+    // gaps-and-islands: both window passes AND the (user_id, island_id)
+    // group-by must ride the user_id exchange — a second keyed exchange
+    // means the grouping stopped reusing the window partitioning and
+    // the operator doubled its shuffle volume at scale. window nav and
+    // SCD2: same single-exchange claim (+1 asof exchange for the
+    // point-in-time composition).
+    val sf = "/root/testdata/sf0.001"
+    for ((name, maxShuffles) <- Seq(
+        "events_merge_intervals" -> 2, // user_id exchange + sort
+        "window_first_last" -> 2,      // custkey exchange + sort
+        "scd2_from_history" -> 2,      // user_id exchange + sort
+        "scd2_point_in_time" -> 3,     // versions + asof union + sort
+        "events_value_histogram" -> 2, // partial-agg exchange + sort
+        "events_bitwise_agg" -> 2,     // partial-agg exchange + sort
+        "sample_cap_per_source" -> 3)) { // salt phase + exact phase + sort
+      val plan = SparkEntry.catalog(name).query(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(shuffleCount(plan) <= maxShuffles,
+        s"$name: at most $maxShuffles shuffle exchanges, " +
+          s"got ${shuffleCount(plan)}:\n$plan")
+    }
+  }
+
   test("filter family reaches the parquet scan: non-empty PushedFilters " +
       "in every filter entry's plan") {
     // structural guard for SURVEY §4's pushdown claim — a reader-option
