@@ -57,4 +57,39 @@ object Sampling {
       acc || (stratum === value && prefix < lit(t))
     }
   }
+
+  /** Deterministic per-key quota cap — "keep at most `k` rows per key",
+    * the anti-domain-dominance rule of web-corpus builds (C4-family
+    * per-host caps), selecting the `k` rows with the SMALLEST
+    * (md5(content), tie) rank so reruns keep the same rows.
+    *
+    * TWO-PHASE for scale: a single `row_number` over a hot key sorts
+    * every row of that key on one task. Phase 1 ranks within
+    * (key, salt) — `salts`-way split of every hot key, salt derived
+    * deterministically from the tie column — and keeps ≤ k per slice;
+    * phase 2 ranks the ≤ salts·k survivors per key exactly. Any global
+    * top-k row is also top-k within its own slice (fewer than k rows of
+    * the slice can outrank it), so the result is IDENTICAL to the
+    * one-shot window — the property `SamplingSpec` asserts and the
+    * catalog oracle hash-checks cross-engine.
+    *
+    * Emits the input columns plus `rk` (1-based rank within the key).
+    * `content`/`tie` contract as [[canonical]]: string or integer. */
+  def capPerKey(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      content: Column, tie: Column, k: Int,
+      salts: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"cap must be positive: $k")
+    require(salts > 0, s"salts must be positive: $salts")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val h = md5(canonical(content))
+    val preW = Window.partitionBy((keys :+ pmod(xxhash64(tie), lit(salts))): _*)
+      .orderBy(h.asc, tie.asc)
+    val exactW = Window.partitionBy(keys: _*).orderBy(h.asc, tie.asc)
+    df.withColumn("__srk", row_number().over(preW))
+      .where(col("__srk") <= k)
+      .drop("__srk")
+      .withColumn("rk", row_number().over(exactW).cast("int"))
+      .where(col("rk") <= k)
+  }
 }

@@ -83,20 +83,10 @@ object SampleQueries {
       |WHERE rk <= 10
       |ORDER BY source, rk""".stripMargin) { (s, d) =>
     import s.implicits._
-    val K = 10
-    val Salts = 16
-    val ranked = Tables.documents(s, d)
-      .select($"doc_id", $"source", md5($"text".cast("binary")).as("h"))
-      .withColumn("salt", pmod($"doc_id", lit(Salts)))
-      .withColumn("srk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"source", $"salt").orderBy($"h", $"doc_id")))
-      .where($"srk" <= K) // ≤ Salts·K survivors per source
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"source").orderBy($"h", $"doc_id")).cast("int"))
-      .where($"rk" <= K)
-    ranked.select($"doc_id", $"source", $"rk")
+    Sampling.capPerKey(
+      Tables.documents(s, d).select($"doc_id", $"source", $"text"),
+      keyCols = Seq("source"), content = $"text", tie = $"doc_id", k = 10)
+      .select($"doc_id", $"source", $"rk")
       .orderBy($"source", $"rk")
   }
 

@@ -70,4 +70,38 @@ class SamplingSpec extends SparkTestBase {
       Sampling.stratifiedKeep($"text", $"lang", Seq("en" -> "4", "fr" -> "40"))
     }
   }
+
+  test("capPerKey: two-phase pre-prune == one-shot window on skewed keys; " +
+      "deterministic across reruns; exact dups rank adjacently by tie") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{md5, row_number}
+    val rnd = new scala.util.Random(7)
+    // one hot key with 500 rows (incl. exact-dup contents), tails of 1-20
+    val rows = (0 until 500).map(i =>
+      (i.toLong, "hot", s"content ${rnd.nextInt(100)}")) ++
+      (0 until 60).map(i => (1000L + i, s"k${i % 7}", s"c$i"))
+    val df = rows.toDF("id", "key", "content")
+    val twoPhase = Sampling.capPerKey(df, Seq("key"), $"content", $"id",
+      k = 5, salts = 8)
+      .select($"key", $"id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = df.withColumn("rk", row_number().over(
+        Window.partitionBy($"key")
+          .orderBy(md5($"content".cast("binary")).asc, $"id".asc)).cast("int"))
+      .where($"rk" <= 5)
+      .select($"key", $"id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(twoPhase == oneShot,
+      s"pre-prune must be lossless; onlyTwo=${(twoPhase -- oneShot).take(5)} " +
+        s"onlyOne=${(oneShot -- twoPhase).take(5)}")
+    // rerun identical (content-keyed determinism)
+    val rerun = Sampling.capPerKey(df, Seq("key"), $"content", $"id",
+      k = 5, salts = 8)
+      .select($"key", $"id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rerun == twoPhase)
+    // keys with fewer than k rows keep everything
+    val small = oneShot.filter(_._1 == "k0")
+    assert(small.nonEmpty && small.size <= 5)
+  }
 }
