@@ -417,9 +417,61 @@ object RateQueries {
       .orderBy($"o_custkey")
   }
 
+  /** CDC by snapshot diff — the inverse of `merge_upsert`: two
+    * latest-per-key snapshot versions (the feed window moved between
+    * exports) diff into the row-level insert/update/delete changelog
+    * that transforms one into the other (`etl/Cdc.diff`). Unchanged
+    * keys are dropped row-locally before anything shuffles onward, so
+    * the changelog costs |changes|, not |table|. Both snapshots build
+    * with the `max(struct)` scale path (shuffle volume = |keys|), and
+    * the full outer join reuses their key partitioning. The oracle
+    * replays both snapshot builds (row_number formulation — also an
+    * equivalence check on max(struct)) and the IS DISTINCT FROM
+    * classification. */
+  val cdcSnapshotDiff: CatalogEntry = CatalogEntry(
+    "cdc_snapshot_diff",
+    """WITH pv AS (
+      |  SELECT o_custkey, o_totalprice FROM (
+      |    SELECT o_custkey, o_totalprice, row_number() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') WHERE rn = 1),
+      |nv AS (
+      |  SELECT o_custkey, o_totalprice FROM (
+      |    SELECT o_custkey, o_totalprice, row_number() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      |      AND o_orderdate >= TIMESTAMP '1995-06-01') WHERE rn = 1),
+      |d AS (
+      |  SELECT coalesce(n.o_custkey, p.o_custkey) AS o_custkey,
+      |    CASE WHEN p.o_custkey IS NULL THEN 'insert'
+      |         WHEN n.o_custkey IS NULL THEN 'delete'
+      |         WHEN p.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |           THEN 'update' END AS op,
+      |    round(p.o_totalprice, 2) AS old_o_totalprice,
+      |    round(n.o_totalprice, 2) AS new_o_totalprice
+      |  FROM pv p FULL OUTER JOIN nv n USING (o_custkey))
+      |SELECT * FROM d WHERE op IS NOT NULL
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def snapshot(filter: org.apache.spark.sql.Column) =
+      Tables.orders(s, d).where(filter)
+        .groupBy($"o_custkey")
+        .agg(max(struct($"o_orderdate", $"o_orderkey", $"o_totalprice"))
+          .as("m"))
+        .select($"o_custkey", $"m.o_totalprice".as("o_totalprice"))
+    val prev = snapshot($"o_orderdate" < "1997-01-01")
+    val next = snapshot($"o_orderdate" < "1999-01-01" &&
+      $"o_orderdate" >= "1995-06-01")
+    graft.etl.Cdc.diff(prev, next, Seq("o_custkey"), Seq("o_totalprice"))
+      .select($"o_custkey", $"op",
+        round($"old_o_totalprice", 2).as("old_o_totalprice"),
+        round($"new_o_totalprice", 2).as("new_o_totalprice"))
+      .orderBy($"o_custkey")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     topkLatestPerPair, earliestInWindow, sortLimit5000, filterEq,
     filterConjEq, filterRangeTs, windowLagPctChange, movingAvg,
     movingAvgTimeRange, scalarPctChange, latestPerKeyMaxby, mergeUpsert,
-    countRows, previewHead, windowFirstLast)
+    countRows, previewHead, windowFirstLast, cdcSnapshotDiff)
 }
