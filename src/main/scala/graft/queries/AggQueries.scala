@@ -250,7 +250,38 @@ object AggQueries {
       .orderBy($"flag")
   }
 
+  /** Conditional-aggregate surface (`FILTER` clause / `count_if`):
+    * several differently-predicated aggregates in ONE pass over the
+    * table — the idiom that replaces N self-joining subqueries with a
+    * single scan + single partial-agg exchange (at 100 TB, one pass vs
+    * N is the whole game). Spark expresses the filters as
+    * `count_if` / `agg(when(cond, x))` — identical null-skipping
+    * semantics to ANSI `FILTER`, which the DuckDB oracle uses
+    * verbatim. A filtered sum over an empty slice stays NULL in both
+    * engines (not zero). */
+  val aggFilterClause: CatalogEntry = CatalogEntry(
+    "agg_filter_clause",
+    """SELECT l_returnflag,
+      |  (count(*) FILTER (l_quantity > 25))::BIGINT AS n_heavy,
+      |  round(sum(l_extendedprice) FILTER (l_discount > 0.05), 2)
+      |    AS rev_discounted,
+      |  round(min(l_extendedprice) FILTER (l_tax > 0.04), 2) AS min_taxed,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count_if($"l_quantity" > 25).as("n_heavy"),
+        round(sum(when($"l_discount" > 0.05, $"l_extendedprice")), 2)
+          .as("rev_discounted"),
+        round(min(when($"l_tax" > 0.04, $"l_extendedprice")), 2)
+          .as("min_taxed"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
-    aggRegrFit)
+    aggRegrFit, aggFilterClause)
 }
