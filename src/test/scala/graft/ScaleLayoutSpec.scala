@@ -26,6 +26,46 @@ class ScaleLayoutSpec extends SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains("o_orderstatus=O")), files.mkString("\n"))
   }
 
+  test("AQE splits a skewed join partition at runtime (the non-salted " +
+      "skew path: no code change, the planner re-plans from runtime stats)") {
+    // one hot key carrying ~100k rows of INCOMPRESSIBLE pad (shuffle
+    // sizes are post-compression — a constant pad deflates under the
+    // skew threshold) vs 50 cold keys: with low skew thresholds the
+    // final adaptive plan must mark the sort-merge join skew-handled,
+    // and results must equal the plain join's
+    val fact = spark.range(100000)
+      .select(lit(0L).as("k"), md5($"id".cast("string")).as("pad"))
+      .union(spark.range(1000)
+        .select(($"id" % 50 + 1).as("k"), md5($"id".cast("string")).as("pad")))
+    val dim = (0L to 50L).toDF("k").withColumn("label", concat(lit("d"), $"k"))
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // max(length(pad)) keeps the wide column alive through the join —
+      // column pruning would otherwise strip it before the shuffle and
+      // deflate the hot partition below the skew threshold
+      val joined = fact.join(dim, "k")
+        .groupBy($"label").agg(count(lit(1)).as("n"),
+          max(length($"pad")).as("padlen"))
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join handled:\n$plan")
+      assert(got("d0") == 100000L && got("d7") == 20L && got.size == 51)
+      ()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
