@@ -42,12 +42,23 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
+    // the edge list is consumed EVERY round — checkpoint it once, or
+    // each iteration re-executes the (often expensive) pair-generation
+    // plan feeding this operator. Self-loops make one join+aggregate do
+    // the whole round: every node appears as a dst, min over
+    // (self ∪ neighbors) IS the propagation step, and the self-loop row
+    // carries the node's previous label so the convergence flag costs
+    // nothing extra.
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
       .distinct()
-    var labels = sym.select(col("src").as("id")).distinct()
+    val ids = sym.select(col("src").as("id")).distinct()
+    val symSelf = sym
+      .union(ids.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    var labels = ids
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var round = 0
@@ -57,15 +68,12 @@ object Graph {
         throw new IllegalStateException(
           s"connectedComponents: no fixpoint after $maxRounds rounds " +
             "(component diameter exceeds the round budget)")
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr_min"), col("component")) < col("component"))
-            .as("changed"))
+      val next = symSelf.join(labels, symSelf("src") === labels("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("src") === col("dst"), col("component"))).as("prev"))
+        .select(col("dst").as("id"), col("component"),
+          (col("component") < col("prev")).as("changed"))
         .localCheckpoint()
       moved = next.where(col("changed")).count()
       labels = next.select(col("id"), col("component"))
