@@ -54,10 +54,12 @@ object SummaryRegistry {
   *
   * Scope (narrow on purpose, like [[AutoRangeJoin]] — a rewrite must
   * never fire where it could be wrong):
-  *   - the aggregate's child is the bare registered relation (or a
-  *     column-pruning Project of it) — any Filter means the summary
-  *     rows can't answer (predicates don't commute with pre-aggregated
-  *     rows unless they are dim-only, a refinement not attempted);
+  *   - the aggregate's child is the registered relation under only
+  *     column-pruning Projects and DIM-ONLY deterministic Filters — a
+  *     dim predicate selects whole summary rows, so it commutes with
+  *     the pre-aggregation and is re-applied (rebased by name) on the
+  *     summary scan; any predicate touching the value column stops the
+  *     rewrite (it would have to see pre-aggregated rows);
   *   - every grouping key is a plain dim attribute; every aggregate is
   *     non-DISTINCT, unfiltered `count(*)` / `sum` / `min` / `max` of
   *     exactly the summarized value column — anything else (avg over a
@@ -73,22 +75,65 @@ object SummaryRegistry {
   */
 case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  /** Unwrap a pure column-pruning projection. */
-  private def unwrap(plan: LogicalPlan): LogicalPlan = plan match {
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      child
-    case other => other
-  }
-
-  private def relationSpec(plan: LogicalPlan): Option[SummarySpec] =
-    unwrap(plan) match {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty =>
-          SummaryRegistry.lookup(fs.location.rootPaths.head.toString)
-        case _ => None
-      }
+  /** Walk down pure column-pruning projections and DIM-ONLY filters to
+    * the relation, collecting the filter conditions. A predicate that
+    * references only dim columns commutes with the pre-aggregation
+    * (it selects whole summary rows); anything touching the value
+    * column — or nondeterministic — stops the unwrap, and the
+    * aggregate is left alone. */
+  private def unwrap(plan: LogicalPlan,
+      dims: Seq[String]): Option[(Seq[Expression], LogicalPlan)] =
+    plan match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(child, dims)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+          if cond.deterministic &&
+            cond.references.forall(a => dims.contains(a.name)) =>
+        unwrap(child, dims).map { case (fs, rel) => (cond +: fs, rel) }
+      case lr: LogicalRelation => Some((Nil, lr))
       case _ => None
     }
+
+  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty =>
+        Some(fs.location.rootPaths.head.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The registered spec plus any dim-only filters between the
+    * aggregate and the relation. Uses a permissive dims superset for
+    * the walk, then re-checks against the matched spec's dims. */
+  private def relationSpec(
+      plan: LogicalPlan): Option[(SummarySpec, Seq[Expression])] = {
+    // first locate the relation ignoring filters, to learn the dims...
+    def findRel(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        findRel(c)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) =>
+        findRel(c)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
+    }
+    for {
+      rel <- findRel(plan)
+      path <- pathOf(rel)
+      spec <- SummaryRegistry.lookup(path)
+      // ...then redo the walk strictly: every filter must be dim-only
+      (filters, _) <- unwrap(plan, spec.dims)
+    } yield (spec, filters)
+  }
+
+  /** Rebase a base-relation predicate onto the summary by name: the
+    * old attribute ids can't bind there, so they become unresolved
+    * names for the summary Dataset's analyzer to re-resolve. */
+  private def rebase(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    })
 
   /** The summary-side expression deriving `fn`, or None if the
     * aggregate isn't derivable from the (cnt, sum, min, max) partial. */
@@ -113,7 +158,7 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     if (SummaryRegistry.isEmpty) plan
     else plan transform {
       case agg: Aggregate if relationSpec(agg.child).isDefined =>
-        val spec = relationSpec(agg.child).get
+        val (spec, dimFilters) = relationSpec(agg.child).get
         val groupAttrs = agg.groupingExpressions.collect {
           case a: AttributeReference => a
         }
@@ -132,7 +177,9 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         }
         if (!groupOk || parts.exists(_.isEmpty) || aggParts.isEmpty) agg
         else {
-          val summary = session.read.parquet(spec.summaryPath)
+          val summary = dimFilters.foldLeft(
+            session.read.parquet(spec.summaryPath))(
+            (df, f) => df.where(rebase(f)))
           val grouped =
             if (groupAttrs.isEmpty)
               summary.agg(aggParts.head, aggParts.tail: _*)

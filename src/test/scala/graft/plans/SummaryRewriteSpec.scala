@@ -75,11 +75,25 @@ class SummaryRewriteSpec extends SparkTestBase {
     }
   }
 
-  test("out-of-scope shapes do NOT rewrite: filter present, avg, " +
+  test("a DIM-ONLY filter commutes: it rebases onto the summary scan " +
+      "and the rewrite still fires with identical results") {
+    val direct = base.where($"k" =!= "b").groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .orderBy($"k").collect().toSeq.toString
+    withRule {
+      val q = base.where($"k" =!= "b").groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .orderBy($"k")
+      assert(scans(q).contains("srw_summary_tbl"), scans(q))
+      assert(q.collect().toSeq.toString == direct)
+    }
+  }
+
+  test("out-of-scope shapes do NOT rewrite: value-column filter, avg, " +
       "count(col), distinct, foreign column, unregistered table") {
     withRule {
       for (q <- Seq(
-        base.where($"v" > 0).groupBy($"k").agg(sum($"v")), // filter
+        base.where($"v" > 0).groupBy($"k").agg(sum($"v")), // value filter
         base.groupBy($"k").agg(avg($"v")),                 // not derivable
         base.groupBy($"k").agg(count($"v")),               // null-skipping
         base.groupBy($"k").agg(countDistinct($"v")),       // distinct
