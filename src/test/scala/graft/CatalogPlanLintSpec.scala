@@ -61,7 +61,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
 
     // the catalog entries carry a global ORDER BY purely for oracle
     // determinism — one extra range exchange, never more
-    for (name <- Seq("asof_join", "range_join_window_agg")) {
+    for (name <- Seq("asof_join", "range_join_window_agg",
+        "asof_join_tolerance", "asof_join_forward")) {
       val plan = SparkEntry.catalog(name).query(spark, sf)
         .queryExecution.executedPlan.toString
       assert(shuffleCount(plan) <= 2,
