@@ -81,4 +81,69 @@ object Graph {
     }
     labels
   }
+
+  /** Connected components by min-propagation WITH PATH-HALVING — the
+    * scale path for ADVERSARIAL component shapes, in the spirit of the
+    * star-contraction family (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): plain min-label propagation
+    * needs diameter rounds (a 10⁶-node chain = 10⁶ rounds); adding a
+    * pointer-jumping step (`p(u) ← min(p(u), p(p(u)))`) each round
+    * collapses chains exponentially, bounding rounds at O(log n)
+    * regardless of shape.
+    *
+    * Each round is two self-joins on the parent table (propagate mins
+    * over edges; then jump one pointer level), both keyed exchanges —
+    * no driver state. Fixpoint when no parent moves; at fixpoint every
+    * node's parent is its component's min id (parents are always
+    * same-component node ids and non-increasing, and a stable state
+    * forces equality across every edge). Output matches
+    * [[connectedComponents]]: (id, component) — the two formulations
+    * check each other in GraphSpec, including a chain whose diameter
+    * exceeds this variant's round budget.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 50): DataFrame = {
+    val symRaw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"),
+        col(srcCol).cast("long").as("v")))
+      .distinct()
+    val ids = symRaw.select(col("u").as("id")).distinct()
+    // self-loops let ONE edges⋈parent join compute min over
+    // {p(u)} ∪ {p(v) : (u,v) ∈ E} with no union of parent-derived
+    // branches (duplicate attribute ids across union branches trip
+    // constraint propagation)
+    val sym = symRaw
+      .union(ids.select(col("id").as("u"), col("id").as("v")))
+      .localCheckpoint()
+    // parent(u) = min(u, neighbors(u)) — one propagation for free
+    var parent = sym
+      .groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("p"))
+      .localCheckpoint()
+    var round = 0
+    var moved = 1L
+    while (moved > 0) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
+      val propagated = sym.join(parent, sym("v") === parent("id"))
+        .groupBy(sym("u")).agg(min(col("p")).as("p"))
+        .select(col("u").as("id"), col("p"))
+        .localCheckpoint() // materialized: the jump self-joins it twice
+      // path-halving: point u at min(p(u), p(p(u)))
+      val hop = propagated.select(col("id").as("pid"), col("p").as("pp"))
+      val next = propagated
+        .join(hop, propagated("p") === hop("pid"))
+        .select(propagated("id"), least(propagated("p"), col("pp")).as("p"))
+        .localCheckpoint()
+      moved = next
+        .join(parent.select(col("id"), col("p").as("prev")), "id")
+        .where(col("p") =!= col("prev")).count()
+      parent = next
+      round += 1
+    }
+    parent.select(col("id"), col("p").as("component"))
+  }
 }

@@ -37,4 +37,35 @@ class GraphSpec extends SparkTestBase {
     val chain = (0L until 9L).map(i => (i, i + 1))
     assertThrows[IllegalStateException](cc(chain, maxRounds = 2))
   }
+
+  private def ccStar(edges: Seq[(Long, Long)],
+      maxRounds: Int = 50): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponentsStar(edges.toDF("src", "dst"), "src", "dst",
+      maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path-halving variant matches min-propagation on a mixed graph") {
+    val edges = Seq(
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (10L, 11L),
+      (1L, 2L), (2L, 3L), (3L, 7L), (7L, 4L))
+    assert(ccStar(edges) == cc(edges))
+  }
+
+  test("path-halving converges on a 200-node chain within O(log n) " +
+      "rounds where plain propagation would need the full diameter") {
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    // diameter 199: propagation refuses at a 25-round budget...
+    assertThrows[IllegalStateException](cc(chain, maxRounds = 25))
+    // ...the halving variant finishes inside the same budget
+    val got = ccStar(chain, maxRounds = 25)
+    assert(got == (0L to 199L).map(_ -> 0L).toMap)
+  }
+
+  test("path-halving variant also refuses at an impossible budget") {
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](ccStar(chain, maxRounds = 2))
+  }
 }
