@@ -55,13 +55,13 @@ object Load {
   def upsertLatest(current: DataFrame, incoming: DataFrame,
       keys: Seq[String], tsCol: String, tieCol: String): DataFrame = {
     val cols = current.columns
-    val tagged = current.select(cols.map(col): _*).withColumn("__prec", lit(0))
+    val tagged = current.select(cols.toIndexedSeq.map(col): _*).withColumn("__prec", lit(0))
       .unionByName(
-        incoming.select(cols.map(col): _*).withColumn("__prec", lit(1)))
+        incoming.select(cols.toIndexedSeq.map(col): _*).withColumn("__prec", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).desc, col("__prec").asc, col(tieCol).desc)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(cols.map(col): _*)
+      .select(cols.toIndexedSeq.map(col): _*)
   }
 }

@@ -49,7 +49,7 @@ object Transform {
     * column → one row per entry. */
   def pivotMapToRows(df: DataFrame, mapCol: String,
       keyName: String, valName: String): DataFrame = {
-    val cols = df.columns.filterNot(_ == mapCol).map(col)
+    val cols = df.columns.filterNot(_ == mapCol).map(col).toIndexedSeq
     df.select(cols :+ explode(col(mapCol)).as(Seq(keyName, valName)): _*)
   }
 

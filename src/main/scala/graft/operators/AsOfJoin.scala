@@ -57,7 +57,7 @@ object AsOfJoin {
       .withColumn("__payload", struct(payload.map(col): _*))
       .withColumns(probeCols.filterNot(build.columns.contains).map { c =>
         c -> lit(null).cast(probe.schema(c).dataType) }.toMap)
-      .select(probeSide.columns.map(col): _*)
+      .select(probeSide.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__probe").asc, col("__tie").asc)

@@ -72,7 +72,7 @@ object IncrementalAgg {
     val part = partial(batch, keyCol, valCol)
     val next =
       if (fs.exists(dest))
-        merge(spark.read.parquet(path).select(part.columns.map(col): _*),
+        merge(spark.read.parquet(path).select(part.columns.toIndexedSeq.map(col): _*),
           part, keyCol)
       else part
     // markers are pruned to the most recent 64: batch ids are monotonic

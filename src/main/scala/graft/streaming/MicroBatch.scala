@@ -52,7 +52,7 @@ object MicroBatch {
     val next =
       if (fs.exists(dest))
         Load.upsertLatest(spark.read.parquet(currentPath)
-          .select(batch.columns.map(org.apache.spark.sql.functions.col): _*),
+          .select(batch.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*),
           batch, keys, tsCol, tieCol)
       else
         Load.latestPerKey(batch, keys, tsCol, tieCol)
