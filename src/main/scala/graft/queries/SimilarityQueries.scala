@@ -251,6 +251,42 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Array-manipulation surface (§2.8 extension beyond `array_stats`'
+    * fold/HOF algebra): positional indexing (`element_at`), total sort
+    * (`array_sort`), predicate filtering (`filter`), exact-equality
+    * dedup (`array_distinct`) — all row-local codegen'd array ops, no
+    * shuffle before the determinism sort. Floats widen to double
+    * before any arithmetic and land rounded; sort/filter/distinct
+    * operate on the raw float bits identically in both engines. */
+  val arrayManipulation: CatalogEntry = CatalogEntry(
+    "array_manipulation",
+    """SELECT vec_id,
+      |  len(embedding)::INT AS dim,
+      |  round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 6)
+      |    AS min1,
+      |  round(list_sort(list_transform(embedding, x -> x::DOUBLE))[2], 6)
+      |    AS min2,
+      |  len(list_filter(embedding, x -> x < 0))::INT AS n_neg,
+      |  len(list_distinct(embedding))::INT AS n_distinct,
+      |  round(list_transform(embedding, x -> x::DOUBLE)[1]
+      |        + list_transform(embedding, x -> x::DOUBLE)[len(embedding)], 6)
+      |    AS ends_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dbl = transform($"embedding", x => x.cast("double"))
+    val sorted = array_sort(dbl)
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        size($"embedding").as("dim"),
+        round(element_at(sorted, 1), 6).as("min1"),
+        round(element_at(sorted, 2), 6).as("min2"),
+        size(filter($"embedding", x => x < lit(0f))).cast("int").as("n_neg"),
+        size(array_distinct($"embedding")).cast("int").as("n_distinct"),
+        round(element_at(dbl, 1) + element_at(dbl, size($"embedding")), 6)
+          .as("ends_sum"))
+      .orderBy($"vec_id")
+  }
+
   /** Quantize-then-rescore ANN (the storage-tier trick of DiskANN /
     * IVF-PQ systems): candidates rank by an int8 approximation of the
     * cosine, exact float math runs only on the shortlist. At 100 TB the
@@ -328,5 +364,5 @@ object SimilarityQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
-    arrayStats, embeddingCentroids)
+    arrayStats, embeddingCentroids, arrayManipulation)
 }
