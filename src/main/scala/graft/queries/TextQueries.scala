@@ -895,6 +895,31 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The same dup-cluster closure through the PATH-HALVING component
+    * operator ([[graft.ext.Graph.connectedComponentsStar]]) — the
+    * variant whose round count is O(log n) instead of cluster diameter,
+    * for corpora whose duplicate graphs chain (serial near-copies of
+    * near-copies). Shares `dedup_cluster_cc`'s RECURSIVE-CTE oracle
+    * verbatim: the driver hash-gates that BOTH component algorithms
+    * land on the identical min-label clustering. */
+  val dedupClusterCcStar: CatalogEntry = CatalogEntry(
+    "dedup_cluster_cc_star",
+    dedupClusterCc.oracle.get) { (s, d) =>
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", explode(Dedup.tokenNgrams($"text", 13)).as("gram"))
+    val edges = grams.as("a").join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
+      .distinct()
+    Graph.connectedComponentsStar(edges, "src", "dst")
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"component")))
+      .orderBy($"doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — the same train/eval overlap
     * count as `decontam_ngram_overlap`, but the corpus grams first pass
     * a BLOOM FILTER of the eval grams before the exact confirm join.
@@ -1136,5 +1161,5 @@ object TextQueries {
     docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
-    heavyHittersExact)
+    heavyHittersExact, dedupClusterCcStar)
 }
