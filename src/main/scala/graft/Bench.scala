@@ -97,10 +97,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Wall-clock discipline (round-9 fix): the driver runs Bench under a
+    // hard external timeout (~600 s including sbt startup/compile) and a
+    // kill leaves NO artifact — BENCH_r09.json was rc=124 with
+    // "parsed": null even though the same catalog benched at 0.8x
+    // baseline the same morning. Two changes keep the artifact alive:
+    //   1. the untimed warm-up sweep runs against sf0.001 — the plans
+    //      (and so the codegen-class and catalog caches it exists to
+    //      fill) are data-size-independent, and at 1/100th the data the
+    //      sweep costs seconds instead of ~70 s;
+    //   2. a soft budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 420 s
+    //      measured from this main's start) is checked between queries;
+    //      when exceeded, remaining work is dropped and the JSON is
+    //      emitted from the samples already collected, marked
+    //      "partial": true with "sweeps_completed" — a slow session now
+    //      degrades the sample count, never the artifact.
+    val t0Wall = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0Wall) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+    val warmDir = {
+      val p = Paths.get(sfDir).toAbsolutePath
+      Option(p.getParent).map(_.resolve("sf0.001"))
+        .filter(Files.isDirectory(_)).map(_.toString).getOrElse(sfDir)
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def runOnce(name: String): Double = {
+    def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -109,21 +134,55 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    names.foreach(runOnce) // warm-up: fills code/metadata caches, untimed
+    // Warm-up: fills codegen/catalog caches, untimed, at sf0.001.
+    locally {
+      val w0 = System.nanoTime()
+      names.foreach(runOnce(_, warmDir))
+      System.err.println(f"[bench] warm-up sweep ($warmDir) " +
+        f"${(System.nanoTime() - w0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s")
+    }
     // 3 interleaved sweeps: each query's samples land minutes apart, so
     // a transient contention window taxes at most one of its 3 samples.
-    val sweeps = (1 to 3).map { _ =>
-      System.gc()
-      val c1 = calibrate(1)
-      val cN = calibrate(cpus.toInt)
-      (c1, cN, names.map(n => n -> runOnce(n)).toMap)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val sweepCals = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var sweepsCompleted = 0
+    var partial = false
+    val sweepLoop = new scala.util.control.Breaks
+    sweepLoop.breakable {
+      for (s <- 1 to 3) {
+        System.gc()
+        val c1 = calibrate(1)
+        val cN = calibrate(cpus.toInt)
+        sweepCals += ((c1, cN))
+        val sw0 = System.nanoTime()
+        for (n <- names) {
+          if (elapsedSec > budgetSec) {
+            partial = true
+            System.err.println(f"[bench] budget $budgetSec%.0f s exceeded " +
+              f"at $elapsedSec%.1f s (sweep $s, query $n): emitting partial result")
+            sweepLoop.break()
+          }
+          samples(n) = runOnce(n, sfDir) :: samples.getOrElse(n, Nil)
+        }
+        sweepsCompleted = s
+        System.err.println(f"[bench] sweep $s " +
+          f"${(System.nanoTime() - sw0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s")
+      }
     }
-    val results = names.map { n =>
-      val t = sweeps.map(_._3(n))
-      n -> (if (t.contains(-1.0)) -1.0 else t.sorted.apply(1)) // median of 3
+    // Median over however many samples survived the budget (lower-median
+    // for even counts — the warmed-up reading, biased against noise).
+    val results = names.flatMap { n =>
+      samples.get(n).map { t =>
+        n -> (if (t.contains(-1.0)) -1.0
+              else t.sorted.apply((t.length - 1) / 2))
+      }
     }
-    val calib1 = sweeps.map(_._1).sorted.apply(1)
-    val calibN = sweeps.map(_._2).sorted.apply(1)
+    def medCal(sel: ((Double, Double)) => Double): Double = {
+      val v = sweepCals.map(sel).sorted
+      if (v.isEmpty) -1.0 else v((v.length - 1) / 2)
+    }
+    val calib1 = medCal(_._1)
+    val calibN = medCal(_._2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -180,7 +239,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""production_sec":$prod,"verification_sec":${total - prod},""" +
         s""""calib1_sec":${math.rint(calib1 * 1000) / 1000},""" +
-        s""""calibn_sec":${math.rint(calibN * 1000) / 1000}""" +
+        s""""calibn_sec":${math.rint(calibN * 1000) / 1000},""" +
+        s""""partial":$partial,"sweeps_completed":$sweepsCompleted""" +
         s"""$extra,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line)

@@ -23,10 +23,33 @@ import org.apache.spark.sql.functions._
   * exchanges the join reuses; the unchanged-row filter runs row-local
   * before anything downstream, so the changelog shuffles |changes|, not
   * |table|.
+  *
+  * PRECONDITION: `keys` must be unique on BOTH snapshots. A duplicated
+  * key makes the full outer join emit a cross product of its rows —
+  * changelog rows that correspond to no real change — with no error.
+  * Snapshots that may carry duplicates must be collapsed first
+  * (latest-per-key, `Load.mergeUpsert`'s dedup, or `max(struct)`).
+  * `assertUniqueKeys` runs that check as a debug-mode guard.
   */
 object Cdc {
 
-  /** @param keys        join identity
+  /** Debug-mode guard for [[diff]]'s key-uniqueness precondition:
+    * throws if any key occurs more than once in `snapshot`. Costs one
+    * aggregate over the snapshot — wire it into tests and backfills,
+    * not the hot path. */
+  def assertUniqueKeys(snapshot: DataFrame, keys: Seq[String],
+      side: String = "snapshot"): Unit = {
+    val dup = snapshot.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"Cdc.diff: $side has duplicate keys ${keys.mkString("(", ",", ")")}" +
+        s" e.g. ${dup.headOption.getOrElse("")} — collapse to " +
+        "latest-per-key before diffing")
+  }
+
+  /** @param keys        join identity — MUST be unique per side (see
+    *                    object doc; [[assertUniqueKeys]] is the guard)
     * @param compareCols columns whose change makes an `update`; every
     *                    compared column is emitted as `old_<c>` / `new_<c>` */
   def diff(prev: DataFrame, next: DataFrame, keys: Seq[String],

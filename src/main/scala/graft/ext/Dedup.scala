@@ -93,11 +93,12 @@ object Dedup {
     * retrieval is an equi-join on (band, band_value), never an
     * all-pairs scan. At 100 TB the index is 4 (band, int, id) rows per
     * doc; the fingerprint stage itself plans zero shuffles. */
-  def simhashBandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+      kernel: String = "simhash63"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val fp = df.where(col(textCol).isNotNull)
       .select(col(idCol),
-        call_function("simhash63", TextOps.tokens(col(textCol))).as("fp"))
+        call_function(kernel, TextOps.tokens(col(textCol))).as("fp"))
     fp.select(col(idCol), col("fp"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
@@ -110,10 +111,10 @@ object Dedup {
     * `bit_count(xor)` to confirm. `maxHamming` must stay below the
     * band count for the pigeonhole recall guarantee. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, kernel: String = "simhash63"): DataFrame = {
     require(maxHamming < 4,
       s"maxHamming=$maxHamming breaks the 4-band pigeonhole guarantee")
-    val idx = simhashBandIndex(df, idCol, textCol)
+    val idx = simhashBandIndex(df, idCol, textCol, kernel)
     idx.as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -146,6 +147,52 @@ object Dedup {
       .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Near-dup candidate pairs (src < dst) linking documents that share
+    * any distinct token `n`-gram, with the standard HOT-GRAM GUARD:
+    * grams whose document frequency exceeds `maxDf` are dropped before
+    * any pair is emitted. Without the cap a raw `grams ⋈ grams ON gram`
+    * self-join emits O(f²) pairs per gram — one boilerplate sentence
+    * ("all rights reserved …") present in 10⁶ documents of a 100 TB
+    * corpus is 10¹² pairs from a single gram. With it, pair output is
+    * bounded at df·(df−1)/2 ≤ maxDf²/2 per gram, i.e. O(maxDf · f)
+    * total instead of O(f²); this is the same guard the suffix-array
+    * and CC-dedup literature applies, and it loses nothing in real dup
+    * clusters — near-copies share many RARE grams, so a capped hot gram
+    * links nothing that rarer shared grams weren't already linking.
+    *
+    * Plan shape (100 TB): two shuffles of the gram stream, both with
+    * map-side partial aggregation — (1) `groupBy(gram).count()` for df,
+    * (2) a semi-join of grams against the rare-gram set, whose output
+    * partitioning the follow-up `collect_set` groupBy REUSES (no third
+    * exchange). Because the df filter runs BEFORE the collect, every
+    * aggregation buffer is structurally bounded at `maxDf` ids — a hot
+    * gram can never balloon an executor — and pair expansion is
+    * row-local (`transform` over the sorted posting, no join). */
+  def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf cannot link any pair")
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokenNgrams(col(textCol), n)).as("gram"))
+    // per-doc grams are already distinct (tokenNgrams array_distinct),
+    // so count(*) per gram IS document frequency
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select(col("gram"))
+    val postings = grams.join(rare, Seq("gram"), "left_semi")
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+    // all (i < j) pairs within one posting, row-local: for each element
+    // x at 0-based index i, pair it with every later element
+    val pairs = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("src"), y.as("dst")))))
+    postings.select(explode(pairs).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
   }
 
   /** Distinct token n-grams per row as a column expression; short rows

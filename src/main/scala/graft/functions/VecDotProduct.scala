@@ -163,7 +163,21 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  /** Sessions already holding the full function suite. Weak keys so a
+    * stopped session doesn't pin its registry; identity semantics are
+    * what we want (`newSession()` clones get their own registration).
+    * Registration is cheap but NOT free in aggregate: every catalog
+    * entry calls `register` defensively, and each
+    * `createOrReplaceTempFunction` on an existing name logs a WARN —
+    * ~20 call sites x ~15 functions x 4 bench sweeps was measurable
+    * log/registry churn in the round-9 bench tail. */
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -136,18 +136,36 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     })
 
   /** The summary-side expression deriving `fn`, or None if the
-    * aggregate isn't derivable from the (cnt, sum, min, max) partial. */
+    * aggregate isn't derivable from the (cnt, sum, min, max) partial.
+    *
+    * Two equivalences the naive derivation misses (round-9 advice):
+    *   - `count(*)` over an EMPTY input is 0, but `sum(cnt)` over an
+    *     empty summary (base empty, or a dim filter matching no rows)
+    *     is NULL — in the global-aggregate case that difference is
+    *     observable, so count derives as `coalesce(sum(cnt), 0)`,
+    *     which is also non-nullable like the original;
+    *   - the derived column can WIDEN the type: sum over DECIMAL(p,s)
+    *     yields DECIMAL(p+10,s) at base, so the summary's `sum` column
+    *     already carries p+10 and `sum(sum)` carries p+20. Every
+    *     derivation is cast back to `fn.dataType` — the cast reproduces
+    *     the original query's own overflow surface (a value too wide
+    *     for the original type could only arise where the original
+    *     aggregate would itself have overflowed). */
   private def derive(fn: AggregateFunction,
-      valCol: String): Option[org.apache.spark.sql.Column] = fn match {
-    case Count(Seq(Literal(1, _))) => Some(sum(col("cnt")))
-    case Count(Nil)                => Some(sum(col("cnt")))
-    case Sum(e: AttributeReference, _) if e.name == valCol =>
-      Some(sum(col("sum")))
-    case Min(e: AttributeReference) if e.name == valCol =>
-      Some(min(col("min")))
-    case Max(e: AttributeReference) if e.name == valCol =>
-      Some(max(col("max")))
-    case _ => None
+      valCol: String): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val d = fn match {
+      case Count(Seq(Literal(1, _))) => Some(coalesce(sum(col("cnt")), lit(0L)))
+      case Count(Nil)                => Some(coalesce(sum(col("cnt")), lit(0L)))
+      case Sum(e: AttributeReference, _) if e.name == valCol =>
+        Some(sum(col("sum")))
+      case Min(e: AttributeReference) if e.name == valCol =>
+        Some(min(col("min")))
+      case Max(e: AttributeReference) if e.name == valCol =>
+        Some(max(col("max")))
+      case _ => None
+    }
+    d.map(_.cast(fn.dataType))
   }
 
   /** Per original output position: Left(dim name) for a grouping-attr

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{AsOfJoin, RangeJoin, SaltedAgg, SaltedJoin}
+import graft.plans.{SummaryRegistry, SummaryRewrite, SummarySpec}
 
 /** Catalog entries for the custom whole-operator semantics
   * (operators/): as-of join and skew-salted aggregation.
@@ -292,7 +293,61 @@ object OperatorQueries {
       .orderBy($"event_id")
   }
 
+  /** The AGGREGATE NAVIGATOR end-to-end: a (lang, source)-keyed
+    * (cnt, sum, min, max) summary of `documents` is materialized (the
+    * layout `streaming/IncrementalAgg` maintains per micro-batch),
+    * registered, and the dashboard aggregate — count/sum/min/max of
+    * n_chars by lang, under a dim-only source filter — is issued
+    * against the BASE table. The [[graft.plans.SummaryRewrite]] rule
+    * re-plans it onto the summary (the filter commutes and rebases; the
+    * rewrite is asserted scan-level in SummaryRewriteSpec), and the
+    * oracle computes the same aggregate over the base table in DuckDB —
+    * identical results IS the materialized-view contract. At 100 TB
+    * this is the difference between a dashboard query scanning a
+    * |langs×sources| summary and re-scanning the corpus. The base is
+    * snapshotted to a session-scoped dir so the registration can never
+    * leak onto other entries' scans of the shared documents table. */
+  val summaryRewriteAgg: CatalogEntry = CatalogEntry(
+    "summary_rewrite_agg",
+    """SELECT lang,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars,
+      |  min(n_chars)::BIGINT AS min_chars,
+      |  max(n_chars)::BIGINT AS max_chars
+      |FROM documents
+      |WHERE source <> 'src0'
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_summary_nav_" +
+      s.sparkContext.applicationId
+    val basePath = s"$tmp/base"
+    val summaryPath = s"$tmp/summary"
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").parquet(basePath)
+    docs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum"),
+        min($"n_chars").as("min"), max($"n_chars").as("max"))
+      .write.mode("overwrite").parquet(summaryPath)
+    SummaryRegistry.register(SummarySpec(basePath, summaryPath,
+      Seq("lang", "source"), "n_chars"))
+    // the rule stays installed for the session (execution is lazy — it
+    // must still be active when the driver materializes the plan); it
+    // is a no-op for every scan but the snapshot registered above
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[SummaryRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ SummaryRewrite(s)
+    s.read.parquet(basePath)
+      .where($"source" =!= "src0")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
-    zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward)
+    zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward,
+    summaryRewriteAgg)
 }

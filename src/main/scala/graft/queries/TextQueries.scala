@@ -851,15 +851,20 @@ object TextQueries {
   /** Duplicate CLUSTERING — the closure step after any pair-emitting
     * near-dup detector: if A~B and B~C, all three are one group and one
     * survivor is kept. Pairs here are "docs sharing any 13-token
-    * n-gram" (the decontamination gram primitive reused as a similarity
-    * edge); clusters are connected components over that pair graph via
-    * [[graft.ext.Graph.connectedComponents]] — iterative min-label
-    * propagation, one edges⋈labels shuffle per round, rounds = cluster
-    * diameter (2-3 for real dup clusters). Output: every clustered doc
-    * with its component (= smallest member id, the canonical survivor)
-    * and the cluster size. The oracle replays the closure as a DuckDB
-    * recursive CTE — an independent fixpoint formulation, so agreement
-    * checks the propagation, not the implementation. */
+    * n-gram" via [[graft.ext.Dedup.sharedGramPairs]], which applies the
+    * standard hot-gram guard: grams with document frequency > 50 are
+    * dropped before pair expansion, bounding edge output at O(50·f)
+    * where the raw gram self-join is O(f²) per gram — the difference
+    * between a plan and a scale-killer when one boilerplate sentence
+    * appears in 10⁶ docs. Clusters are connected components over that
+    * pair graph via [[graft.ext.Graph.connectedComponents]] — iterative
+    * min-label propagation, one edges⋈labels shuffle per round, rounds
+    * = cluster diameter (2-3 for real dup clusters). Output: every
+    * clustered doc with its component (= smallest member id, the
+    * canonical survivor) and the cluster size. The oracle replays the
+    * closure as a DuckDB recursive CTE — an independent fixpoint
+    * formulation with the SAME df ≤ 50 cap in its edge CTE, so
+    * agreement checks the propagation, not the implementation. */
   val dedupClusterCc: CatalogEntry = CatalogEntry(
     "dedup_cluster_cc",
     """WITH RECURSIVE
@@ -870,8 +875,10 @@ object TextQueries {
       |    unnest(list_distinct([array_to_string(list_slice(toks, i, i + 12), ' ')
       |                          for i in range(1, greatest(len(toks) - 11, 1))])) AS gram
       |  FROM t),
+      |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
       |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |      WHERE a.gram IN (SELECT gram FROM rare)),
       |r(id, lbl) AS (
       |  SELECT DISTINCT src, src FROM e
       |  UNION
@@ -881,13 +888,8 @@ object TextQueries {
       |  (count(*) OVER (PARTITION BY component))::BIGINT AS n_members
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .where($"text".isNotNull)
-      .select($"doc_id", explode(Dedup.tokenNgrams($"text", 13)).as("gram"))
-    val edges = grams.as("a").join(grams.as("b"),
-        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
-      .distinct()
+    val edges = Dedup.sharedGramPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 13, maxDf = 50)
     Graph.connectedComponents(edges, "src", "dst")
       .withColumnRenamed("id", "doc_id")
       .withColumn("n_members",
@@ -906,13 +908,8 @@ object TextQueries {
     "dedup_cluster_cc_star",
     dedupClusterCc.oracle.get) { (s, d) =>
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .where($"text".isNotNull)
-      .select($"doc_id", explode(Dedup.tokenNgrams($"text", 13)).as("gram"))
-    val edges = grams.as("a").join(grams.as("b"),
-        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
-      .distinct()
+    val edges = Dedup.sharedGramPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 13, maxDf = 50)
     Graph.connectedComponentsStar(edges, "src", "dst")
       .withColumnRenamed("id", "doc_id")
       .withColumn("n_members",
@@ -1116,12 +1113,20 @@ object TextQueries {
     *
     * Cross-engine determinism: log-probs are `ln` of ratios of EXACT
     * integer counts (identical IEEE input → identical double, the
-    * round-3 discipline); the per-doc sum rides a rounded average, and
-    * ppl exponentiates the ROUNDED avg so both engines exponentiate the
-    * same decimal. Scale shape: one vocab-sized count exchange, the
-    * scoring join streams the token fan-out against the (orders
-    * smaller) vocab side — Catalyst broadcasts it when stats allow —
-    * and the per-doc aggregate is the only corpus-sized shuffle. */
+    * round-3 discipline) — and, round-9 advice fix, each per-token
+    * log-prob is QUANTIZED to integer nano-units (`round(lp·1e9)::LONG`)
+    * BEFORE the per-doc sum. A double sum is order-dependent and
+    * Spark's partial-agg order differs from DuckDB's, so on a large
+    * corpus `round(-sum(lp)/n, 6)` can flip on a half-ulp boundary;
+    * the int64 sum is associative-commutative-EXACT in any order (doc
+    * sums stay far below 2^53 for the ::DOUBLE hop back), and the
+    * ≤0.5e-9-per-token quantization bias vanishes under the 1e-6
+    * output rounding. ppl exponentiates the ROUNDED avg so both
+    * engines exponentiate the same decimal. Scale shape: one
+    * vocab-sized count exchange, the scoring join streams the token
+    * fan-out against the (orders smaller) vocab side — Catalyst
+    * broadcasts it when stats allow — and the per-doc aggregate is the
+    * only corpus-sized shuffle. */
   val docLmScore: CatalogEntry = CatalogEntry(
     "doc_lm_score",
     """WITH tok AS (
@@ -1129,11 +1134,13 @@ object TextQueries {
       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
       |vocab AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
       |tot AS (SELECT sum(n)::BIGINT AS t FROM vocab),
-      |lp AS (SELECT token, ln(n::DOUBLE / t::DOUBLE) AS lp FROM vocab, tot),
-      |scored AS (SELECT doc_id, lp.lp FROM tok JOIN lp USING (token))
+      |lp AS (SELECT token,
+      |         round(ln(n::DOUBLE / t::DOUBLE) * 1e9, 0)::BIGINT AS lp_q
+      |       FROM vocab, tot),
+      |scored AS (SELECT doc_id, lp.lp_q FROM tok JOIN lp USING (token))
       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-      |  round(-sum(lp) / count(*), 6) AS avg_nll,
-      |  round(exp(round(-sum(lp) / count(*), 6)), 4) AS ppl
+      |  round(-(sum(lp_q)::DOUBLE / 1e9) / count(*), 6) AS avg_nll,
+      |  round(exp(round(-(sum(lp_q)::DOUBLE / 1e9) / count(*), 6)), 4) AS ppl
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val tok = Tables.documents(s, d)
@@ -1143,8 +1150,10 @@ object TextQueries {
     val total = vocab.agg(sum($"n").as("t"))
     val lp = vocab.crossJoin(broadcast(total))
       .select($"token",
-        log($"n".cast("double") / $"t".cast("double")).as("lp"))
-    val avgNll = round(-sum($"lp") / count(lit(1)), 6)
+        round(log($"n".cast("double") / $"t".cast("double")) * lit(1e9), 0)
+          .cast("long").as("lp_q"))
+    val avgNll =
+      round(-(sum($"lp_q").cast("double") / lit(1e9)) / count(lit(1)), 6)
     tok.join(lp, Seq("token"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),

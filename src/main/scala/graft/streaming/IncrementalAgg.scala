@@ -61,14 +61,36 @@ object IncrementalAgg {
     new Path(dir, s"_applied_$batchId")
 
   /** Fold one micro-batch into the snapshot at `path`. Idempotent per
-    * `batchId`: a batch whose marker is present in the current snapshot
-    * is skipped whole. */
+    * `batchId`: a batch whose marker is present in the current
+    * snapshot — or whose id is at or below the snapshot's persisted
+    * high-water mark — is skipped whole.
+    *
+    * CONTRACT: foreachBatch batch ids are strictly monotonic within a
+    * query, so any id ≤ the high-water mark can only be a replay. A
+    * RESTARTED query with reset batch ids (new/rolled-back checkpoint
+    * pointed at an existing snapshot) is therefore refused by the skip,
+    * not double-counted — the snapshot and its checkpoint must be
+    * backed up, restored, and reset TOGETHER. Start a fresh snapshot
+    * path when starting a fresh checkpoint. */
   def applyBatch(spark: SparkSession, batch: DataFrame, path: String,
       keyCol: String, valCol: String, batchId: Long): Unit = {
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.recover(fs, dest)
-    if (fs.exists(marker(dest, batchId))) return // replayed batch
+    val entries: Seq[String] =
+      if (!fs.exists(dest)) Seq.empty
+      else fs.listStatus(dest).toSeq.map(_.getPath.getName)
+    val existing: Seq[Long] = entries.filter(_.startsWith("_applied_"))
+      .map(_.stripPrefix("_applied_").toLong)
+    // high-water mark: survives the marker-tail pruning below, so a
+    // replay OLDER than the retained tail (checkpoint restored from a
+    // backup, reset batch ids) is refused instead of silently
+    // re-merged — the round-9 advice hole
+    val priorMax: Long =
+      (existing ++ entries.filter(_.startsWith("_max_applied_"))
+        .map(_.stripPrefix("_max_applied_").toLong))
+        .foldLeft(-1L)(math.max)
+    if (batchId <= priorMax) return // replayed (or reset-id) batch
     val part = partial(batch, keyCol, valCol)
     val next =
       if (fs.exists(dest))
@@ -78,18 +100,15 @@ object IncrementalAgg {
     // markers are pruned to the most recent 64: batch ids are monotonic
     // and foreachBatch only ever replays batches at or after the last
     // checkpoint commit, never the deep past — retaining a bounded tail
-    // keeps the guard while the snapshot directory stays O(1) entries
-    val applied: Seq[Long] =
-      (if (!fs.exists(dest)) Seq.empty[Long]
-       else fs.listStatus(dest).toSeq.map(_.getPath.getName)
-         .filter(_.startsWith("_applied_"))
-         .map(_.stripPrefix("_applied_").toLong))
-        .sorted.takeRight(63) :+ batchId
+    // keeps the guard while the snapshot directory stays O(1) entries;
+    // the high-water file covers everything older than the tail
+    val applied: Seq[Long] = existing.sorted.takeRight(63) :+ batchId
     AtomicSwap.swapIn(fs, dest) { stg =>
       next.write.mode("overwrite").parquet(stg.toString)
       // markers ride INSIDE the directory the swap publishes: data and
       // applied-set can never disagree, whatever the crash point
       applied.foreach(id => fs.create(marker(stg, id), true).close())
+      fs.create(new Path(stg, s"_max_applied_$batchId"), true).close()
     }
   }
 

@@ -48,4 +48,15 @@ class CdcSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Cdc.diff(df, df, Nil, Seq("v")) }
     intercept[IllegalArgumentException] { Cdc.diff(df, df, Seq("k"), Nil) }
   }
+
+  test("assertUniqueKeys: the debug guard for the key-uniqueness " +
+      "precondition passes unique snapshots and names the violating side") {
+    val unique = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    Cdc.assertUniqueKeys(unique, Seq("k")) // no throw
+    val duped = Seq((1L, 1.0), (1L, 9.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.assertUniqueKeys(duped, Seq("k"), side = "prev")
+    }
+    assert(e.getMessage.contains("prev") && e.getMessage.contains("duplicate"))
+  }
 }

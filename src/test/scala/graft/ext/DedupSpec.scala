@@ -21,6 +21,29 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set((1L, 3L), (2L, 1L)))
   }
 
+  test("sharedGramPairs: links docs sharing a rare gram, refuses pairs " +
+      "whose ONLY link is a gram above the df cap, equals the uncapped " +
+      "self-join under the cap") {
+    // 13 tokens => each text is exactly one 13-gram
+    val hot = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12 r13"
+    val df = Seq(
+      1L -> s"$rare tail1", 2L -> s"$rare tail2", // rare gram: df=2
+      3L -> hot, 4L -> hot, 5L -> hot, 6L -> hot) // hot gram: df=4
+      .toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.sharedGramPairs(df, "doc_id", "text", n = 13, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap below the hot gram's df: only the rare-gram pair survives
+    assert(pairs(3) == Set((1L, 2L)))
+    // cap at the hot df: identical to the raw self-join's pair set
+    val uncapped = pairs(4)
+    assert(uncapped == Set((1L, 2L), (3L, 4L), (3L, 5L), (3L, 6L),
+      (4L, 5L), (4L, 6L), (5L, 6L)))
+    // src < dst invariant
+    assert(uncapped.forall { case (a, b) => a < b })
+  }
+
   test("minhash signature is deterministic and identical for identical text") {
     val df = Seq((1L, base), (2L, base), (3L, "completely different words here"))
       .toDF("doc_id", "text")

@@ -106,6 +106,66 @@ class SummaryRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("dim filter matching NO rows: global count(*) derives 0, not " +
+      "NULL (sum over an empty summary is NULL; count must not be)") {
+    val direct = base.where($"k" === "zzz")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().toSeq.toString
+    withRule {
+      val q = base.where($"k" === "zzz")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      assert(scans(q).contains("srw_summary_tbl"), scans(q))
+      assert(q.collect().toSeq.toString == direct,
+        s"expected $direct got ${q.collect().toSeq}")
+    }
+  }
+
+  test("decimal sum: the derived column is cast back to the original " +
+      "widened type (summary sum-of-sums would otherwise widen twice)") {
+    val ddir = Files.createTempDirectory("graft_sumrw_dec").toString
+    val dbase = s"$ddir/dec_base"
+    val dsum = s"$ddir/dec_summary"
+    rows.toDF("k", "v")
+      .select($"k", $"v".cast("decimal(10,2)").as("v"))
+      .write.mode("overwrite").parquet(dbase)
+    IncrementalAgg.partial(spark.read.parquet(dbase), "k", "v")
+      .write.mode("overwrite").parquet(dsum)
+    val direct = spark.read.parquet(dbase).groupBy($"k").agg(sum($"v").as("s"))
+    val expect = direct.orderBy($"k").collect().toSeq.toString
+    SummaryRegistry.register(SummarySpec(dbase, dsum, Seq("k"), "v"))
+    spark.experimental.extraOptimizations = Seq(SummaryRewrite(spark))
+    try {
+      val q = spark.read.parquet(dbase).groupBy($"k")
+        .agg(sum($"v").as("s")).orderBy($"k")
+      assert(scans(q).contains("dec_summary"), scans(q))
+      assert(q.queryExecution.executedPlan.schema("s").dataType ==
+        direct.schema("s").dataType,
+        s"executed type ${q.queryExecution.executedPlan.schema("s").dataType}" +
+          s" != analyzed ${direct.schema("s").dataType}")
+      assert(q.collect().toSeq.toString == expect)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      SummaryRegistry.clear()
+    }
+  }
+
+  test("catalog entry summary_rewrite_agg: the executed plan scans the " +
+      "summary snapshot, never the base copy") {
+    val q = graft.queries.OperatorQueries.summaryRewriteAgg
+      .query(spark, "/root/testdata/sf0.001")
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_summary_nav"), plan)
+      assert(plan.contains("/summary"), s"must scan the summary:\n$plan")
+      assert(!plan.contains("/base"), s"must NOT scan the base:\n$plan")
+      val rows = q.collect()
+      assert(rows.nonEmpty && rows.forall(!_.isNullAt(1)))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      SummaryRegistry.clear()
+    }
+  }
+
   test("summary stays correct as IncrementalAgg maintains it") {
     // fold one more batch through the maintainer, re-point the registry
     // at the maintained snapshot, and the navigator serves the new total

@@ -71,6 +71,25 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(snapshot(path)("c") == ((1L, 9.0, 9.0, 9.0)))
   }
 
+  test("a replay OLDER than the pruned marker tail is refused by the " +
+      "high-water mark (checkpoint restored from backup / reset ids)") {
+    val dir = Files.createTempDirectory("graft_incragg3").toString
+    val path = s"$dir/summary"
+    val b0 = Seq("a" -> 1.0).toDF("k", "v")
+    IncrementalAgg.applyBatch(spark, b0, path, "k", "v", 0L)
+    IncrementalAgg.applyBatch(spark, Seq("a" -> 2.0).toDF("k", "v"),
+      path, "k", "v", 1L)
+    // simulate the 64-marker tail pruning having dropped batch 0's marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_applied_0"), false)
+    val before = snapshot(path)
+    IncrementalAgg.applyBatch(spark, b0, path, "k", "v", 0L) // deep replay
+    assert(snapshot(path) == before,
+      "a batch id at or below the high-water mark must never re-merge")
+    assert(before("a") == ((2L, 3.0, 1.0, 2.0)))
+  }
+
   test("merge is the aggregates' own algebra: associative across splits") {
     val rows = Seq("x" -> 2.0, "y" -> -1.0, "x" -> 0.5, "z" -> 3.0,
       "y" -> 8.0, "x" -> 4.0)
