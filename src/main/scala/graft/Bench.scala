@@ -49,7 +49,8 @@ object Bench {
     * keep xxhash64 and are counted as production. */
   val verificationOnly: Set[String] =
     Set("doc_winnow_portable", "dedup_minhash_portable",
-      "text_simhash_portable")
+      "text_simhash_portable", "dedup_simhash_portable",
+      "heavy_hitters_mg_portable")
 
   @volatile private var calibSink = 0L // defeats dead-code elimination
 

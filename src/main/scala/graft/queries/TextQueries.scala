@@ -747,6 +747,135 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** SimHash NEAR-DUP PAIR SET with the portable md5 kernel — the
+    * missing cross-engine gate on the pair-emitting machinery itself
+    * (the production `dedup_simhash_hamming` publishes the band index;
+    * its pair behavior was spec-only until this twin). The corpus is
+    * augmented with deterministic planted copies — exact duplicates
+    * (`doc_id % 17`, Hamming 0) and one-token-appended near-copies
+    * (`doc_id % 23`, small nonzero Hamming) — so the gate is
+    * NON-VACUOUS: the oracle replays fingerprint → 4-band split → band
+    * equi-join → `bit_count(xor) <= 3` confirm hash-for-hash in DuckDB
+    * (the banding also surfaces the corpus' natural near-dups). The
+    * production path keeps xxhash64; this twin is verification
+    * overhead, excluded from the bench production subtotal. */
+  val dedupSimhashPortable: CatalogEntry = {
+    val bits = TextOps.SimhashBits
+    val sums = (0 until bits).map(i =>
+      s"""    sum(CASE WHEN (h & (1::BIGINT << $i)) != 0
+         |        THEN 1 ELSE -1 END) AS s$i""".stripMargin).mkString(",\n")
+    val assemble = (0 until bits).map(i =>
+      s"(CASE WHEN s$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+      .mkString(" +\n  ")
+    CatalogEntry(
+      "dedup_simhash_portable",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' graftdup' FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 23 = 0),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug),
+         |h AS (SELECT doc_id,
+         |        ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+         |      FROM tok),
+         |v AS (
+         |  SELECT doc_id,
+         |$sums
+         |  FROM h GROUP BY doc_id),
+         |f AS (SELECT doc_id,
+         |  $assemble AS fp
+         |  FROM v),
+         |b AS (
+         |  SELECT doc_id, fp, band, ((fp >> (16 * band)) & 65535) AS bval
+         |  FROM f, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    bit_count(xor(a.fp, c.fp))::INT AS hamming
+         |  FROM b a JOIN b c ON a.band = c.band AND a.bval = c.bval
+         |    AND a.doc_id < c.doc_id
+         |  WHERE bit_count(xor(a.fp, c.fp)) <= 3)
+         |SELECT id_a, id_b, hamming FROM p
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).where($"text".isNotNull)
+      val aug = docs.select($"doc_id", $"text")
+        .unionByName(docs.where($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        .unionByName(docs.where($"doc_id" % 23 === 0)
+          .select(($"doc_id" + 200000).as("doc_id"),
+            concat($"text", lit(" graftdup")).as("text")))
+      Dedup.simhashNearDupPairs(aug, "doc_id", "text", maxHamming = 3,
+        kernel = "simhash63_md5")
+        .orderBy($"id_a", $"id_b")
+    }
+  }
+
+  /** Per-document MISRA-GRIES replay with a deterministic fold order —
+    * the cross-engine gate on the MG state machine itself. The
+    * corpus-level `heavy_hitters_mg` Aggregator is partition-order-
+    * dependent by nature (weights are lower bounds whose exact values
+    * depend on merge order), so it can never hash-match a serial
+    * replay; THIS twin folds each document's own token sequence —
+    * a defined order both engines share — through the identical
+    * update rule (increment if tracked; insert if < k−1 counters;
+    * else decrement-all-drop-zeros), as a row-local codegen'd
+    * `aggregate` HOF on the Spark side and a recursive-CTE state
+    * machine in DuckDB. A green hash proves every branch of the MG
+    * update agrees token-for-token across engines — the same kernel
+    * the Aggregator's reduce runs per partition at 100 TB. k = 4
+    * (up to 3 tracked items/doc). */
+  val heavyHittersMgPortable: CatalogEntry = CatalogEntry(
+    "heavy_hitters_mg_portable",
+    """WITH RECURSIVE
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |mg(doc_id, i, n, state) AS (
+      |  SELECT doc_id, 1, len(ts), CAST([] AS STRUCT(item VARCHAR, w BIGINT)[])
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT m.doc_id, m.i + 1, m.n,
+      |    CASE
+      |      WHEN list_contains(list_transform(m.state, y -> y.item), t.ts[m.i])
+      |        THEN list_transform(m.state, y -> CASE WHEN y.item = t.ts[m.i]
+      |              THEN struct_pack(item := y.item, w := y.w + 1) ELSE y END)
+      |      WHEN len(m.state) < 3
+      |        THEN list_append(m.state,
+      |               struct_pack(item := t.ts[m.i], w := 1::BIGINT))
+      |      ELSE list_filter(list_transform(m.state, y ->
+      |             struct_pack(item := y.item, w := y.w - 1)), y -> y.w > 0)
+      |    END
+      |  FROM mg m JOIN tok t USING (doc_id) WHERE m.i <= m.n),
+      |fin AS (SELECT doc_id, unnest(state) AS u FROM mg WHERE i = n + 1)
+      |SELECT doc_id, u.item AS item, u.w AS weight
+      |FROM fin ORDER BY doc_id, weight DESC, item""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val k = 4
+    val mgState = aggregate(
+      TextOps.tokens($"text"),
+      array().cast("array<struct<item:string,w:bigint>>"),
+      (st, t) =>
+        when(array_contains(transform(st, y => y("item")), t),
+          transform(st, y =>
+            when(y("item") === t,
+              struct(y("item").as("item"), (y("w") + 1L).as("w")))
+              .otherwise(y)))
+          .when(size(st) < k - 1,
+            concat(st, array(struct(t.as("item"), lit(1L).as("w")))))
+          .otherwise(filter(
+            transform(st, y =>
+              struct(y("item").as("item"), (y("w") - 1L).as("w"))),
+            y => y("w") > 0)))
+    Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", explode(mgState).as("hit"))
+      .select($"doc_id", $"hit.item".as("item"), $"hit.w".as("weight"))
+      .orderBy($"doc_id", $"weight".desc, $"item")
+  }
+
   /** Train/eval CONTAMINATION detection — the decontamination step of an
     * LLM training-data pipeline: flag corpus documents sharing any
     * 13-token n-gram with an eval/benchmark set (the overlap rule the
@@ -1167,7 +1296,8 @@ object TextQueries {
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
     textNormalize, dedupMinhashPortable, textSimhashPortable,
-    docWinnowPortable, dedupSimhashHamming, decontamNgramOverlap, piiScrub,
+    docWinnowPortable, dedupSimhashPortable, heavyHittersMgPortable,
+    dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
     heavyHittersExact, dedupClusterCcStar)

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Quiet-session profiler for individual catalog entries — the
+  * attribution tool for bench outliers: the full `graft.Bench` shares
+  * one session across ~130 entries x 4 sweeps, so a reading there folds
+  * in whatever session pressure (GC, broadcast cleanup, JIT churn)
+  * surrounds the entry, while THIS main times the named entries alone,
+  * warm, median-of-N. A per-query bench reading far above its quiet
+  * median is session noise; a quiet median far above the recorded
+  * baseline is a real plan/kernel regression.
+  *
+  * Usage: runMain graft.tools.EntryProfile <sfDir> <entry> [entry ...]
+  *        (SPARK_GRAFT_PROFILE_REPS to override the 5 reps)
+  */
+object EntryProfile {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EntryProfile <sfDir> <entry> [entry ...]")
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (name <- names) {
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown entry $name"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm: codegen + catalog caches, untimed
+      val ts = Seq.fill(reps)(once()).sorted
+      val med = ts((ts.length - 1) / 2)
+      println(f"[profile] $name%-28s median $med%6.3f s  " +
+        f"min ${ts.head}%6.3f  max ${ts.last}%6.3f  (n=$reps, $sfDir)")
+    }
+    spark.stop()
+  }
+}

@@ -1,5 +1,8 @@
 package graft.ext
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
 import graft.SparkTestBase
 
 /** Connected components: closure correctness, multi-round convergence,
@@ -67,5 +70,41 @@ class GraphSpec extends SparkTestBase {
   test("path-halving variant also refuses at an impossible budget") {
     val chain = (0L until 199L).map(i => (i, i + 1))
     assertThrows[IllegalStateException](ccStar(chain, maxRounds = 2))
+  }
+
+  /** Plain-Scala union-find — the independent reference both Spark
+    * formulations must match on arbitrary graphs. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("forAll: both component formulations equal union-find on random " +
+      "edge lists (self-loops, duplicates, and parallel edges included)") {
+    // small node domain on purpose: collisions make dense multi-edge
+    // components, the interesting inputs for the propagation algebra
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 14).flatMap { n =>
+        Gen.listOfN(n, for {
+          a <- Gen.choose(0L, 11L)
+          b <- Gen.choose(0L, 11L)
+        } yield (a, b))
+      }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8) // each case runs two iterative Spark jobs
+      .withInitialSeed(Seed(246813579L))
+    val res = SCTest.check(params, Prop.forAll(genEdges) { edges =>
+      val expect = unionFind(edges)
+      cc(edges) == expect && ccStar(edges) == expect
+    })
+    assert(res.passed, s"cc law: ${res.status}")
   }
 }
