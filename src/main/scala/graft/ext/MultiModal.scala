@@ -406,33 +406,62 @@ object MultiModal {
     private val writer = ImageIO.getImageWritersByFormatName("gif").next()
     private val reader = ImageIO.getImageReadersByFormatName("gif").next()
 
+    /** Fixed 256-entry palette the synthetic frames index into. GIF is
+      * an indexed format: handed a TRUECOLOR (TYPE_INT_RGB) frame, the
+      * JDK writer runs a color-quantization pass per frame to derive a
+      * palette — measured ~0.2 ms/frame on 8-32 px frames, 6.3 s
+      * single-threaded over the catalog entry's ~32k frames, and the
+      * dominant term of the entry's bench reading (round-9 verdict
+      * item). Synthesizing frames as TYPE_BYTE_INDEXED over an explicit
+      * IndexColorModel hands the writer pre-paletted rasters it can
+      * emit directly. Odd multipliers make each channel a bijection of
+      * the index, so all 256 palette entries are distinct colors and an
+      * index shift (the per-id/per-frame variation) changes every
+      * pixel's decoded RGB. */
+    private val palette: java.awt.image.IndexColorModel = {
+      val r = new Array[Byte](256)
+      val g = new Array[Byte](256)
+      val b = new Array[Byte](256)
+      var i = 0
+      while (i < 256) {
+        r(i) = ((i * 37) % 256).toByte
+        g(i) = ((i * 73) % 256).toByte
+        b(i) = ((i * 151) % 256).toByte
+        i += 1
+      }
+      new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    }
+
     /** Deterministic synthetic animation → real GIF89a bytes: per-frame
       * gradient pattern shifted by (id, frame), so distinct ids and
-      * distinct frames carry distinct pixels. */
+      * distinct frames carry distinct pixels. One image buffer is
+      * reused across the animation's frames (all share dims). */
     def encode(id: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
       require(width > 0 && height > 0 && nFrames > 0,
         s"bad gif spec ${width}x$height x$nFrames")
       val out = new ByteArrayOutputStream()
       val ios = new MemoryCacheImageOutputStream(out)
-      val px = new Array[Int](width * height)
+      val img = new BufferedImage(width, height,
+        BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val raster = img.getRaster
+      val px = new Array[Byte](width * height)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
         while (f < nFrames) {
-          val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          val shift = ((id + f * 31) % 256).toInt
           var y = 0
           while (y < height) {
             var x = 0
             while (x < width) {
-              px(y * width + x) = (((x * 255 / width) << 16) |
-                ((y * 255 / height) << 8) |
-                (((id + f * 31) % 256).toInt)) & 0xffffff
+              px(y * width + x) =
+                ((x * 255 / width + y * 255 / height + shift) % 256).toByte
               x += 1
             }
             y += 1
           }
-          img.setRGB(0, 0, width, height, px, 0, width)
+          raster.setDataElements(0, 0, width, height, px)
           writer.writeToSequence(new IIOImage(img, null, null), null)
           f += 1
         }
