@@ -90,6 +90,67 @@ object SampleQueries {
       .orderBy($"source", $"rk")
   }
 
+  /** TEMPERATURE-reweighted source mixture — the data-mixing step of an
+    * LLM training build: sample sources proportionally to n^alpha
+    * (alpha = 0.5 here) instead of raw size, so huge domains stop
+    * drowning small ones (the multilingual/mixture trick of the
+    * XLM-R/T5 lineage). The corpus is first skewed deterministically
+    * (doc_id stride varying by source index) so sources have genuinely
+    * different sizes and the reweighting is observable — on a
+    * uniform-source fixture every rate would coincide and the entry
+    * would prove nothing.
+    *
+    * Cross-engine determinism: per-source weights q_s = round(sqrt(n_s)
+    * ·1e9) are exact BIGINTs (hardware sqrt is correctly rounded), the
+    * keep rate K·q_s / (Σq·n_s) is one correctly-rounded division of
+    * exact integers, and the per-doc uniform is a 60-bit md5 prefix
+    * scaled by the exact power of two 2^-60 — every float either engine
+    * computes is the correctly-rounded image of identical integers, so
+    * membership is bit-stable (the repo's ratio-of-exact-integers
+    * discipline). Scale shape: the rate table is |sources| rows,
+    * broadcast; membership is a scan-local predicate — no shuffle
+    * beyond the source-count aggregate. */
+  val sampleTemperatureMix: CatalogEntry = CatalogEntry(
+    "sample_temperature_mix",
+    """WITH corpus AS (
+      |  SELECT doc_id, source FROM documents
+      |  WHERE doc_id % ((substring(source, 4, 10)::INT % 4) + 1) = 0),
+      |src AS (SELECT source, count(*)::BIGINT AS n FROM corpus GROUP BY source),
+      |qv AS (SELECT source, n,
+      |         round(sqrt(n::DOUBLE) * 1e9, 0)::BIGINT AS q FROM src),
+      |tot AS (SELECT sum(q)::BIGINT AS sum_q FROM qv),
+      |rated AS (
+      |  SELECT source, n, (120 * q)::DOUBLE / (sum_q * n)::DOUBLE AS rate
+      |  FROM qv, tot)
+      |SELECT d.doc_id, d.source, r.n AS n_source, round(r.rate, 6) AS rate
+      |FROM corpus d JOIN rated r USING (source)
+      |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+      |      / 1152921504606846976.0 < r.rate
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val corpus = Tables.documents(s, d)
+      .where($"doc_id" %
+        ((substring($"source", 4, 10).cast("int") % 4) + 1) === 0)
+      .select($"doc_id", $"source")
+    val srcCounts = corpus.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("q", round(sqrt($"n".cast("double")) * lit(1e9), 0)
+        .cast("long"))
+    val tot = srcCounts.agg(sum($"q").as("sum_q"))
+    val rated = srcCounts.crossJoin(broadcast(tot))
+      .select($"source", $"n",
+        ((lit(120L) * $"q").cast("double") /
+          ($"sum_q" * $"n").cast("double")).as("rate"))
+    // 2^60 exactly; division by a power of two is exact scaling
+    val twoPow60 = lit(1152921504606846976.0)
+    corpus.join(broadcast(rated), "source")
+      .where(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double") / twoPow60 < $"rate")
+      .select($"doc_id", $"source", $"n".as("n_source"),
+        round($"rate", 6).as("rate"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource)
+    sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
+    sampleTemperatureMix)
 }

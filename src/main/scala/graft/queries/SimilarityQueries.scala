@@ -362,7 +362,122 @@ object SimilarityQueries {
       .orderBy($"label", $"pos")
   }
 
+  /** Lloyd's k-means ASSIGNMENT step, deterministic across engines:
+    * seeds are the k=8 lowest-vec_id embeddings (no RNG — the
+    * kmeans++-style seeding of production runs replaces this fixture
+    * choice), each vector goes to the argmin-L2 centroid with ties
+    * broken on centroid id. Cross-engine float discipline: each
+    * per-dimension squared difference is QUANTIZED to integer
+    * nano-units before summing, so the distance is an order-free BIGINT
+    * sum both engines agree on bit-for-bit (the doc_lm_score
+    * discipline; a raw double sum is partial-agg-order dependent).
+    *
+    * Scale shape: centroids broadcast (k·dim floats), distances
+    * computed row-local in one codegen'd pass over the corpus, argmin
+    * via min(struct) partial-agg — the only shuffle is k·|corpus keys|
+    * argmin rows. At 100 TB with k in the thousands this is exactly
+    * the IVF coarse-assign pass (`sim_ann_ivf`); reference scope:
+    * app.py:44-49 charts per-currency aggregates, the analogous
+    * group-then-summarize shape over a derived key. */
+  val embedKmeansAssign: CatalogEntry = CatalogEntry(
+    "embed_kmeans_assign",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id < 8),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum([round(((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * ((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * 1e9, 0)::BIGINT
+      |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS d2q
+      |  FROM embeddings e, cent c),
+      |best AS (
+      |  SELECT vec_id, cid, d2q,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+      |  FROM d2)
+      |SELECT vec_id, cid AS cluster, round(d2q::DOUBLE / 1e9, 6) AS dist2
+      |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cent = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid",
+        aggregate(
+          zip_with($"embedding", $"cvec", (a, c) => {
+            val diff = a.cast("double") - c.cast("double")
+            round(diff * diff * lit(1e9), 0).cast("long")
+          }),
+          lit(0L), (acc, t) => acc + t).as("d2q"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2q", $"cid")).as("b"))
+      .select($"vec_id", $"b.cid".as("cluster"),
+        round($"b.d2q".cast("double") / lit(1e9), 6).as("dist2"))
+      .orderBy($"vec_id")
+  }
+
+  /** Lloyd's k-means UPDATE step on the [[embedKmeansAssign]]
+    * assignment: new centroid = per-(cluster, dimension) mean of the
+    * members' coordinates. Coordinates are quantized to integer
+    * nano-units before the sum (order-free exact aggregate), the mean
+    * is one correctly-rounded division both engines share. Scale
+    * shape: posexplode fans each vector to dim rows row-local and the
+    * shuffle carries only k·dim partial cells after map-side combine —
+    * one full Lloyd iteration (assign + update) is two corpus passes
+    * and two bounded shuffles, independent of corpus size. */
+  val embedKmeansUpdate: CatalogEntry = CatalogEntry(
+    "embed_kmeans_update",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id < 8),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum([round(((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * ((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * 1e9, 0)::BIGINT
+      |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS d2q
+      |  FROM embeddings e, cent c),
+      |best AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+      |  FROM d2),
+      |assign AS (SELECT vec_id, cid AS cluster FROM best WHERE rn = 1),
+      |coord AS (
+      |  SELECT a.cluster, i.gs::INT AS dim,
+      |    round((e.embedding[i.gs]::DOUBLE) * 1e9, 0)::BIGINT AS cq
+      |  FROM assign a JOIN embeddings e USING (vec_id),
+      |       unnest(generate_series(1, 64)) AS i(gs))
+      |SELECT cluster, dim, count(*)::BIGINT AS n,
+      |  round(sum(cq)::DOUBLE / (count(*) * 1e9), 6) AS coord
+      |FROM coord GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cent = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assign = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid",
+        aggregate(
+          zip_with($"embedding", $"cvec", (a, c) => {
+            val diff = a.cast("double") - c.cast("double")
+            round(diff * diff * lit(1e9), 0).cast("long")
+          }),
+          lit(0L), (acc, t) => acc + t).as("d2q"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2q", $"cid")).as("b"))
+      .select($"vec_id", $"b.cid".as("cluster"))
+    assign.join(emb, "vec_id")
+      .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"cluster", ($"pos" + 1).cast("int").as("dim"),
+        round($"v".cast("double") * lit(1e9), 0).cast("long").as("cq"))
+      .groupBy($"cluster", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"cq").as("sq"))
+      .select($"cluster", $"dim", $"n",
+        round($"sq".cast("double") / ($"n" * lit(1e9)), 6).as("coord"))
+      .orderBy($"cluster", $"dim")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
-    arrayStats, embeddingCentroids, arrayManipulation)
+    arrayStats, embeddingCentroids, arrayManipulation,
+    embedKmeansAssign, embedKmeansUpdate)
 }

@@ -1291,6 +1291,91 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** GREEDY SEQUENCE PACKING — the "fill the context window" step
+    * between a curated corpus and a training run: documents are packed
+    * in doc_id order into bins of at most 60 tokens; a document that
+    * does not fit opens the next bin (an oversized document gets a bin
+    * of its own). Emits each document's bin id and token offset within
+    * the bin — the (sequence, position) a trainer would slice. The
+    * budget sits INSIDE the fixture's 10-100-token doc range on
+    * purpose: all three fold branches (fits / opens-bin / oversized
+    * own-bin) fire on real rows, so the cross-engine replay is
+    * non-vacuous for each.
+    *
+    * The fold is inherently sequential PER SHARD, and that is the scale
+    * story: packing has no cross-shard semantics (bins never span
+    * shards), so the corpus shards by source — compose the shard key
+    * with a doc_id bucket to bound any hot shard — and each shard's
+    * ordered fold runs row-local as a codegen'd `aggregate` HOF over
+    * its sorted doc list after ONE shuffle. The HOF accumulator is
+    * rebuilt per step (`concat` copies), an O(m²)-bytes-per-shard
+    * cost that caps the practical shard at a few thousand docs — at
+    * 100 TB pick the doc_id bucket so shards stay that size (the
+    * 32-byte/doc state makes 2k-doc shards ~128 MB of copying, still
+    * row-local and embarrassingly parallel). The DuckDB oracle replays
+    * the identical fold as a recursive-CTE state machine, so a hash
+    * match proves every branch (fits / opens-bin / oversized) agrees
+    * step-for-step across engines. */
+  val packSequencesGreedy: CatalogEntry = {
+    val budget = 60L
+    CatalogEntry(
+      "pack_sequences_greedy",
+      s"""WITH RECURSIVE
+         |tok AS (
+         |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |arr AS (
+         |  SELECT source,
+         |    list(struct_pack(doc_id := doc_id, n := n) ORDER BY doc_id) AS ds
+         |  FROM tok GROUP BY source),
+         |rec(source, i, m, bin, off, used) AS (
+         |  SELECT source, 0, len(ds), 0::BIGINT, 0::BIGINT, 0::BIGINT FROM arr
+         |  UNION ALL
+         |  SELECT r.source, r.i + 1, r.m,
+         |    CASE WHEN r.used = 0 OR r.used + a.ds[r.i + 1].n <= $budget
+         |         THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.used = 0 OR r.used + a.ds[r.i + 1].n <= $budget
+         |         THEN r.used ELSE 0::BIGINT END,
+         |    CASE WHEN r.used = 0 OR r.used + a.ds[r.i + 1].n <= $budget
+         |         THEN r.used + a.ds[r.i + 1].n ELSE a.ds[r.i + 1].n END
+         |  FROM rec r JOIN arr a USING (source) WHERE r.i < r.m)
+         |SELECT r.source, a.ds[r.i].doc_id AS doc_id, a.ds[r.i].n AS n_tokens,
+         |  r.bin AS bin, r.off AS bin_offset
+         |FROM rec r JOIN arr a USING (source) WHERE r.i >= 1
+         |ORDER BY r.source, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .where($"text".isNotNull && length($"text") > 0)
+        .select($"source", $"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("n"))
+      val accType =
+        "array<struct<doc_id:bigint,n:bigint,bin:bigint,bin_offset:bigint>>"
+      tok.groupBy($"source")
+        .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("ds"))
+        .select($"source", explode(aggregate(
+          $"ds",
+          struct(array().cast(accType).as("acc"),
+            lit(0L).as("bin"), lit(0L).as("used")),
+          (st, e) => {
+            // an empty bin always accepts (an oversized doc OWNS the
+            // current empty bin rather than skipping a bin id)
+            val fits = st("used") === 0L || st("used") + e("n") <= budget
+            val bin = when(fits, st("bin")).otherwise(st("bin") + 1L)
+            val off = when(fits, st("used")).otherwise(lit(0L))
+            val used = when(fits, st("used") + e("n")).otherwise(e("n"))
+            struct(
+              concat(st("acc"), array(struct(e("doc_id").as("doc_id"),
+                e("n").as("n"), bin.as("bin"), off.as("bin_offset"))))
+                .as("acc"),
+              bin.as("bin"), used.as("used"))
+          },
+          st => st("acc"))).as("p"))
+        .select($"source", $"p.doc_id".as("doc_id"), $"p.n".as("n_tokens"),
+          $"p.bin".as("bin"), $"p.bin_offset".as("bin_offset"))
+        .orderBy($"source", $"doc_id")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1300,5 +1385,5 @@ object TextQueries {
     dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
-    heavyHittersExact, dedupClusterCcStar)
+    heavyHittersExact, dedupClusterCcStar, packSequencesGreedy)
 }

@@ -24,7 +24,10 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "decontam_bloom_prefilter", // broadcast 1-row bloom-filter sketch
     "vocab_coverage",        // broadcast 1-row corpus token total
     "doc_lm_score",          // broadcast 1-row corpus token total
-    "heavy_hitters_exact")   // broadcast 1-row corpus token total
+    "heavy_hitters_exact",   // broadcast 1-row corpus token total
+    "sample_temperature_mix", // broadcast 1-row Σq scalar
+    "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
+    "embed_kmeans_update")   // same coarse-assign shape as above
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle
