@@ -683,11 +683,41 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** DEAD-LETTER ROUTING — the production form of the reference's
+    * silent `dropna` (transform.py:20): rows violating a validation
+    * rule are ROUTED with the first-failing reason instead of dropped,
+    * so the quarantine feed is auditable and replayable. Rules fire in
+    * priority order (poison type > range floor > blocklist); rows
+    * passing all rules are withheld from the quarantine feed — at
+    * scale this is a scan-local `when` chain with no shuffle before
+    * the determinism sort, and the clean side continues down the
+    * pipeline unchanged (same plan shape as `drop_null`). */
+  val eventsQuarantine: CatalogEntry = CatalogEntry(
+    "events_quarantine",
+    """SELECT event_id, event_type, value,
+      |  CASE WHEN event_type = 'error' THEN 'poison_type'
+      |       WHEN value < 5.0 THEN 'below_min_value'
+      |       WHEN user_id % 97 = 0 THEN 'blocklisted_user'
+      |  END AS reason
+      |FROM events
+      |WHERE event_type = 'error' OR value < 5.0 OR user_id % 97 = 0
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val reason = when($"event_type" === "error", "poison_type")
+      .when($"value" < 5.0, "below_min_value")
+      .when($"user_id" % 97 === 0, "blocklisted_user")
+    Tables.events(s, d)
+      .withColumn("reason", reason)
+      .where($"reason".isNotNull)
+      .select($"event_id", $"event_type", $"value", $"reason")
+      .orderBy($"event_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,
     eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk,
     eventsMergeIntervals, eventsValueHistogram, eventsBitwiseAgg,
-    scd2PointInTime)
+    scd2PointInTime, eventsQuarantine)
 }

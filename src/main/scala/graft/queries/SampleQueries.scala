@@ -150,7 +150,78 @@ object SampleQueries {
       .orderBy($"doc_id")
   }
 
+  /** EPOCH-REPEAT mixture balancing — the UPSAMPLING half of data
+    * mixing (the [[sampleTemperatureMix]] rate can only drop docs):
+    * with a corpus-relative budget K = 3N/2 tokens-worth of docs and
+    * n^0.5 source weights, small sources get per-doc epoch counts
+    * ABOVE one (each doc repeated, the "small-domain oversampling" of
+    * mixture training builds), large sources sit near one. The
+    * fractional epoch is realized per-doc: floor(e_s) guaranteed
+    * repeats plus one extra when the doc's md5-uniform falls below the
+    * remainder — in expectation exactly e_s, deterministically
+    * replayable.
+    *
+    * Float discipline: e_s is never materialized as a float — its
+    * floor and remainder come from exact BIGINT `div`/`%`, and the
+    * only float compare is u < rem/den, one correctly-rounded division
+    * of exact integers against the 2^-60-scaled md5 prefix. Scale
+    * shape: the per-source epoch table is |sources| rows broadcast;
+    * the repeat itself is a row-local `sequence` explode — output rows
+    * shuffle nowhere new. */
+  val sampleRepeatEpochs: CatalogEntry = CatalogEntry(
+    "sample_repeat_epochs",
+    """WITH corpus AS (
+      |  SELECT doc_id, source FROM documents
+      |  WHERE doc_id % ((substring(source, 4, 10)::INT % 4) + 1) = 0),
+      |src AS (SELECT source, count(*)::BIGINT AS n FROM corpus GROUP BY source),
+      |qv AS (SELECT source, n,
+      |         round(sqrt(n::DOUBLE) * 1e9, 0)::BIGINT AS q FROM src),
+      |tot AS (SELECT sum(q)::BIGINT AS sum_q,
+      |               (3 * sum(n)::BIGINT) // 2 AS k FROM qv),
+      |rated AS (
+      |  SELECT source, n,
+      |    (k * q) // (sum_q * n) AS floor_e,
+      |    (k * q) % (sum_q * n) AS rem,
+      |    sum_q * n AS den
+      |  FROM qv, tot),
+      |rep AS (
+      |  SELECT d.doc_id, d.source,
+      |    (r.floor_e + CASE WHEN
+      |       ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+      |       / 1152921504606846976.0 < r.rem::DOUBLE / r.den::DOUBLE
+      |     THEN 1 ELSE 0 END)::BIGINT AS n_epochs
+      |  FROM corpus d JOIN rated r USING (source))
+      |SELECT doc_id, source, n_epochs, e.epoch::BIGINT AS epoch
+      |FROM rep, unnest(generate_series(1, n_epochs)) AS e(epoch)
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val corpus = Tables.documents(s, d)
+      .where($"doc_id" %
+        ((substring($"source", 4, 10).cast("int") % 4) + 1) === 0)
+      .select($"doc_id", $"source")
+    val srcCounts = corpus.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("q", round(sqrt($"n".cast("double")) * lit(1e9), 0)
+        .cast("long"))
+    val tot = srcCounts.agg(sum($"q").as("sum_q"),
+      expr("(3 * sum(n)) div 2").as("k"))
+    val rated = srcCounts.crossJoin(broadcast(tot))
+      .withColumn("num", $"k" * $"q")
+      .withColumn("den", $"sum_q" * $"n")
+      .select($"source", expr("num div den").as("floor_e"),
+        ($"num" % $"den").as("rem"), $"den")
+    val twoPow60 = lit(1152921504606846976.0)
+    corpus.join(broadcast(rated), "source")
+      .withColumn("n_epochs", $"floor_e" +
+        when(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double") / twoPow60 <
+          $"rem".cast("double") / $"den".cast("double"), 1L).otherwise(0L))
+      .where($"n_epochs" >= 1) // sequence(1,0) would run DESCENDING
+      .select($"doc_id", $"source", $"n_epochs",
+        explode(sequence(lit(1L), $"n_epochs")).as("epoch"))
+      .orderBy($"doc_id", $"epoch")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
-    sampleTemperatureMix)
+    sampleTemperatureMix, sampleRepeatEpochs)
 }

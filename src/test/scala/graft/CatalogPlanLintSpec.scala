@@ -26,6 +26,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "doc_lm_score",          // broadcast 1-row corpus token total
     "heavy_hitters_exact",   // broadcast 1-row corpus token total
     "sample_temperature_mix", // broadcast 1-row Σq scalar
+    "sample_repeat_epochs",  // broadcast 1-row (Σq, K) scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "embed_kmeans_update")   // same coarse-assign shape as above
 
