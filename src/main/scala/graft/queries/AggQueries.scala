@@ -281,7 +281,111 @@ object AggQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): which customers drove
+    * the most returned revenue in a quarter. Scale shape: the date
+    * range prunes orders at the scan (pushed filter), `l_returnflag`
+    * prunes lineitem at the scan, nation broadcasts, and the top-20
+    * runs as TakeOrderedAndProject — no global sort ever materializes.
+    * The group key carries the customer attributes (TPC-H's own
+    * formulation) so no second join is needed after the aggregate.
+    * Money discipline: revenue is summed in exact 10⁻⁴-dollar BIGINTs
+    * (price and discount are 2-decimal, so price·(100−disc%) is an
+    * integer) — a double sum flipped a penny between engines at
+    * sf0.01, and a rank on a jittery sum can flip the top-20 itself. */
+  val q10Returned: CatalogEntry = CatalogEntry(
+    "q10_returned_item",
+    """SELECT c_custkey, c_name,
+      |  round(sum(round(l_extendedprice * 100)::BIGINT *
+      |            (100 - round(l_discount * 100)::BIGINT))::BIGINT
+      |        / 1e4, 2) AS revenue,
+      |  round(c_acctbal, 2) AS acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, d).filter($"l_returnflag" === "R"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(round($"l_extendedprice" * 100).cast("bigint") *
+        (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+        .as("rev_e4"))
+      .select($"c_custkey", $"c_name",
+        round($"rev_e4" / lit(1e4), 2).as("revenue"),
+        round($"c_acctbal", 2).as("acctbal"), $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations by year — the classic disjunctive join predicate. The
+    * nation pair filter is applied to the two broadcast nation dims
+    * BEFORE the fact joins, so the big tables are semi-filtered by
+    * broadcast hash joins down to the two nations' rows and only
+    * those flow into the 3-way fact join; the final aggregate is
+    * |pairs|·|years| rows. The disjunction lives in one post-join
+    * filter (Catalyst can't split it across joins — keeping the dims
+    * pre-filtered to the two nations bounds the blow-up instead).
+    * Volume is summed in exact 10⁻⁴-dollar BIGINTs (same money
+    * discipline as `q10_returned_item`). */
+  val q7Volume: CatalogEntry = CatalogEntry(
+    "q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume)::BIGINT / 1e4, 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate)::BIGINT AS l_year,
+      |    round(l_extendedprice * 100)::BIGINT *
+      |      (100 - round(l_discount * 100)::BIGINT) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |) GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = broadcast(Tables.nation(s, d)
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation")))
+    Tables.supplier(s, d)
+      .join(n1, $"s_nationkey" === $"n1_key")
+      .join(Tables.lineitem(s, d), $"s_suppkey" === $"l_suppkey")
+      .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(s, d), $"c_custkey" === $"o_custkey")
+      .join(n2, $"c_nationkey" === $"n2_key")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("bigint").as("l_year"))
+      .agg(sum(round($"l_extendedprice" * 100).cast("bigint") *
+        (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+        .as("vol_e4"))
+      .select($"supp_nation", $"cust_nation", $"l_year",
+        round($"vol_e4" / lit(1e4), 2).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
-    aggRegrFit, aggFilterClause)
+    aggRegrFit, aggFilterClause, q10Returned, q7Volume)
 }

@@ -183,5 +183,46 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
-  def entries: Seq[CatalogEntry] = Seq(pipelineE2e, corpusCurationE2e)
+  /** Output-shard manifest — the bookkeeping record a training-data
+    * writer emits per shard (WebDataset/TFRecord-style): docs are
+    * hash-assigned to 16 shards by a 60-bit md5 uniform (so shard
+    * membership is reproducible and independent of input order /
+    * partitioning), and each shard row carries its census (doc count,
+    * char volume, id range) plus an order-independent content checksum
+    * (Σ of per-doc md5-prefix mod a Mersenne-ish prime) for
+    * end-to-end copy validation. Scale shape: assignment is scan-local;
+    * one partial-agg exchange of 16·|tasks| rows. A real writer would
+    * `repartition(shard)` + `partitionBy(shard)` on write — the
+    * manifest aggregate here is the verification artifact of that
+    * write. */
+  val shardManifest: CatalogEntry = CatalogEntry(
+    "shard_manifest",
+    """WITH assigned AS (
+      |  SELECT doc_id, n_chars,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16
+      |      AS shard,
+      |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_h
+      |  FROM documents)
+      |SELECT shard, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  sum(content_h % 1000000007)::BIGINT AS checksum
+      |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.Tables
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16L).as("shard"),
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
+          .as("content_h"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum($"content_h" % 1000000007L).as("checksum"))
+      .orderBy($"shard")
+  }
+
+  def entries: Seq[CatalogEntry] =
+    Seq(pipelineE2e, corpusCurationE2e, shardManifest)
 }

@@ -476,8 +476,73 @@ object SimilarityQueries {
       .orderBy($"cluster", $"dim")
   }
 
+  /** Per-dimension embedding distribution profile (n / mean / variance
+    * for each of the 64 dims) — the health check run before any
+    * ANN/kmeans build (a dead or exploding dimension poisons every
+    * cosine). Exact-moments discipline: each float is widened to
+    * double (exact) and micro-quantized to an integer BEFORE
+    * aggregation, so Σq and Σq² are order-independent BIGINTs and the
+    * variance is one identical IEEE expression in both engines; the
+    * n·Σ product is Decimal-widened like `agg_regr_fit` (int64 dies at
+    * ~1e11 rows at 100 TB). `round(double, 8)` is NOT that expression:
+    * with decimal-friendly n (5000 at sf0.1) the quotient lands
+    * EXACTLY on a 5e-9 boundary and Spark (shortest-decimal HALF_UP)
+    * and DuckDB (binary-double) round it apart — so the 8-decimal
+    * rounding itself is done as exact integer round-half-away,
+    * `(2·num + den) div (2·den)` on non-negative operands (div
+    * truncation == floor there, identical in both engines), and only
+    * the final ÷1e8 — a small-int over a power of ten, correctly
+    * rounded identically — produces a double. Scale shape: posexplode
+    * is row-local; the partial agg collapses to 64 rows per task
+    * BEFORE the exchange, so the shuffle carries 64·|tasks| tiny rows
+    * regardless of corpus size. */
+  val embedDimStats: CatalogEntry = CatalogEntry(
+    "embed_dim_stats",
+    """WITH q AS (
+      |  SELECT g.i::BIGINT AS dim, round(embedding[g.i] * 1e6)::BIGINT AS q
+      |  FROM embeddings, unnest(generate_series(1, 64)) AS g(i)),
+      |m AS (
+      |  SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sq,
+      |    sum(q * q)::BIGINT AS sqq
+      |  FROM q GROUP BY dim),
+      |r AS (
+      |  SELECT dim, n,
+      |    (CASE WHEN sq >= 0 THEN (sq * 200 + n) // (2 * n)
+      |          ELSE -(((-sq) * 200 + n) // (2 * n)) END)::BIGINT AS mean_e8,
+      |    ((2 * (n::HUGEINT * sqq - sq::HUGEINT * sq) * 10000
+      |      + n::HUGEINT * n * 100000000)
+      |     // (2 * n::HUGEINT * n * 100000000))::BIGINT AS var_e8
+      |  FROM m)
+      |SELECT dim, n, mean_e8 / 1e8 AS mean, var_e8 / 1e8 AS variance
+      |FROM r ORDER BY dim""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.embeddings(s, d)
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .select(($"pos" + 1).cast("bigint").as("dim"),
+        round($"x".cast("double") * lit(1e6)).cast("bigint").as("q"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+        sum($"q" * $"q").as("sqq"))
+      .withColumn("mean_e8",
+        when($"sq" >= 0, expr("(sq * 200 + n) div (2 * n)"))
+          .otherwise(-expr("((-sq) * 200 + n) div (2 * n)")))
+      // variance numerator n·Σq²−(Σq)² needs Decimal(38): it reaches
+      // ~7e18 already at sf0.1 and int64 wraps silently.
+      .withColumn("v", $"n".cast(dec38) * $"sqq".cast(dec38) -
+        $"sq".cast(dec38) * $"sq".cast(dec38))
+      .withColumn("den", $"n".cast(dec38) * $"n".cast(dec38) *
+        lit(100000000L).cast(dec38))
+      .withColumn("var_e8",
+        expr("(2 * v * 10000 + den) div (2 * den)"))
+      .select($"dim", $"n",
+        ($"mean_e8" / lit(1e8)).as("mean"),
+        ($"var_e8" / lit(1e8)).as("variance"))
+      .orderBy($"dim")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
     arrayStats, embeddingCentroids, arrayManipulation,
-    embedKmeansAssign, embedKmeansUpdate)
+    embedKmeansAssign, embedKmeansUpdate, embedDimStats)
 }

@@ -1376,6 +1376,94 @@ object TextQueries {
     }
   }
 
+  /** Hashed bag-of-words linear quality classifier (the fastText-style
+    * model-based filter of modern corpus curation, e.g. the CCNet /
+    * LLaMA-data "quality classifier" stage) with a DETERMINISTIC model:
+    * token → 60-bit md5 prefix → one of 1024 hash buckets (the hashing
+    * trick — the vocabulary never materializes, so the model is a
+    * fixed-width weight vector no matter the corpus), bucket → integer
+    * weight via a Knuth multiplicative mix. The per-doc score is an
+    * exact BIGINT sum, so the keep/drop bit is bit-stable across
+    * engines — a float sigmoid would add nothing but summation-order
+    * risk. Scale shape: tokenize + hash + weight are scan-local
+    * (codegen'd HOF over the split array — the token rows never
+    * exist), one partial-agg exchange of |docs| rows; a real learned
+    * weight table would broadcast identically. */
+  val qualityClassifierScore: CatalogEntry = CatalogEntry(
+    "quality_classifier_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 1024 AS b
+      |  FROM tok WHERE w <> ''),
+      |scored AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    sum((b * 2654435761) % 1048576 - 524288)::BIGINT AS score_raw
+      |  FROM hashed GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, score_raw,
+      |  CASE WHEN score_raw >= 0 THEN 1 ELSE 0 END AS kept
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = filter(TextOps.tokens($"text"), w => w =!= "")
+    val bucket = (w: org.apache.spark.sql.Column) =>
+      conv(substring(md5(w), 1, 15), 16, 10).cast("long") % 1024L
+    val weight = (w: org.apache.spark.sql.Column) =>
+      (bucket(w) * lit(2654435761L)) % 1048576L - 524288L
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(toks).cast("bigint").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, w) => acc + weight(w))
+          .as("score_raw"))
+      .withColumn("kept",
+        when($"score_raw" >= 0L, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-document unigram entropy + type/token ratio — the statistical
+    * quality signals that catch degenerate text (a doc stuck repeating
+    * one token has entropy → 0) without any model. H = ln n − (Σ c·ln c)/n
+    * over within-doc token counts. Float discipline: the only
+    * transcendental term, Σ c·ln c, is quantized per-TYPE to integer
+    * nanos BEFORE summation — ln of an exact integer is correctly
+    * rounded per engine and the nano-sum is order-independent BIGINT
+    * arithmetic, so the cross-engine hash can't flip on partial-agg
+    * order (the doc_lm_score lesson). Scale shape: the token census is
+    * a row-local lambda-groupBy... no — counts need a (doc,word)
+    * aggregate; shuffle carries (doc_id, word-hash, c) partials, never
+    * text, and collapses to |docs| rows in the second partial agg. */
+  val textEntropy: CatalogEntry = CatalogEntry(
+    "text_entropy",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, w, count(*)::BIGINT AS c
+      |  FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+      |    sum(round(c * ln(c) * 1e9)::BIGINT)::BIGINT AS s_nano
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types,
+      |  round(ln(n_tokens) - (s_nano / 1e9) / n_tokens, 6) AS entropy,
+      |  round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"doc_id", $"w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(round($"c" * log($"c") * lit(1e9)).cast("bigint")).as("s_nano"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        round(log($"n_tokens") - ($"s_nano" / lit(1e9)) / $"n_tokens", 6)
+          .as("entropy"),
+        round($"n_types".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("ttr"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1385,5 +1473,6 @@ object TextQueries {
     dedupSimhashHamming, decontamNgramOverlap, piiScrub,
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
-    heavyHittersExact, dedupClusterCcStar, packSequencesGreedy)
+    heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
+    qualityClassifierScore, textEntropy)
 }
