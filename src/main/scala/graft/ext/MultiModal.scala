@@ -159,6 +159,31 @@ object MultiModal {
       writePng(img)
     }
 
+    /** Deterministic TEXTURED synthetic image → real PNG bytes: a
+      * grayscale LCG-ish weave, r=g=b=(31x+17y+97·(id%256)) mod 256.
+      * Exists because [[encode]]'s gradient is monotone in x — every
+      * horizontal-gradient bit of a dHash over it is 0 — while this
+      * pattern wraps mod 256, giving each id class a distinct
+      * perceptual fingerprint that pure SQL can replay (grayscale
+      * means integer luma == the pattern value exactly). */
+    def encodeTextured(id: Long, width: Int, height: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](width * height)
+      val v = (id % 256).toInt
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val t = (x * 31 + y * 17 + v * 97) % 256
+          px(y * width + x) = (t << 16) | (t << 8) | t
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, width, height, px, 0, width)
+      writePng(img)
+    }
+
     /** REAL resize: decode → Graphics2D bilinear scale onto a new
       * raster → re-encode PNG. The standard image-normalization step of
       * a multimodal training pipeline (fixed input resolution), pure
@@ -201,6 +226,63 @@ object MultiModal {
         } finally reader.setInput(null)
       } finally iis.close()
     }
+
+    /** Difference hash (dHash) of real image bytes — the standard
+      * perceptual fingerprint for image near-dup detection: decode,
+      * integer-luma every pixel ((299r+587g+114b)/1000), average-pool
+      * onto a 9×8 grid (cell index by multiply-then-divide so every
+      * pixel lands in exactly one cell), then one gradient bit per
+      * horizontally adjacent cell pair (left > right). Every step is
+      * INTEGER arithmetic on the decoded raster, so for a losslessly
+      * round-tripped synthetic image the hash is replayable by pure
+      * arithmetic on the pixel formula — which is exactly what the
+      * catalog oracle does. Emitted as 16 hex chars (8 row-bytes, row
+      * y's bit cx set iff cell[y][cx] > cell[y][cx+1]) rather than an
+      * i64: bit 63 would need a signed-overflow shift that DuckDB
+      * rejects. */
+    def dhash(bytes: Array[Byte]): String = {
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      val img =
+        try {
+          val reader = readerFor(iis, -1L)
+          reader.setInput(iis)
+          try reader.read(0) finally reader.setInput(null)
+        } finally iis.close()
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = Array.ofDim[Long](8, 9)
+      val counts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val cx = x * 9 / w
+          val rgb = img.getRGB(x, y)
+          val gray = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          sums(cy)(cx) += gray
+          counts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new StringBuilder(16)
+      var cy = 0
+      while (cy < 8) {
+        var byte = 0
+        var cx = 0
+        while (cx < 8) {
+          val l = sums(cy)(cx) / counts(cy)(cx)
+          val r = sums(cy)(cx + 1) / counts(cy)(cx + 1)
+          if (l > r) byte |= (1 << cx)
+          cx += 1
+        }
+        sb.append(f"$byte%02x")
+        cy += 1
+      }
+      sb.toString
+    }
   }
 
   /** Real-codec partition-batched decode: one [[PngCodec]] per
@@ -213,6 +295,25 @@ object MultiModal {
       val codec = new PngCodec
       it.map { row => codec.decode(row.getLong(0), row.getAs[Array[Byte]](1)) }
     }(Encoders.product[DecodedMedia])
+  }
+
+  /** Real-codec partition-batched dHash: one [[PngCodec]] per
+    * partition, blob in → (id, 16-hex-char perceptual hash) out — the
+    * feature-extraction stage of image near-dup detection. The blobs
+    * never shuffle; only the 16-char hashes move to the dedup
+    * aggregate. */
+  def dhashImagePartitions(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long"), col(blobCol))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("dhash", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { it =>
+      val codec = new PngCodec
+      it.map { r => Row(r.getLong(0), codec.dhash(r.getAs[Array[Byte]](1))) }
+    }(enc)
   }
 
   /** Real-codec partition-batched RESIZE: normalize every image to a
@@ -249,6 +350,25 @@ object MultiModal {
     in.mapPartitions { it =>
       val codec = new PngCodec
       it.map { r => Row(r.getLong(0), codec.encode(r.getLong(0),
+        math.max(r.getInt(1), 1), math.max(r.getInt(2), 1))) }
+    }(enc)
+  }
+
+  /** [[encodeImagePartitions]] over the TEXTURED fixture pattern
+    * ([[PngCodec.encodeTextured]]) — the source for perceptual-hash
+    * entries, where the plain gradient degenerates. */
+  def encodeTexturedImagePartitions(df: DataFrame, idCol: String,
+      widthCol: String, heightCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).cast("long"), col(widthCol).cast("int"),
+      col(heightCol).cast("int"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { it =>
+      val codec = new PngCodec
+      it.map { r => Row(r.getLong(0), codec.encodeTextured(r.getLong(0),
         math.max(r.getInt(1), 1), math.max(r.getInt(2), 1))) }
     }(enc)
   }

@@ -207,7 +207,70 @@ object MediaQueries {
       .sortWithinPartitions($"doc_id")
   }
 
+  /** Image near-dup detection via perceptual hash, FULLY ORACLED on
+    * the hash values themselves: per-doc textured PNGs (96 texture
+    * classes — `doc_id % 96` picks the weave phase and dimensions, so
+    * planted duplicate classes exist) → REAL PNG encode → REAL decode +
+    * dHash (integer luma, 9×8 average-pool, horizontal gradient bits,
+    * [[MultiModal.PngCodec.dhash]]) → group-by-hash dup clusters. The
+    * DuckDB oracle recomputes every hash by PURE ARITHMETIC on the
+    * pixel formula — hash-green therefore proves the encode → PNG
+    * bytes → decode → pool → bits chain is pixel-exact end to end,
+    * not merely that duplicates collide. The encode id is
+    * `doc_id·256 + class` so the codec's blue/texture seed (id mod
+    * 256) is the class while doc_id stays recoverable (`id div 256`).
+    * Scale shape: codec work is partition-local on the range-spread
+    * metadata; only (id, 16-char hash) ever shuffles — the blobs stay
+    * where they were decoded, which is the entire point of
+    * fingerprint-then-join dedup at 100 TB. */
+  val multimodalPhashDedup: CatalogEntry = CatalogEntry(
+    "multimodal_phash_dedup",
+    """WITH vv AS (SELECT DISTINCT doc_id % 96 AS v FROM documents),
+      |dims AS (
+      |  SELECT v, (v % 3) * 16 + 16 AS w, ((v // 3) % 3) * 16 + 16 AS h
+      |  FROM vv),
+      |px AS (
+      |  SELECT v, w, h, gx.x::BIGINT AS x, gy.y::BIGINT AS y
+      |  FROM dims, unnest(generate_series(0, w - 1)) AS gx(x),
+      |       unnest(generate_series(0, h - 1)) AS gy(y)),
+      |gray AS (
+      |  SELECT v, (x * 9) // w AS cx, (y * 8) // h AS cy,
+      |    (x * 31 + y * 17 + v * 97) % 256 AS g
+      |  FROM px),
+      |cells AS (
+      |  SELECT v, cy, cx, (sum(g)::BIGINT // count(*)::BIGINT) AS m
+      |  FROM gray GROUP BY v, cy, cx),
+      |bits AS (
+      |  SELECT l.v, l.cy,
+      |    sum(CASE WHEN l.m > r.m THEN (1 << l.cx) ELSE 0 END)::INT AS b
+      |  FROM cells l JOIN cells r
+      |    ON l.v = r.v AND l.cy = r.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8 GROUP BY l.v, l.cy),
+      |hash AS (
+      |  SELECT v, string_agg(printf('%02x', b), '' ORDER BY cy) AS dhash
+      |  FROM bits GROUP BY v)
+      |SELECT h.dhash, count(*)::BIGINT AS n_imgs,
+      |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+      |FROM documents d JOIN hash h ON d.doc_id % 96 = h.v
+      |GROUP BY h.dhash ORDER BY h.dhash""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val meta = spreadByRange(Tables.documents(s, d)
+      .select(($"doc_id" * 256 + $"doc_id" % 96).as("img_id"),
+        expr("(doc_id % 96) % 3 * 16 + 16").as("w"),
+        expr("((doc_id % 96) div 3) % 3 * 16 + 16").as("h")),
+      s, "img_id")
+    val blobs = MultiModal.encodeTexturedImagePartitions(
+      meta, "img_id", "w", "h")
+    MultiModal.dhashImagePartitions(blobs, "id", "blob")
+      .select(expr("id div 256").as("doc_id"), $"dhash")
+      .groupBy($"dhash")
+      .agg(count(lit(1)).as("n_imgs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"dhash")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
-    multimodalResize, multimodalWavRoundtrip, multimodalGifFrames)
+    multimodalResize, multimodalWavRoundtrip, multimodalGifFrames,
+    multimodalPhashDedup)
 }

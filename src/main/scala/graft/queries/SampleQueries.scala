@@ -221,7 +221,77 @@ object SampleQueries {
       .orderBy($"doc_id", $"epoch")
   }
 
+  /** Pareto-frontier (skyline) data selection: keep the docs not
+    * dominated on the (classifier score, length) plane — the
+    * multi-signal version of threshold filtering (a single cutoff per
+    * signal discards docs that trade one strength for another). A doc
+    * survives iff no other doc is ≥ on both axes and > on one.
+    *
+    * Scale shape — the O(n²) dominance test is replaced by a two-level
+    * prefix scan: (1) collapse to one row per distinct score
+    * (`maxc = max chars at that score`; shuffle is |distinct scores|,
+    * with map-side partial agg); (2) within 2²⁰-wide score buckets, a
+    * bounded-partition window gives the running max over strictly
+    * greater scores; (3) across buckets, the per-bucket maxes — a
+    * tiny table by construction — take one single-partition window
+    * whose cumulative maxes then BROADCAST back. A doc's score is on
+    * the frontier iff `maxc` beats every strictly-greater score's max
+    * chars; the doc survives iff it also carries its score's `maxc`.
+    * The oracle states the contract directly as the quadratic
+    * NOT EXISTS — deliberately a different formulation. Note `div`'s
+    * truncation (vs floor) keeps bucketing monotone in score, which is
+    * all the bucket order needs. */
+  val paretoFrontierSelect: CatalogEntry = CatalogEntry(
+    "pareto_frontier_select",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    sum((('0x' || substring(md5(w), 1, 15))::BIGINT % 1024 * 2654435761)
+      |        % 1048576 - 524288)::BIGINT AS score,
+      |    any_value(d.n_chars) AS n_chars
+      |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+      |  WHERE w <> '' GROUP BY t.doc_id)
+      |SELECT s.doc_id, s.score, s.n_chars FROM scored s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM scored t
+      |  WHERE t.score >= s.score AND t.n_chars >= s.n_chars
+      |    AND (t.score > s.score OR t.n_chars > s.n_chars))
+      |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split($"text", " "), w => w =!= "")
+    val weight = (w: org.apache.spark.sql.Column) =>
+      (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % 1024L *
+        lit(2654435761L)) % 1048576L - 524288L
+    val scored = Tables.documents(s, d)
+      .select($"doc_id",
+        aggregate(toks, lit(0L), (acc, w) => acc + weight(w)).as("score"),
+        $"n_chars")
+    val perScore = scored.groupBy($"score").agg(max($"n_chars").as("maxc"))
+      .withColumn("bucket", expr("score div 1048576"))
+    val inBucket = Window.partitionBy($"bucket").orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossBuckets = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = perScore.groupBy($"bucket").agg(max($"maxc").as("bmax"))
+      .withColumn("m_cross", max($"bmax").over(acrossBuckets))
+      .select($"bucket", $"m_cross")
+    val frontierScores = perScore
+      .withColumn("m_in", max($"maxc").over(inBucket))
+      .join(broadcast(bucketPrefix), "bucket")
+      .withColumn("m_strict",
+        greatest(coalesce($"m_in", lit(Long.MinValue)),
+          coalesce($"m_cross", lit(Long.MinValue))))
+      .filter($"maxc" > $"m_strict")
+      .select($"score", $"maxc")
+    scored.join(frontierScores, "score")
+      .filter($"n_chars" === $"maxc")
+      .select($"doc_id", $"score", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
-    sampleTemperatureMix, sampleRepeatEpochs)
+    sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect)
 }

@@ -193,6 +193,41 @@ class MultiModalSpec extends SparkTestBase {
     assert(got.values.map(_.frameFingerprint).toSeq.distinct.size == 18)
   }
 
+  test("dhash: pixel-exact through the real PNG round-trip, degenerate " +
+      "on the monotone gradient, class-stable on the textured weave") {
+    val codec = new MultiModal.PngCodec
+    // the plain gradient is monotone in x → every horizontal-gradient
+    // bit is 0 (the degeneracy that motivated encodeTextured)
+    assert(codec.dhash(codec.encode(7L, 24, 24)) == "0000000000000000")
+    // same texture class (id mod 256) → identical hash regardless of
+    // the multiplier part of the id; different class → different hash
+    val a = codec.dhash(codec.encodeTextured(3L, 32, 48))
+    val b = codec.dhash(codec.encodeTextured(3L + 256L * 9, 32, 48))
+    val c = codec.dhash(codec.encodeTextured(4L, 32, 48))
+    assert(a == b && a != c)
+    assert(a.length == 16 && a.matches("[0-9a-f]{16}"))
+    // hand-replay of the arithmetic the oracle uses, against the codec
+    // output for one image: proves the JVM path (encode → PNG bytes →
+    // decode → integer luma → 9x8 pool → gradient bits) computes the
+    // same function as the formula
+    val (w, h, v) = (32, 48, 3)
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = (x * 31 + y * 17 + v * 97) % 256
+      sums(y * 8 / h)(x * 9 / w) += t
+      counts(y * 8 / h)(x * 9 / w) += 1
+    }
+    val expect = (0 until 8).map { cy =>
+      val byte = (0 until 8).foldLeft(0) { (acc, cx) =>
+        if (sums(cy)(cx) / counts(cy)(cx) >
+            sums(cy)(cx + 1) / counts(cy)(cx + 1)) acc | (1 << cx) else acc
+      }
+      f"$byte%02x"
+    }.mkString
+    assert(a == expect)
+  }
+
   test("decodePartitions: typed output matches the driver-side stub decoder") {
     val rows = Seq((10L, "abc"), (11L, "defgh"))
     val df = rows.toDF("doc_id", "text")
