@@ -488,6 +488,73 @@ object MultiModal {
           frames * 1000L / fmt.getSampleRate.toInt, h)
       } finally ais.close()
     }
+
+    /** Windowed energy features from the DECODED 16-bit LE PCM — the
+      * audio analogue of the image dHash: per `windowFrames`-frame
+      * window, the exact Σs² energy, peak |s|, and sample count, all
+      * integer arithmetic so an engine-independent oracle can replay
+      * them from the synthesis formula. Silence detection, VAD
+      * pre-filters, and loudness normalization all start from exactly
+      * these sums. */
+    def energyWindows(id: Long, bytes: Array[Byte],
+        windowFrames: Int): Seq[AudioWindow] = {
+      require(windowFrames > 0, s"bad window $windowFrames")
+      val ais = reader.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"id=$id: energyWindows expects 16-bit LE PCM, got $fmt")
+        val channels = fmt.getChannels
+        val buf = ais.readAllBytes()
+        val nFrames = buf.length / (2 * channels)
+        val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+        var win = 0L
+        var frame = 0
+        while (frame < nFrames) {
+          val end = math.min(frame + windowFrames, nFrames)
+          var energy = 0L
+          var peak = 0L
+          var n = 0L
+          var f = frame
+          while (f < end) {
+            var c = 0
+            while (c < channels) {
+              val o = (f * channels + c) * 2
+              val s = ((buf(o) & 0xff) | (buf(o + 1) << 8)).toShort.toLong
+              energy += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              n += 1
+              c += 1
+            }
+            f += 1
+          }
+          out += AudioWindow(id, win, n, energy, peak)
+          win += 1
+          frame = end
+        }
+        out.toSeq
+      } finally ais.close()
+    }
+  }
+
+  /** One PCM analysis window (see [[WavCodec.energyWindows]]). */
+  case class AudioWindow(id: Long, win: Long, nSamples: Long,
+      energy: Long, peak: Long)
+
+  /** Partition-batched windowed PCM energy: one [[WavCodec]] per
+    * partition, blob in → one row per analysis window out; blobs never
+    * shuffle, only the tiny (id, window, 3 longs) feature rows do. */
+  def audioEnergyPartitions(df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int): Dataset[AudioWindow] = {
+    val in = df.select(col(idCol).cast("long"), col(blobCol))
+    in.mapPartitions { it =>
+      val codec = new WavCodec
+      it.flatMap { r =>
+        codec.energyWindows(r.getLong(0), r.getAs[Array[Byte]](1),
+          windowFrames)
+      }
+    }(Encoders.product[AudioWindow])
   }
 
   /** Typed multi-frame decode output: everything parsed from the real

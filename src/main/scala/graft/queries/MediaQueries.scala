@@ -269,8 +269,54 @@ object MediaQueries {
       .orderBy($"dhash")
   }
 
+  /** Windowed PCM energy features from REAL decoded audio, FULLY
+    * ORACLED on the feature values: per-doc synthetic specs → actual
+    * RIFF/WAVE containers → WAV parse → per-256-frame-window exact
+    * Σs² energy, peak |s|, and sample count straight off the decoded
+    * 16-bit PCM ([[MultiModal.WavCodec.energyWindows]]) — the sums
+    * silence detection / VAD pre-filtering / loudness normalization
+    * start from. The DuckDB oracle recomputes every window by pure
+    * integer arithmetic on the PCM synthesis formula, so hash-green
+    * proves the encode → WAV bytes → parse → window → sum chain is
+    * sample-exact (the audio analogue of `multimodal_phash_dedup`'s
+    * pixel-exact proof). Scale shape: codec + windowing are
+    * partition-local; only (id, window, 3 longs) feature rows shuffle,
+    * never PCM. */
+  val multimodalAudioEnergy: CatalogEntry = CatalogEntry(
+    "multimodal_audio_energy",
+    """WITH spec AS (
+      |  SELECT doc_id, doc_id % 2 + 1 AS ch, doc_id % 500 + 100 AS nf,
+      |    doc_id % 97 + 3 AS k
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, ch, k, g.i::BIGINT AS i
+      |  FROM spec, unnest(generate_series(0, nf - 1)) AS g(i)),
+      |sm AS (
+      |  SELECT doc_id, i // 256 AS win,
+      |    (i * k + cc.c * 7919) % 65536 - 32768 AS s
+      |  FROM fr, unnest(generate_series(0, ch - 1)) AS cc(c))
+      |SELECT doc_id, win, count(*)::BIGINT AS n_samples,
+      |  sum(s * s)::BIGINT AS energy, max(abs(s))::BIGINT AS peak
+      |FROM sm GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val meta = spreadByRange(Tables.documents(s, d)
+      .select($"doc_id",
+        (($"doc_id" % 3) * 11025 + 11025).as("rate"),
+        ($"doc_id" % 2 + 1).as("channels"),
+        ($"doc_id" % 500 + 100).as("frames")),
+      s, "doc_id")
+    val blobs = MultiModal.encodeAudioPartitions(
+      meta, "doc_id", "rate", "channels", "frames")
+    MultiModal.audioEnergyPartitions(blobs, "id", "blob", windowFrames = 256)
+      .toDF()
+      .select($"id".as("doc_id"), $"win", $"nSamples".as("n_samples"),
+        $"energy", $"peak")
+      .sortWithinPartitions($"doc_id", $"win")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
     multimodalResize, multimodalWavRoundtrip, multimodalGifFrames,
-    multimodalPhashDedup)
+    multimodalPhashDedup, multimodalAudioEnergy)
 }
