@@ -713,11 +713,50 @@ object EventQueries {
       .orderBy($"event_id")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "what happens after X" table behind funnel
+    * optimization and next-event prediction features. `lead` pairs
+    * each event with its successor inside the user's timeline (total
+    * order: µs-floored ts then event_id, so the µs-truncating Spark
+    * reader and the ns-native oracle sequence identically), the pair
+    * census aggregates exactly, and the row-normalized probability is
+    * one correctly-rounded division of exact counts. Scale shape: ONE
+    * shuffle on user_id serves the window; the |types|² census rides
+    * map-side partial aggs. */
+  val eventsTransitionMatrix: CatalogEntry = CatalogEntry(
+    "events_transition_matrix",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts::TIMESTAMP, event_id) AS next_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT event_type, next_type, count(*)::BIGINT AS n
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY event_type, next_type)
+      |SELECT event_type, next_type, n,
+      |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE, 6)
+      |    AS p
+      |FROM cnt ORDER BY event_type, next_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val rowW = Window.partitionBy($"event_type")
+    Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        lead($"event_type", 1).over(seqW).as("next_type"))
+      .where($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(rowW).cast("double"), 6))
+      .orderBy($"event_type", $"next_type")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,
     eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk,
     eventsMergeIntervals, eventsValueHistogram, eventsBitwiseAgg,
-    scd2PointInTime, eventsQuarantine)
+    scd2PointInTime, eventsQuarantine, eventsTransitionMatrix)
 }

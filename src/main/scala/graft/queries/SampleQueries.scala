@@ -259,7 +259,6 @@ object SampleQueries {
       |    AND (t.score > s.score OR t.n_chars > s.n_chars))
       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val toks = filter(split($"text", " "), w => w =!= "")
     val weight = (w: org.apache.spark.sql.Column) =>
       (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % 1024L *
@@ -268,30 +267,48 @@ object SampleQueries {
       .select($"doc_id",
         aggregate(toks, lit(0L), (acc, w) => acc + weight(w)).as("score"),
         $"n_chars")
-    val perScore = scored.groupBy($"score").agg(max($"n_chars").as("maxc"))
-      .withColumn("bucket", expr("score div 1048576"))
-    val inBucket = Window.partitionBy($"bucket").orderBy($"score".desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val acrossBuckets = Window.orderBy($"bucket".desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = perScore.groupBy($"bucket").agg(max($"maxc").as("bmax"))
-      .withColumn("m_cross", max($"bmax").over(acrossBuckets))
-      .select($"bucket", $"m_cross")
-    val frontierScores = perScore
-      .withColumn("m_in", max($"maxc").over(inBucket))
-      .join(broadcast(bucketPrefix), "bucket")
-      .withColumn("m_strict",
-        greatest(coalesce($"m_in", lit(Long.MinValue)),
-          coalesce($"m_cross", lit(Long.MinValue))))
-      .filter($"maxc" > $"m_strict")
-      .select($"score", $"maxc")
-    scored.join(frontierScores, "score")
-      .filter($"n_chars" === $"maxc")
+    graft.ext.Skyline.frontier(scored, "score", "n_chars")
       .select($"doc_id", $"score", $"n_chars")
       .orderBy($"doc_id")
   }
 
+  /** Named train/val/test split with a per-language census — the
+    * reproducible 80/10/10 partition every training run starts from.
+    * Assignment is a salted 60-bit md5 uniform mod 100 (salt `|split`
+    * decorrelates it from every other hash-sampling entry so a doc's
+    * split fate is independent of its sample/shard fate), so
+    * membership is bit-stable across engines, input order, and
+    * partitioning, and a doc NEVER migrates between splits as the
+    * corpus grows — the property a random() split can't give. Scale
+    * shape: assignment is scan-local; one partial-agg exchange of
+    * |buckets|·|langs| rows. */
+  val splitTrainValTest: CatalogEntry = CatalogEntry(
+    "split_train_val_test",
+    """WITH assigned AS (
+      |  SELECT lang,
+      |    CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '|split'),
+      |                1, 15))::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substring(md5(doc_id::VARCHAR || '|split'),
+      |                1, 15))::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS bucket
+      |  FROM documents)
+      |SELECT bucket, lang, count(*)::BIGINT AS n_docs
+      |FROM assigned GROUP BY bucket, lang
+      |ORDER BY bucket, lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val u = conv(substring(md5(concat($"doc_id".cast("string"),
+      lit("|split"))), 1, 15), 16, 10).cast("long") % 100L
+    Tables.documents(s, d)
+      .select($"lang",
+        when(u < 80, "train").when(u < 90, "val").otherwise("test")
+          .as("bucket"))
+      .groupBy($"bucket", $"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"bucket", $"lang")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
-    sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect)
+    sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
+    splitTrainValTest)
 }

@@ -1464,6 +1464,56 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary-encode documents — the final tokenize-for-training
+    * step: build a top-16 frequency-ranked vocab (id = rank, total
+    * order by count desc then token), then re-encode every document's
+    * token stream as vocab ids with 0 = OOV. Output per doc: token
+    * count, OOV count, and the first 8 positions' ids joined as a
+    * string (the sanity window a practitioner eyeballs). Scale shape: the
+    * vocab is TakeOrdered-then-rank on a 16-row table and BROADCAST
+    * back; the positional head is collected per doc AFTER the
+    * vocab-id projection, so the shuffle carries (doc_id, pos, id)
+    * triples for 8 positions plus two counters — never text. */
+  val vocabEncodeDocs: CatalogEntry = CatalogEntry(
+    "vocab_encode_docs",
+    """WITH toks AS (
+      |  SELECT doc_id, g.i::BIGINT AS pos, string_split(text, ' ')[g.i] AS w
+      |  FROM documents,
+      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS g(i)),
+      |vocab AS (
+      |  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS vid
+      |  FROM toks GROUP BY w
+      |  QUALIFY vid <= 16),
+      |enc AS (
+      |  SELECT t.doc_id, t.pos, coalesce(v.vid, 0)::BIGINT AS vid
+      |  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  (count(*) FILTER (vid = 0))::BIGINT AS n_oov,
+      |  string_agg(CASE WHEN pos <= 8 THEN vid END, '-' ORDER BY pos)
+      |    AS ids_head
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(TextOps.tokens($"text"))
+        .as(Seq("pos0", "w")))
+      .select($"doc_id", ($"pos0" + 1).cast("bigint").as("pos"), $"w")
+    val rankW = Window.orderBy($"n".desc, $"w".asc)
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(16) // TakeOrderedAndProject
+      .withColumn("vid", row_number().over(rankW).cast("bigint"))
+      .select($"w", $"vid")
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("vid", coalesce($"vid", lit(0L)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if($"vid" === 0L).as("n_oov"),
+        array_join(transform(
+          sort_array(collect_list(when($"pos" <= 8,
+            struct($"pos", $"vid")))),
+          x => x.getField("vid").cast("string")), "-").as("ids_head"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1474,5 +1524,5 @@ object TextQueries {
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
     heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
-    qualityClassifierScore, textEntropy)
+    qualityClassifierScore, textEntropy, vocabEncodeDocs)
 }
