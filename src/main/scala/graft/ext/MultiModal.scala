@@ -248,41 +248,51 @@ object MultiModal {
           reader.setInput(iis)
           try reader.read(0) finally reader.setInput(null)
         } finally iis.close()
-      val w = img.getWidth
-      val h = img.getHeight
-      val sums = Array.ofDim[Long](8, 9)
-      val counts = Array.ofDim[Long](8, 9)
-      var y = 0
-      while (y < h) {
-        val cy = y * 8 / h
-        var x = 0
-        while (x < w) {
-          val cx = x * 9 / w
-          val rgb = img.getRGB(x, y)
-          val gray = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          sums(cy)(cx) += gray
-          counts(cy)(cx) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val sb = new StringBuilder(16)
-      var cy = 0
-      while (cy < 8) {
-        var byte = 0
-        var cx = 0
-        while (cx < 8) {
-          val l = sums(cy)(cx) / counts(cy)(cx)
-          val r = sums(cy)(cx + 1) / counts(cy)(cx + 1)
-          if (l > r) byte |= (1 << cx)
-          cx += 1
-        }
-        sb.append(f"$byte%02x")
-        cy += 1
-      }
-      sb.toString
+      dhashRaster(img)
     }
+  }
+
+  /** The dHash pooling kernel over an already-decoded raster (shared by
+    * the PNG and GIF paths — see [[PngCodec.dhash]] for the contract):
+    * integer luma, 9×8 average-pool (multiply-then-divide cell index),
+    * horizontal gradient bits, 16 hex chars. Requires w ≥ 9 and h ≥ 8
+    * so every pool cell receives at least one pixel. */
+  private[ext] def dhashRaster(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8, s"dhash needs >= 9x8 input, got ${w}x$h")
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sums(cy)(cx) += gray
+        counts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(16)
+    var cy = 0
+    while (cy < 8) {
+      var byte = 0
+      var cx = 0
+      while (cx < 8) {
+        val l = sums(cy)(cx) / counts(cy)(cx)
+        val r = sums(cy)(cx + 1) / counts(cy)(cx + 1)
+        if (l > r) byte |= (1 << cx)
+        cx += 1
+      }
+      sb.append(f"$byte%02x")
+      cy += 1
+    }
+    sb.toString
   }
 
   /** Real-codec partition-batched decode: one [[PngCodec]] per
@@ -688,6 +698,43 @@ object MultiModal {
           w, ht, nFrames, idxs.length, idxs.map(_.toLong).sum, h)
       } finally { reader.setInput(null); iis.close() }
     }
+
+    /** Perceptual hash of the MIDDLE frame only — the
+      * representative-frame fingerprint of video near-dup detection
+      * (hash one sampled frame per clip, cluster on the hash): parse
+      * the container for the frame count, seek-decode frame
+      * `(F−1)/2`, and run the shared [[dhashRaster]] pooling kernel
+      * on its decoded (palette-resolved) raster. Only that one frame
+      * is ever decoded — the selective-decode property the GIF
+      * sampler is built around. */
+    def middleFrameDhash(id: Long, bytes: Array[Byte]): GifFrameHash = {
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(/* allowSearch = */ true)
+        val mid = (nFrames - 1) / 2
+        GifFrameHash(id, nFrames, mid, dhashRaster(reader.read(mid)))
+      } finally { reader.setInput(null); iis.close() }
+    }
+  }
+
+  /** One representative-frame fingerprint (see
+    * [[GifCodec.middleFrameDhash]]). */
+  case class GifFrameHash(id: Long, nFrames: Int, midIdx: Int,
+      dhash: String)
+
+  /** Partition-batched representative-frame perceptual hashing: one
+    * [[GifCodec]] per partition; containers stay put, 16-char hashes
+    * shuffle. */
+  def gifFrameDhashPartitions(df: DataFrame, idCol: String,
+      blobCol: String): Dataset[GifFrameHash] = {
+    val ids = df.select(col(idCol).cast("long"), col(blobCol))
+    ids.mapPartitions { it =>
+      val codec = new GifCodec
+      it.map { r =>
+        codec.middleFrameDhash(r.getLong(0), r.getAs[Array[Byte]](1))
+      }
+    }(Encoders.product[GifFrameHash])
   }
 
   /** Real-codec partition-batched multi-frame ENCODE: per-row

@@ -752,11 +752,60 @@ object EventQueries {
       .orderBy($"event_type", $"next_type")
   }
 
+  /** Winsorization — clip values to the per-group [p05, p95] band and
+    * report the clipped census: the standard outlier treatment before
+    * any mean/variance-based feature is trusted (a fat-finger 1e9
+    * otherwise owns the average). Two passes by necessity (quantiles,
+    * then clip) but the first pass SHUFFLES ONLY the percentile
+    * partials and its |groups|-row result broadcasts back — the data
+    * is scanned twice, moved never. Float discipline: the clip bounds
+    * are identical doubles in both engines (same interpolation on the
+    * same sorted values — the `agg_percentiles` precedent), clipped
+    * values are least/greatest of identical doubles, and the sum is
+    * per-row quantized to 1e-4 BIGINTs before aggregation so partial
+    * order can't flip the hash. */
+  val eventsWinsorize: CatalogEntry = CatalogEntry(
+    "events_winsorize",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type),
+      |c AS (
+      |  SELECT e.event_type,
+      |    least(greatest(e.value, b.lo), b.hi) AS v,
+      |    CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+      |      AS clipped
+      |  FROM events e JOIN b USING (event_type))
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |  sum(clipped)::BIGINT AS n_clipped,
+      |  sum(round(v * 10000)::BIGINT)::BIGINT AS sum_e4,
+      |  round(min(v), 4) AS lo_v, round(max(v), 4) AS hi_v
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val bounds = Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(percentile($"value", lit(0.05)).as("lo"),
+        percentile($"value", lit(0.95)).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bounds), "event_type")
+      .select($"event_type",
+        least(greatest($"value", $"lo"), $"hi").as("v"),
+        when($"value" < $"lo" || $"value" > $"hi", 1L).otherwise(0L)
+          .as("clipped"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"clipped").as("n_clipped"),
+        sum(round($"v" * 10000).cast("bigint")).as("sum_e4"),
+        round(min($"v"), 4).as("lo_v"), round(max($"v"), 4).as("hi_v"))
+      .orderBy($"event_type")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,
     eventsSlidingWindow, scd2FromHistory, anomalyZscoreTopk,
     eventsMergeIntervals, eventsValueHistogram, eventsBitwiseAgg,
-    scd2PointInTime, eventsQuarantine, eventsTransitionMatrix)
+    scd2PointInTime, eventsQuarantine, eventsTransitionMatrix,
+    eventsWinsorize)
 }

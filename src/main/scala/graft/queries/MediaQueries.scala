@@ -315,8 +315,72 @@ object MediaQueries {
       .sortWithinPartitions($"doc_id", $"win")
   }
 
+  /** Representative-frame perceptual hash over REAL multi-frame
+    * containers — the video-near-dup shape at the fidelity the JDK can
+    * host: per-doc GIF89a animations → parse the container for its
+    * frame count → seek-decode ONLY the middle frame → dHash its
+    * palette-resolved raster ([[MultiModal.GifCodec.middleFrameDhash]]
+    * via the shared pooling kernel). FULLY ORACLED on frame count,
+    * chosen index, and the hash itself: DuckDB replays index arithmetic
+    * (floor-division middle), the frame's pixel formula, the palette's
+    * odd-multiplier channel bijections, the integer luma, and the 9×8
+    * pool — so hash-green proves the whole container → selective
+    * decode → palette → hash chain is pixel-exact while decoding one
+    * frame per clip. Scale shape: identical to the other codec
+    * entries — containers stay partition-local; 16-char hashes
+    * shuffle. */
+  val multimodalGifPhash: CatalogEntry = CatalogEntry(
+    "multimodal_gif_phash",
+    """WITH spec AS (
+      |  SELECT doc_id, doc_id % 16 + 16 AS w, (doc_id * 3) % 16 + 16 AS h,
+      |    doc_id % 5 + 4 AS nf
+      |  FROM documents),
+      |m AS (SELECT doc_id, w, h, nf, (nf - 1) // 2 AS mid FROM spec),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, mid, gx.x::BIGINT AS x, gy.y::BIGINT AS y
+      |  FROM m, unnest(generate_series(0, w - 1)) AS gx(x),
+      |       unnest(generate_series(0, h - 1)) AS gy(y)),
+      |idx AS (
+      |  SELECT doc_id, nf, mid, (x * 9) // w AS cx, (y * 8) // h AS cy,
+      |    (x * 255 // w + y * 255 // h + (doc_id + mid * 31) % 256) % 256 AS t
+      |  FROM px),
+      |g AS (
+      |  SELECT doc_id, nf, mid, cx, cy,
+      |    (((t * 37) % 256) * 299 + ((t * 73) % 256) * 587
+      |     + ((t * 151) % 256) * 114) // 1000 AS gv
+      |  FROM idx),
+      |cells AS (
+      |  SELECT doc_id, nf, mid, cy, cx,
+      |    (sum(gv)::BIGINT // count(*)::BIGINT) AS m
+      |  FROM g GROUP BY doc_id, nf, mid, cy, cx),
+      |bits AS (
+      |  SELECT l.doc_id, any_value(l.nf) AS nf, any_value(l.mid) AS mid,
+      |    l.cy,
+      |    sum(CASE WHEN l.m > r.m THEN (1 << l.cx) ELSE 0 END)::INT AS b
+      |  FROM cells l JOIN cells r
+      |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8 GROUP BY l.doc_id, l.cy)
+      |SELECT doc_id, any_value(nf)::INT AS n_frames,
+      |  any_value(mid)::INT AS mid_idx,
+      |  string_agg(printf('%02x', b), '' ORDER BY cy) AS dhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val meta = spreadByRange(Tables.documents(s, d)
+      .select($"doc_id",
+        ($"doc_id" % 16 + 16).as("w"),
+        (($"doc_id" * 3) % 16 + 16).as("h"),
+        ($"doc_id" % 5 + 4).as("nf")),
+      s, "doc_id")
+    val blobs = MultiModal.encodeGifPartitions(meta, "doc_id", "w", "h", "nf")
+    MultiModal.gifFrameDhashPartitions(blobs, "id", "blob")
+      .toDF()
+      .select($"id".as("doc_id"), $"nFrames".as("n_frames"),
+        $"midIdx".as("mid_idx"), $"dhash")
+      .sortWithinPartitions($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
     multimodalResize, multimodalWavRoundtrip, multimodalGifFrames,
-    multimodalPhashDedup, multimodalAudioEnergy)
+    multimodalPhashDedup, multimodalAudioEnergy, multimodalGifPhash)
 }
