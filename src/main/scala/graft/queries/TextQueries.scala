@@ -1514,6 +1514,73 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** BM25 retrieval scoring (Okapi, Lucene idf form, k1=1.2 b=0.75) —
+    * rank the corpus against a term-set query: the scoring function
+    * behind retrieval-based decontamination sweeps and
+    * nearest-neighbor text search when there is no embedding. Float
+    * discipline: tf / df / N / doc-length are exact BIGINTs, every
+    * transcendental input is a ratio of exact integers (identical
+    * IEEE doubles per engine), and each per-term partial score is
+    * quantized to nano-BIGINTs BEFORE the per-doc sum — so the
+    * ranking key is integer-exact and the top-20 cannot flip on
+    * summation order. Scale shape: the term list and the |terms|-row
+    * df table broadcast; tf is one (doc, term) partial-agg exchange
+    * over ONLY term-matching tokens (the filter runs scan-side);
+    * corpus length stats are a broadcast 1-row scalar; the final
+    * top-20 is TakeOrderedAndProject. */
+  val bm25Topk: CatalogEntry = CatalogEntry(
+    "bm25_topk",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |len AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+      |corp AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS suml FROM len),
+      |terms(term) AS (VALUES ('table'), ('spark'), ('key'), ('window')),
+      |tf AS (
+      |  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+      |  FROM tok WHERE w IN (SELECT term FROM terms) GROUP BY doc_id, w),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    round(ln((n - df + 0.5) / (df + 0.5) + 1)
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (1 - 0.75
+      |           + 0.75 * dl::DOUBLE / (suml::DOUBLE / n::DOUBLE)))
+      |      * 1e9)::BIGINT AS s_nano
+      |  FROM tf t JOIN df USING (term) JOIN len USING (doc_id), corp),
+      |agg AS (
+      |  SELECT doc_id, sum(s_nano)::BIGINT AS score_nano
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, score_nano, score_nano / 1e9 AS bm25
+      |FROM agg ORDER BY score_nano DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val queryTerms = Seq("table", "spark", "key", "window")
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+    val len = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val corp = len.agg(count(lit(1)).as("n"), sum($"dl").as("suml"))
+    val tf = tok.where($"w".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"w".as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(corp))
+      .withColumn("s_nano", round(
+        log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
+          ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * $"dl".cast("double") /
+              ($"suml".cast("double") / $"n".cast("double")))) *
+          lit(1e9)).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(sum($"s_nano").as("score_nano"))
+      .select($"doc_id", $"score_nano",
+        ($"score_nano" / lit(1e9)).as("bm25"))
+      .orderBy($"score_nano".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1524,5 +1591,5 @@ object TextQueries {
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
     heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
-    qualityClassifierScore, textEntropy, vocabEncodeDocs)
+    qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk)
 }

@@ -27,6 +27,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "heavy_hitters_exact",   // broadcast 1-row corpus token total
     "sample_temperature_mix", // broadcast 1-row Σq scalar
     "sample_repeat_epochs",  // broadcast 1-row (Σq, K) scalar
+    "bm25_topk",             // broadcast 1-row (N, Σlen) corpus scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "embed_kmeans_update")   // same coarse-assign shape as above
 
