@@ -1581,6 +1581,64 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Exact all-pairs near-dup JOIN — [[graft.ext.SetSimJoin]] prefix
+    * filtering over per-doc distinct 3-token shingle sets, Jaccard ≥
+    * 3/5, on a corpus augmented with planted exact and near copies (the
+    * `dedup_simhash_portable` augmentation) so the pair set is
+    * non-vacuous at every SF. This is the EXACT complement of the
+    * MinHash/SimHash approximate paths: no banding false negatives, no
+    * sketch — and the DuckDB oracle is deliberately the INDEPENDENT
+    * formulation (full inverted-index overlap count with no prefix
+    * filter), so hash-green also proves the prefix-filtering theorem
+    * dropped no qualifying pair. All Jaccard decisions are
+    * cross-multiplied exact integers. */
+  val dedupSetsimJoin: CatalogEntry = CatalogEntry(
+    "dedup_setsim_join",
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' graftdup graftdup2 graftdup3'
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 23 = 0),
+      |t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS sh
+      |  FROM t0, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+      |n AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+      |ov AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS overlap
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, overlap, na.n AS n_a, nb.n AS n_b
+      |FROM ov JOIN n na ON ov.id_a = na.doc_id
+      |  JOIN n nb ON ov.id_b = nb.doc_id
+      |WHERE 8 * overlap >= 3 * (na.n + nb.n)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val aug = docs.select($"doc_id", $"text")
+      .union(docs.where($"doc_id" % 17 === 0)
+        .select($"doc_id" + 100000, $"text"))
+      .union(docs.where($"doc_id" % 23 === 0)
+        .select($"doc_id" + 200000,
+          concat($"text", lit(" graftdup graftdup2 graftdup3"))))
+      .toDF("doc_id", "text")
+    val shingled = aug
+      .withColumn("t", split($"text", " "))
+      .where(size($"t") >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(1), size($"t") - 2), i =>
+          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+            element_at($"t", i + 2)))))
+      .select($"doc_id", $"shingles")
+    graft.ext.SetSimJoin.selfJoin(shingled, "doc_id", "shingles", 3, 5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1591,5 +1649,6 @@ object TextQueries {
     docRepetitionStats, docChunkTokens, dedupClusterCc,
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
     heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
-    qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk)
+    qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk,
+    dedupSetsimJoin)
 }
