@@ -58,6 +58,26 @@ object Sampling {
     }
   }
 
+  /** Efraimidis–Spirakis key for weighted sampling WITHOUT replacement
+    * (Efraimidis & Spirakis 2006): each row gets `key = u^(1/w)` for a
+    * uniform `u`, and the k rows with the LARGEST keys are a weighted
+    * k-sample. We rank on the order-equivalent `ln(u)/w` (monotone in
+    * u^(1/w); avoids pow's tiny-exponent underflow for huge weights)
+    * and derive `u = (h+1)/2^60` from the row's md5 — a ratio of exact
+    * integers, so the key is deterministic and cross-engine
+    * reproducible (DuckDB replays the identical arithmetic), unlike
+    * `rand()`-seeded sampling which no two cluster runs repeat.
+    *
+    * Scale shape: pure row-local scan-side expression + TakeOrdered
+    * top-k — no shuffle beyond the k-row final merge, works unchanged
+    * at 100 TB. `weight` must be a positive integer column. */
+  def weightedKey(key: Column, weight: Column): Column = {
+    val h = conv(substring(md5(canonical(key)), 1, 15), 16, 10)
+      .cast("long")
+    log((h + lit(1L)).cast("double") / lit(1152921504606846976.0d)) /
+      weight.cast("double")
+  }
+
   /** Deterministic per-key quota cap — "keep at most `k` rows per key",
     * the anti-domain-dominance rule of web-corpus builds (C4-family
     * per-host caps), selecting the `k` rows with the SMALLEST

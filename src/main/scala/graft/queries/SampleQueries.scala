@@ -307,8 +307,40 @@ object SampleQueries {
       .orderBy($"bucket", $"lang")
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis): the
+    * 100 docs with the largest `ln(u)/n_chars` keys — longer documents
+    * are proportionally more likely, no row is drawn twice, and the
+    * draw is bit-reproducible across engines/runs because u comes from
+    * md5, not rand() (see [[Sampling.weightedKey]]). The oracle replays
+    * the identical key arithmetic in DuckDB; `key_micros` pins the key
+    * values themselves, not just the membership. Plan: scan-side
+    * keying + TakeOrderedAndProject — no full sort, no shuffle. */
+  val sampleWeightedEs: CatalogEntry = CatalogEntry(
+    "sample_weighted_es",
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ln((('0x' || substring(md5(text), 1, 15))::BIGINT + 1)::DOUBLE
+      |        / 1152921504606846976.0) / n_chars AS es_key
+      |  FROM documents
+      |  WHERE n_chars > 0
+      |)
+      |SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars,
+      |       round(es_key * 1e6)::BIGINT AS key_micros
+      |FROM keyed
+      |ORDER BY es_key DESC, doc_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .where($"n_chars" > 0)
+      .withColumn("es_key", Sampling.weightedKey($"text", $"n_chars"))
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(100)
+      .select($"doc_id", $"lang", $"n_chars",
+        round($"es_key" * 1e6).cast("long").as("key_micros"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
     sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
-    splitTrainValTest)
+    splitTrainValTest, sampleWeightedEs)
 }

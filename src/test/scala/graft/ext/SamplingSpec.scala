@@ -104,4 +104,27 @@ class SamplingSpec extends SparkTestBase {
     val small = oneShot.filter(_._1 == "k0")
     assert(small.nonEmpty && small.size <= 5)
   }
+
+  test("weightedKey: deterministic, negative, and weight-monotone in " +
+    "expectation (Efraimidis-Spirakis inclusion scales with weight)") {
+    // two weight classes over the same texts: w=1000 vs w=10.
+    val weighted = Seq.tabulate(2000) { i =>
+      (i.toLong, s"doc $i", if (i < 1000) 1000L else 10L)
+    }.toDF("id", "text", "w")
+    val keyed = weighted
+      .withColumn("k", Sampling.weightedKey($"text", $"w"))
+      .select($"id", $"w", $"k").collect()
+    assert(keyed.forall(_.getDouble(2) < 0.0), "ln(u)/w must be negative")
+    // rerun identical (content-keyed, no rand())
+    val rerun = weighted
+      .withColumn("k", Sampling.weightedKey($"text", $"w"))
+      .select($"id", $"w", $"k").collect()
+    assert(keyed.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      rerun.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // top-200 keys should be overwhelmingly from the heavy class: each
+    // heavy item is ~100x more likely than a light one at every rank.
+    val heavyInTop = keyed.sortBy(-_.getDouble(2)).take(200)
+      .count(_.getLong(1) == 1000L)
+    assert(heavyInTop > 180, s"heavy class underrepresented: $heavyInTop/200")
+  }
 }
