@@ -385,7 +385,108 @@ object AggQueries {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure
+    * scan-filter-aggregate — every predicate (shipdate range, discount
+    * band, quantity cap) pushes to the parquet scan, so at 100 TB this
+    * reads only row groups whose min/max stats overlap 1996 and
+    * aggregates map-side to a single row; no shuffle beyond the final
+    * 1-row merge. Revenue in exact 10⁻⁴-dollar BIGINTs (price·disc%
+    * is an integer — same money discipline as `q10_returned_item`). */
+  val q6Forecast: CatalogEntry = CatalogEntry(
+    "q6_forecast_revenue",
+    """SELECT round(sum(round(l_extendedprice * 100)::BIGINT *
+      |              round(l_discount * 100)::BIGINT)::BIGINT / 1e4, 2)
+      |         AS revenue,
+      |       count(*)::BIGINT AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(
+        round(sum(round($"l_extendedprice" * 100).cast("bigint") *
+          round($"l_discount" * 100).cast("bigint")) / lit(1e4), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): monthly ratio of promo-part
+    * revenue to all revenue across a fact ⋈ dim join. `part` is the
+    * broadcast side (dims stay small relative to facts at every
+    * scale); the ratio is a division of two exact-integer sums, so it
+    * is correctly rounded and bit-identical cross-engine — ratios are
+    * where double summation jitter bites hardest. */
+  val q14Promo: CatalogEntry = CatalogEntry(
+    "q14_promo_effect",
+    """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+      |  round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+      |          THEN round(l_extendedprice*100)::BIGINT
+      |               * (100 - round(l_discount*100)::BIGINT) ELSE 0 END)
+      |        / sum(round(l_extendedprice*100)::BIGINT
+      |              * (100 - round(l_discount*100)::BIGINT)), 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rev = round($"l_extendedprice" * 100).cast("bigint") *
+      (lit(100L) - round($"l_discount" * 100).cast("bigint"))
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy(date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM")
+        .as("ship_month"))
+      .agg(round(lit(100.0) *
+        sum(when($"p_type".startsWith("PROMO"), rev).otherwise(0L)) /
+        sum(rev), 4).as("promo_pct"))
+      .orderBy($"ship_month")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * OR-of-conjunctions join filter that tests predicate handling —
+    * the `p_partkey = l_partkey` equi-condition must still drive a
+    * hash join (broadcast here), with the brand/size/quantity
+    * disjunction evaluated as a post-join filter, NOT a nested-loop
+    * over the disjuncts. Per-branch base predicates (size ≥ 1,
+    * quantity bounds) are derivable and scan-pushable. */
+  val q19Disjunct: CatalogEntry = CatalogEntry(
+    "q19_disjunct_revenue",
+    """SELECT round(sum(round(l_extendedprice*100)::BIGINT *
+      |              (100 - round(l_discount*100)::BIGINT))::BIGINT
+      |        / 1e4, 2) AS revenue,
+      |       count(*)::BIGINT AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val branch = ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+        $"l_quantity".between(1, 11)) ||
+      ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+        $"l_quantity".between(10, 20)) ||
+      ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(20, 30))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .filter(branch)
+      .agg(
+        round(sum(round($"l_extendedprice" * 100).cast("bigint") *
+          (lit(100L) - round($"l_discount" * 100).cast("bigint"))) /
+          lit(1e4), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
-    aggRegrFit, aggFilterClause, q10Returned, q7Volume)
+    aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
+    q14Promo, q19Disjunct)
 }
