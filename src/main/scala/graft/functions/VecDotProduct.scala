@@ -209,6 +209,8 @@ object GraftFunctions {
         intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63_md5", exprs => SimHash63Portable(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
     // Spark's own runtime-filter bloom expressions, surfaced as callable
     // functions (they are not in the public registry): `bloom_agg(hash,
     // n_items)` aggregates xxhash64 values into a serialized

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -313,9 +314,73 @@ object JoinQueries {
       .orderBy($"w_a", $"w_b")
   }
 
+  /** Spell-correction / entity-resolution by Jaro–Winkler argmax: each
+    * deterministically "typo'd" part name (one char deleted at an
+    * md5-derived position) is matched back to the clean name
+    * vocabulary — the fuzzy-dedup step of record linkage. Uses the
+    * NATIVE codegen'd `jaro_winkler` expression
+    * ([[graft.functions.JaroWinkler]]), pinned bit-exactly to DuckDB's
+    * `jaro_winkler_similarity`, so the oracle checks the similarity
+    * VALUES, not just membership. Blocking: first-char equality plus a
+    * ±2 length band bound the candidate set (the blocking bargain —
+    * a typo deleting char 1 is unrecoverable by construction and the
+    * oracle mirrors that); per-typo argmax via one row_number window;
+    * ties broken on candidate asc (none exist in this data, checked).
+    * At 100 TB: vocabulary side broadcasts (dictionaries are small),
+    * typo side streams — no shuffle beyond the argmax window on the
+    * bounded candidate pairs. */
+  val fuzzyCorrectJaroWinkler: CatalogEntry = CatalogEntry(
+    "fuzzy_correct_jaro_winkler",
+    """WITH names AS (SELECT DISTINCT p_name AS w FROM part),
+      |typos AS (
+      |  SELECT w AS orig,
+      |    concat(substring(w, 1, pos-1), substring(w, pos+1)) AS typo
+      |  FROM (SELECT w,
+      |          (('0x' || substring(md5(w),1,15))::BIGINT
+      |           % length(w))::INT + 1 AS pos
+      |        FROM names)),
+      |cand AS (
+      |  SELECT t.typo, t.orig, n.w AS cand,
+      |         jaro_winkler_similarity(t.typo, n.w) AS jw
+      |  FROM typos t JOIN names n
+      |    ON substring(t.typo,1,1) = substring(n.w,1,1)
+      |   AND abs(length(t.typo) - length(n.w)) <= 2),
+      |best AS (
+      |  SELECT typo, orig, cand, jw,
+      |    row_number() OVER (PARTITION BY typo
+      |                       ORDER BY jw DESC, cand) AS rn
+      |  FROM cand)
+      |SELECT typo, orig, cand AS corrected, round(jw, 4) AS jw,
+      |  (cand = orig) AS recovered
+      |FROM best WHERE rn = 1 AND jw >= 0.8
+      |ORDER BY typo""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val names = Tables.part(s, d).select($"p_name".as("w")).distinct()
+    val typos = names
+      .withColumn("pos", (conv(substring(md5($"w"), 1, 15), 16, 10)
+        .cast("long") % length($"w")).cast("int") + 1)
+      .select($"w".as("orig"),
+        concat(substring($"w", lit(1), $"pos" - 1),
+          $"w".substr($"pos" + 1, length($"w"))).as("typo"))
+    val cand = typos.as("t")
+      .join(names.as("n"),
+        substring($"t.typo", 1, 1) === substring($"n.w", 1, 1) &&
+          abs(length($"t.typo") - length($"n.w")) <= 2)
+      .select($"t.typo", $"t.orig", $"n.w".as("cand"),
+        call_function("jaro_winkler", $"t.typo", $"n.w").as("jw"))
+    val w = Window.partitionBy($"typo").orderBy($"jw".desc, $"cand".asc)
+    cand.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1 && $"jw" >= 0.8)
+      .select($"typo", $"orig", $"cand".as("corrected"),
+        round($"jw", 4).as("jw"), ($"cand" === $"orig").as("recovered"))
+      .orderBy($"typo")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
     setUnion, setIntersect, setExcept,
     aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
-    joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein)
+    joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein,
+    fuzzyCorrectJaroWinkler)
 }
