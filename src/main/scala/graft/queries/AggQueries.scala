@@ -485,8 +485,51 @@ object AggQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** Weighted median (lower convention): smallest price whose
+    * cumulative weight reaches half the total — `percentile(col,
+    * 0.5)` can't take a weight column, and physically expanding each
+    * row `weight` times (the naive route, and how the spec's
+    * brute-force check is phrased) multiplies the shuffle by the mean
+    * weight. Shape: per-(group, value) pre-aggregation collapses the
+    * fact table to |distinct values| rows FIRST (map-side partial
+    * agg), then one window cumsum per group over those collapsed rows.
+    * All arithmetic on exact BIGINT weights — no float percentile
+    * interpolation to diverge cross-engine; the median itself is a
+    * data value, compared exactly. */
+  val weightedMedian: CatalogEntry = CatalogEntry(
+    "agg_weighted_median",
+    """WITH pv AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |         sum(l_quantity)::BIGINT AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, price, w,
+      |    sum(w) OVER (PARTITION BY flag ORDER BY price
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY flag) AS tot
+      |  FROM pv)
+      |SELECT flag, round(min(price), 2) AS weighted_median,
+      |       min(tot)::BIGINT AS total_weight
+      |FROM cum WHERE 2*cw >= tot GROUP BY flag ORDER BY flag""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val pv = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag".as("flag"), $"l_extendedprice".as("price"))
+      .agg(sum($"l_quantity").cast("bigint").as("w"))
+    val cumW = Window.partitionBy($"flag").orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"flag")
+    pv.withColumn("cw", sum($"w").over(cumW))
+      .withColumn("tot", sum($"w").over(totW))
+      .where($"cw" * 2 >= $"tot")
+      .groupBy($"flag")
+      .agg(round(min($"price"), 2).as("weighted_median"),
+        min($"tot").as("total_weight"))
+      .orderBy($"flag")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
-    q14Promo, q19Disjunct)
+    q14Promo, q19Disjunct, weightedMedian)
 }
