@@ -146,4 +146,69 @@ object Graph {
     }
     parent.select(col("id"), col("p").as("component"))
   }
+
+  /** Triangle census of an undirected graph — the structural signal a
+    * dup-graph diagnostic needs: triangles (and the transitivity ratio
+    * 3·T / wedges) distinguish tight near-dup CLIQUES (template spam,
+    * mirrored sites) from incidental pairwise overlaps.
+    *
+    * Algorithm: degree-oriented counting (the MapReduce-standard trick
+    * from Suri & Vassilvitskii's "Counting Triangles and the Curse of
+    * the Last Reducer"): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, so each triangle is
+    * counted EXACTLY once — at its minimum-order vertex — and, the
+    * scale point, every vertex's out-degree is O(√|E|) no matter how
+    * skewed the raw degree distribution: a celebrity node of degree
+    * 10⁶ generates 10¹² wedges under naive per-node pairing but only
+    * ~|E| oriented wedges here. Two hash joins on node ids, no
+    * per-node quadratic blowup, no driver state.
+    *
+    * Output: one row — (n_nodes, n_edges, n_triangles, n_wedges,
+    * transitivity_ppm) with transitivity = 3·T/wedges in exact
+    * integer parts-per-million (`div`, not float division).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint() // consumed 4x below (degrees, orient, close)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // total order key (deg, id): orient each edge small → large
+    val withKeys = e
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+    val oriented = withKeys.select(
+      when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          struct(col("degb").as("kd"), col("b").as("ki")).as("kv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          struct(col("dega").as("kd"), col("a").as("ki")).as("kv"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.kv").as("kv"))
+      .localCheckpoint() // self-joined twice (wedge + close)
+    // wedges at the min-order vertex, ordered so each is built once
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("w"),
+      col("kv").as("kw"))
+    val wedges = oriented.join(o2,
+      col("u") === col("u2") && col("kv") < col("kw"))
+    // closing edge is oriented v → w by construction
+    val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
+    val triangles = wedges.join(closing,
+      col("v") === col("cv") && col("w") === col("cw"))
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val nWedge = deg.agg((sum(col("deg") * (col("deg") - 1)) / 2)
+      .cast("long").as("n_wedges"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(counts).crossJoin(nTri).crossJoin(nWedge)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0, 0L).otherwise(
+          expr("(n_triangles * 3000000) div n_wedges"))
+          .cast("long").as("transitivity_ppm"))
+  }
 }

@@ -1639,6 +1639,47 @@ object TextQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Triangle census of the shared-gram near-dup graph
+    * ([[graft.ext.Graph.triangleStats]]): triangles vs wedges
+    * (transitivity) is the cheap structural probe separating clique-
+    * shaped duplication (template spam — every pair overlaps) from
+    * chain-shaped incidental overlap. Degree-oriented counting keeps
+    * every vertex's wedge fan-out at O(√|E|) regardless of degree skew
+    * — the 100 TB guard — while the oracle recounts the same triangles
+    * with a plain a<b<c triple self-join, an independent formulation
+    * that also pins wedge and transitivity integer math. */
+  val dedupGraphTriangles: CatalogEntry = CatalogEntry(
+    "dedup_graph_triangles",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(list_slice(toks, i, i + 12), ' ')
+      |                          for i in range(1, greatest(len(toks) - 11, 1))])) AS gram
+      |  FROM t),
+      |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      WHERE a.gram IN (SELECT gram FROM rare)),
+      |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e x
+      |        JOIN e y ON y.src = x.dst
+      |        JOIN e z ON z.src = x.src AND z.dst = y.dst),
+      |deg AS (SELECT id, count(*)::BIGINT AS d FROM
+      |        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+      |        GROUP BY id)
+      |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+      |       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+      |       (SELECT n_triangles FROM tri) AS n_triangles,
+      |       (SELECT sum(d*(d-1)//2) FROM deg)::BIGINT AS n_wedges,
+      |       (SELECT CASE WHEN sum(d*(d-1)//2) = 0 THEN 0
+      |               ELSE (SELECT n_triangles FROM tri) * 3000000
+      |                    // sum(d*(d-1)//2) END
+      |        FROM deg)::BIGINT AS transitivity_ppm""".stripMargin) { (s, d) =>
+    val edges = Dedup.sharedGramPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 13, maxDf = 50)
+    Graph.triangleStats(edges, "src", "dst")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1650,5 +1691,5 @@ object TextQueries {
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
     heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
     qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk,
-    dedupSetsimJoin)
+    dedupSetsimJoin, dedupGraphTriangles)
 }

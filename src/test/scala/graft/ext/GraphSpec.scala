@@ -107,4 +107,52 @@ class GraphSpec extends SparkTestBase {
     })
     assert(res.passed, s"cc law: ${res.status}")
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangleStats: clique, star, and mixed graphs count exactly") {
+    // K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, transitivity 1.0
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) == (4L, 6L, 4L, 12L, 1000000L))
+    // star K1,4: hub wedges only, zero triangles — the skew shape the
+    // degree orientation exists for
+    assert(tri(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))) ==
+      (5L, 4L, 0L, 6L, 0L))
+    // triangle + pendant; duplicate/reversed input edges collapse
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (1L, 2L))) == (4L, 4L, 1L, 5L, 600000L))
+  }
+
+  test("triangleStats law: matches brute-force count on random graphs") {
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withInitialSeed(Seed(77L)),
+      Prop.forAll(gen) { raw =>
+        val edges = raw.filter(e => e._1 != e._2)
+        if (edges.isEmpty) true
+        else {
+          val und = edges.map(e => (math.min(e._1, e._2),
+            math.max(e._1, e._2))).distinct
+          val adj = und.flatMap(e => Seq(e, e.swap))
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+          val nodes = adj.keys.toSeq.sorted
+          val brute = (for {
+            a <- nodes; b <- nodes if b > a && adj(a)(b)
+            c <- nodes if c > b && adj(a)(c) && adj(b)(c)
+          } yield 1).size.toLong
+          val wedges = nodes.map { n =>
+            val d = adj(n).size.toLong; d * (d - 1) / 2
+          }.sum
+          tri(edges) == ((nodes.size.toLong, und.size.toLong, brute,
+            wedges, if (wedges == 0) 0L else brute * 3000000L / wedges))
+        }
+      })
+    assert(res.passed, s"triangle law: ${res.status}")
+  }
 }
