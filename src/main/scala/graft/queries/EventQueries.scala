@@ -800,7 +800,130 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Linear interpolation of missing points in a time series — the
+    * gap-fill step between resample and model input (ffill repeats the
+    * stale value; interpolation splits the gap pro-rata). Holes are
+    * punched deterministically (md5 of the series key) so the entry is
+    * reproducible; the fill uses the nearest non-missing neighbor on
+    * each side via IGNORE-NULLS window navigation — two windows per
+    * series, no self-join, no explode. All arithmetic on exact BIGINT
+    * cents with truncating integer division (Spark `div` and DuckDB
+    * `//` both truncate toward zero — verified, incl. negatives), so
+    * the interpolated values hash-match cross-engine. Edge rows with
+    * no left (right) neighbor take the right (left) value. */
+  val eventsInterpolate: CatalogEntry = CatalogEntry(
+    "events_interpolate_linear",
+    """WITH daily AS (
+      |  SELECT event_type AS et, date_trunc('day', ts::TIMESTAMP)::DATE AS day,
+      |         sum(round(value*100))::BIGINT AS cents
+      |  FROM events GROUP BY 1, 2),
+      |holey AS (
+      |  SELECT et, day,
+      |    CASE WHEN substring(md5(et || '|' || strftime(day, '%Y-%m-%d')),
+      |                        1, 1) < '4'
+      |         THEN NULL ELSE cents END AS cents
+      |  FROM daily),
+      |nbr AS (
+      |  SELECT et, day, cents,
+      |    last_value(cents IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN day END
+      |               IGNORE NULLS) OVER wp AS pd,
+      |    first_value(cents IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN day END
+      |                IGNORE NULLS) OVER wf AS nd
+      |  FROM holey
+      |  WINDOW wp AS (PARTITION BY et ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY et ORDER BY day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT et, strftime(day, '%Y-%m-%d') AS day,
+      |  (cents IS NULL) AS was_missing,
+      |  CASE WHEN cents IS NOT NULL THEN cents
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + ((nv - pv) * (day - pd)) // (nd - pd) END
+      |    AS cents_filled
+      |FROM nbr ORDER BY et, day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type".as("et"),
+        to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(sum(round($"value" * 100)).cast("bigint").as("cents"))
+    val holey = daily.withColumn("cents",
+      when(substring(md5(concat($"et", lit("|"),
+        date_format($"day", "yyyy-MM-dd"))), 1, 1) < "4", lit(null))
+        .otherwise($"cents"))
+    val wp = Window.partitionBy($"et").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"et").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    holey
+      .withColumn("pv", last($"cents", ignoreNulls = true).over(wp))
+      .withColumn("pd", last(when($"cents".isNotNull, $"day"),
+        ignoreNulls = true).over(wp))
+      .withColumn("nv", first($"cents", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when($"cents".isNotNull, $"day"),
+        ignoreNulls = true).over(wf))
+      .select($"et", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"cents".isNull.as("was_missing"),
+        when($"cents".isNotNull, $"cents")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise($"pv" + expr(
+            "((nv - pv) * datediff(day, pd)) div datediff(nd, pd)"))
+          .as("cents_filled"))
+      .orderBy($"et", $"day")
+  }
+
+  /** Running distinct-user census by day: actives, first-timers, the
+    * cumulative unique count, and returning users. The trick is that
+    * "cumulative distinct" needs NO stateful distinct-over-time scan:
+    * min(first-seen day) per user collapses the fact table once, and
+    * the cumulative count is a cumsum over per-day new-user totals.
+    * Shape: two group-bys on (user) and (day) — both map-side partial
+    * — then one window over the DAY axis only (|days| rows, trivially
+    * single-partition no matter the corpus size; the fact table never
+    * enters a window). */
+  val eventsCumulativeUniques: CatalogEntry = CatalogEntry(
+    "events_cumulative_uniques",
+    """WITH fs AS (
+      |  SELECT user_id, min(date_trunc('day', ts::TIMESTAMP)::DATE) AS first_day
+      |  FROM events GROUP BY 1),
+      |act AS (
+      |  SELECT date_trunc('day', ts::TIMESTAMP)::DATE AS day,
+      |         count(DISTINCT user_id)::BIGINT AS active_users
+      |  FROM events GROUP BY 1),
+      |nu AS (SELECT first_day AS day, count(*)::BIGINT AS new_users
+      |       FROM fs GROUP BY 1)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.active_users,
+      |  coalesce(n.new_users, 0)::BIGINT AS new_users,
+      |  sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_unique_users,
+      |  (a.active_users - coalesce(n.new_users, 0))::BIGINT
+      |    AS returning_users
+      |FROM act a LEFT JOIN nu n ON n.day = a.day
+      |ORDER BY a.day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("first_day"))
+    val active = ev.groupBy($"day")
+      .agg(countDistinct($"user_id").as("active_users"))
+    val newUsers = firstSeen.groupBy($"first_day".as("nday"))
+      .agg(count(lit(1)).as("new_users"))
+    val cum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(newUsers, $"day" === $"nday", "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"active_users", $"new_users",
+        sum($"new_users").over(cum).as("cum_unique_users"),
+        ($"active_users" - $"new_users").as("returning_users"))
+      .orderBy($"day")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    eventsInterpolate, eventsCumulativeUniques,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,

@@ -346,8 +346,56 @@ object OperatorQueries {
       .orderBy($"lang")
   }
 
+  /** Market-basket co-occurrence with lift — association-rule mining's
+    * support/lift core over (order, part) baskets. Shape that
+    * survives 100 TB: pairs are generated WITHIN a basket only (the
+    * self-join is equi-keyed on the order, so a basket of k items
+    * emits C(k,2) pairs — bounded by order size, never |parts|²), the
+    * pair census is a map-side-combinable count, and lift is computed
+    * in exact integer parts-per-million: lift = P(ab)/(P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b), all BIGINTs, `div`-scaled — no float ratio
+    * to diverge cross-engine. Top-30 under a total order. */
+  val basketLift: CatalogEntry = CatalogEntry(
+    "basket_cooccur_lift",
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT count(DISTINCT ord) AS n FROM baskets),
+      |item AS (SELECT pk, count(*)::BIGINT AS cnt FROM baskets GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_ab
+      |  FROM baskets a JOIN baskets b ON a.ord = b.ord AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+      |  (n_ab * (SELECT n FROM nb) * 1000000) // (ia.cnt * ib.cnt)
+      |    AS lift_ppm
+      |FROM pairs JOIN item ia ON ia.pk = pa JOIN item ib ON ib.pk = pb
+      |WHERE n_ab >= 2
+      |ORDER BY n_ab DESC, lift_ppm DESC, pa, pb
+      |LIMIT 30""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
+    val nBaskets = baskets.agg(
+      countDistinct($"ord").as("n")) // 1 row, broadcast below
+    val item = baskets.groupBy($"pk").agg(count(lit(1)).as("cnt"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        $"a.ord" === $"b.ord" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where($"n_ab" >= 2)
+    pairs
+      .join(item.select($"pk".as("pa"), $"cnt".as("n_a")), "pa")
+      .join(item.select($"pk".as("pb"), $"cnt".as("n_b")), "pb")
+      .crossJoin(broadcast(nBaskets))
+      .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b",
+        expr("(n_ab * n * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy($"n_ab".desc, $"lift_ppm".desc, $"pa", $"pb")
+      .limit(30)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
     zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward,
-    summaryRewriteAgg)
+    summaryRewriteAgg, basketLift)
 }

@@ -28,6 +28,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sample_temperature_mix", // broadcast 1-row Σq scalar
     "sample_repeat_epochs",  // broadcast 1-row (Σq, K) scalar
     "bm25_topk",             // broadcast 1-row (N, Σlen) corpus scalar
+    "basket_cooccur_lift",   // broadcast 1-row basket-count N scalar
+    "dedup_graph_triangles", // 4 broadcast 1-row census scalars joined
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "embed_kmeans_update")   // same coarse-assign shape as above
 
