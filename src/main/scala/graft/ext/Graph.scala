@@ -147,6 +147,61 @@ object Graph {
     parent.select(col("id"), col("p").as("component"))
   }
 
+  /** Fixed-iteration PageRank in EXACT INTEGER arithmetic — every rank
+    * is a BIGINT share of `scale` (default parts-per-trillion), each
+    * step is r'(v) = (15·scale) div (100·N) + (85·Σ_{u→v} r(u) div
+    * deg(u)) div 100 (damping 0.85 as an integer percentage). Why
+    * integers: float PageRank sums in-neighbor contributions in
+    * whatever order the partial aggregation delivers them, so two runs
+    * (or two engines) disagree in the last ulps and rank ties flip;
+    * integer sums COMMUTE EXACTLY, making the result bit-reproducible
+    * everywhere — the property every other entry in this catalog holds
+    * — at the cost of ≤1 unit of truncation per div (≈10⁻¹² of mass
+    * per step: irrelevant to ordering, identical in every engine).
+    *
+    * Contract: `edges` is a DIRECTED edge list; every node must appear
+    * as the source of ≥1 edge (no dangling nodes — symmetrize an
+    * undirected graph first, which also guarantees in-degree ≥ 1;
+    * nodes with no in-edges would be dropped by the contribution
+    * join). Iterations are unrolled (`iters` small and fixed — PR on
+    * bounded-diameter similarity graphs converges in a few steps; the
+    * oracle replays the same unrolled steps as chained CTEs).
+    *
+    * Scale shape: per iteration, ONE shuffle joining contributions to
+    * edges on src and ONE aggregation by dst — both hash-partitioned
+    * on node id; the node count rides along as a broadcast 1-row
+    * scalar; lineage is truncated per round with localCheckpoint (use
+    * reliable checkpoint on a real cluster). */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // consumed once per iteration
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nDf = broadcast(deg.agg(count(lit(1)).as("n")))
+    var pr = deg.crossJoin(nDf)
+      .select(col("id"), col("deg"), expr(s"${scale}L div n").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("cid"), expr("r div deg").as("c")),
+          col("src") === col("cid"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = deg.join(contrib, deg("id") === contrib("dst"))
+        .crossJoin(nDf)
+        .select(deg("id"), deg("deg"),
+          expr(s"(15 * ${scale}L) div (100 * n) + (85 * sc) div 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    pr.select(col("id"), col("deg"), col("r").as("rank"))
+  }
+
   /** Triangle census of an undirected graph — the structural signal a
     * dup-graph diagnostic needs: triangles (and the transitivity ratio
     * 3·T / wedges) distinguish tight near-dup CLIQUES (template spam,

@@ -922,8 +922,71 @@ object EventQueries {
       .orderBy($"day")
   }
 
+  /** Rolling 7-day Pearson correlation between two series (daily click
+    * vs view revenue) — computed from EXACT INTEGER MOMENTS, the same
+    * discipline as `agg_regr_fit`: every windowed sum (Sx, Sy, Sxx,
+    * Syy, Sxy) is a BIGINT over cent values (largest ≈ 1.8e14 at
+    * sf0.1, well under 2⁵³), so the only float ops are two
+    * correctly-rounded IEEE sqrts and one division — bit-identical
+    * cross-engine, unlike `corr()` whose per-engine summation order
+    * differs. Degenerate windows (< 7 rows, zero variance) → NULL.
+    * Shape: the fact table collapses to |days| rows FIRST; the five
+    * moment sums ride ONE window pass over that day axis. */
+  val eventsRollingCorr: CatalogEntry = CatalogEntry(
+    "events_rolling_corr",
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts::TIMESTAMP)::DATE AS day,
+      |    sum(CASE WHEN event_type='click' THEN round(value*100)
+      |             ELSE 0 END)::BIGINT AS cx,
+      |    sum(CASE WHEN event_type='view' THEN round(value*100)
+      |             ELSE 0 END)::BIGINT AS cy
+      |  FROM events GROUP BY 1),
+      |roll AS (
+      |  SELECT day,
+      |    count(*) OVER w AS n,
+      |    sum(cx) OVER w AS sx, sum(cy) OVER w AS sy,
+      |    sum(cx*cx) OVER w AS sxx, sum(cy*cy) OVER w AS syy,
+      |    sum(cx*cy) OVER w AS sxy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CASE WHEN n < 7 OR (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0
+      |       THEN NULL
+      |       ELSE round((n*sxy - sx*sy) /
+      |            (sqrt((n*sxx - sx*sx)::DOUBLE) *
+      |             sqrt((n*syy - sy*sy)::DOUBLE)), 6)
+      |  END AS corr7
+      |FROM roll ORDER BY day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(
+        sum(when($"event_type" === "click", round($"value" * 100))
+          .otherwise(0)).cast("bigint").as("cx"),
+        sum(when($"event_type" === "view", round($"value" * 100))
+          .otherwise(0)).cast("bigint").as("cy"))
+    val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"cx").over(w))
+      .withColumn("sy", sum($"cy").over(w))
+      .withColumn("sxx", sum($"cx" * $"cx").over(w))
+      .withColumn("syy", sum($"cy" * $"cy").over(w))
+      .withColumn("sxy", sum($"cx" * $"cy").over(w))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        when($"n" < 7 ||
+          ($"n" * $"sxx" - $"sx" * $"sx") === 0 ||
+          ($"n" * $"syy" - $"sy" * $"sy") === 0, lit(null))
+          .otherwise(round(
+            ($"n" * $"sxy" - $"sx" * $"sy") /
+              (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6))
+          .as("corr7"))
+      .orderBy($"day")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    eventsInterpolate, eventsCumulativeUniques,
+    eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,

@@ -394,8 +394,57 @@ object OperatorQueries {
       .limit(30)
   }
 
+  /** Exact-integer PageRank over the part co-purchase graph (parts
+    * linked when they share an order) — graph centrality as a data-
+    * quality/recommendation signal, via
+    * [[graft.ext.Graph.pageRankInt]]: 3 unrolled iterations, damping
+    * 85/100, ranks in parts-per-trillion BIGINTs. Integer arithmetic
+    * makes the iteration bit-reproducible across engines and runs
+    * (float PR depends on partial-agg summation order); the oracle
+    * replays the identical unrolled steps as chained CTEs. Top-20
+    * under a total order. */
+  val pagerankCoPurchase: CatalogEntry = CatalogEntry(
+    "graph_pagerank_copurchase",
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS pk FROM lineitem),
+      |eu AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |       FROM baskets a JOIN baskets b
+      |         ON a.ord = b.ord AND a.pk <> b.pk),
+      |deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM eu GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n FROM deg),
+      |pr0 AS (SELECT id, deg,
+      |        (1000000000000 // (SELECT n FROM n))::BIGINT AS r FROM deg),
+      |pr1 AS (SELECT d.id, d.deg,
+      |    ((15 * 1000000000000) // (100 * (SELECT n FROM n))
+      |     + (85 * sum(p.r // p.deg)) // 100)::BIGINT AS r
+      |  FROM deg d JOIN eu e ON e.dst = d.id JOIN pr0 p ON p.id = e.src
+      |  GROUP BY d.id, d.deg),
+      |pr2 AS (SELECT d.id, d.deg,
+      |    ((15 * 1000000000000) // (100 * (SELECT n FROM n))
+      |     + (85 * sum(p.r // p.deg)) // 100)::BIGINT AS r
+      |  FROM deg d JOIN eu e ON e.dst = d.id JOIN pr1 p ON p.id = e.src
+      |  GROUP BY d.id, d.deg),
+      |pr3 AS (SELECT d.id, d.deg,
+      |    ((15 * 1000000000000) // (100 * (SELECT n FROM n))
+      |     + (85 * sum(p.r // p.deg)) // 100)::BIGINT AS r
+      |  FROM deg d JOIN eu e ON e.dst = d.id JOIN pr2 p ON p.id = e.src
+      |  GROUP BY d.id, d.deg)
+      |SELECT id AS part_id, deg, r AS rank_ppt
+      |FROM pr3 ORDER BY r DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
+    val edges = baskets.as("a")
+      .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst"))
+    graft.ext.Graph.pageRankInt(edges, "src", "dst", iters = 3)
+      .select($"id".as("part_id"), $"deg", $"rank".as("rank_ppt"))
+      .orderBy($"rank_ppt".desc, $"part_id")
+      .limit(20)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
     zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward,
-    summaryRewriteAgg, basketLift)
+    summaryRewriteAgg, basketLift, pagerankCoPurchase)
 }

@@ -30,6 +30,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "bm25_topk",             // broadcast 1-row (N, Σlen) corpus scalar
     "basket_cooccur_lift",   // broadcast 1-row basket-count N scalar
     "dedup_graph_triangles", // 4 broadcast 1-row census scalars joined
+    "graph_pagerank_copurchase", // broadcast 1-row node-count N scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "embed_kmeans_update")   // same coarse-assign shape as above
 

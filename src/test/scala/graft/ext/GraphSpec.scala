@@ -128,6 +128,31 @@ class GraphSpec extends SparkTestBase {
       (1L, 2L))) == (4L, 4L, 1L, 5L, 600000L))
   }
 
+  test("pageRankInt: star hub dominates, mass is conserved up to " +
+    "truncation, and reruns are bit-identical") {
+    import spark.implicits._
+    // undirected star 0-{1,2,3,4}, symmetrized to a directed list
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRankInt(edges, "src", "dst", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val hub = r.head
+    assert(hub._1 == 0L && hub._2 == 4L)
+    val leaves = r.tail
+    assert(leaves.forall(_._3 == leaves.head._3), "leaves symmetric")
+    assert(hub._3 > 2 * leaves.head._3, s"hub must dominate: $r")
+    // mass: sum ranks = scale minus bounded truncation (≤ 1 per div,
+    // ~n divs per iteration)
+    val total = r.map(_._3).sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000L,
+      s"mass off: $total")
+    val rerun = Graph.pageRankInt(edges, "src", "dst", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    assert(r.toSeq == rerun.toSeq, "integer PR must be bit-deterministic")
+  }
+
   test("triangleStats law: matches brute-force count on random graphs") {
     val gen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
