@@ -528,8 +528,162 @@ object AggQueries {
       .orderBy($"flag")
   }
 
+  /** Gini concentration coefficient of order value per nation — the
+    * inequality/concentration diagnostic (is revenue dominated by a
+    * few huge orders?), via the rank formulation G = (2·Σi·xᵢ −
+    * (n+1)·Σx) / (n·Σx) over ascending ranks. Exactness: cents are
+    * BIGINTs; Σi·x reaches ~9e13 at sf0.1 so the final scaled
+    * division runs in DECIMAL(38,0) `div` (Spark IntegralDivide on
+    * decimals ≡ DuckDB HUGEINT `//`, both truncating — numerator is
+    * provably ≥ 0 so floor = trunc). Rank ties share identical x, so
+    * Σi·x is invariant to tie order — the window needs no content
+    * tiebreak for determinism (o_orderkey added anyway for plan
+    * stability). One window per nation partition, map-side partial
+    * agg after. */
+  val giniConcentration: CatalogEntry = CatalogEntry(
+    "agg_gini_concentration",
+    """WITH x AS (
+      |  SELECT n_name, round(o_totalprice*100)::BIGINT AS cents,
+      |    row_number() OVER (PARTITION BY n_name
+      |                       ORDER BY round(o_totalprice*100), o_orderkey)
+      |      AS i
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |agg AS (
+      |  SELECT n_name, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+      |         sum(i * cents)::BIGINT AS si
+      |  FROM x GROUP BY 1)
+      |SELECT n_name, n,
+      |  ((2*si - (n+1)*s)::HUGEINT * 1000000
+      |   // (n::HUGEINT * s))::BIGINT AS gini_ppm
+      |FROM agg ORDER BY n_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cents = round($"o_totalprice" * 100).cast("bigint")
+    val w = Window.partitionBy($"n_name").orderBy(cents, $"o_orderkey")
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", cents.as("cents"), $"o_orderkey")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"n_name").orderBy($"cents", $"o_orderkey"))
+        .cast("long"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"i" * $"cents").as("si"))
+      .select($"n_name", $"n",
+        expr("""CAST((2*si - (n+1)*s) AS DECIMAL(38,0)) * 1000000
+                div (CAST(n AS DECIMAL(38,0)) * s)""").as("gini_ppm"))
+      .orderBy($"n_name")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): the
+    * left-OUTER-preserving histogram — customers with zero qualifying
+    * orders must survive as c_count=0, so the exclusion predicate
+    * (adapted to this schema: non-LOW priority; the canonical spec's
+    * `o_comment NOT LIKE` — this dataset has no comment column) lives
+    * in the JOIN CONDITION, not a WHERE (a post-join filter would turn
+    * the outer join inner and drop the zero bucket). Two aggregations:
+    * per-customer count (shuffle on custkey — orders arrive pre-keyed
+    * from the join exchange, so AQE coalesces), then the tiny c_count
+    * census. All integer; total ordering via (custdist, c_count). */
+  val q13OrderDist: CatalogEntry = CatalogEntry(
+    "q13_order_distribution",
+    """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        $"c_custkey" === $"o_custkey" && $"o_orderpriority" =!= "5-LOW",
+        "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-part average-quantity subquery, decorrelated the way a 100 TB
+    * plan wants it — ONE partial-aggregated pass builds (cnt, Σq) per
+    * part, joined back on partkey so the brand filter's partkeys drive
+    * both probes. The `l_quantity < 0.2·avg` predicate is cleared of
+    * floats entirely: quantities are integral, so it is exactly
+    * `5·q·cnt < Σq` in BIGINT (no 0.2 rounding hazard). Money output
+    * in exact cents; `div 7` ≡ DuckDB `//` on a provably-positive
+    * numerator. */
+  val q17SmallQty: CatalogEntry = CatalogEntry(
+    "q17_small_quantity",
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk, count(*)::BIGINT AS cnt,
+      |         sum(l_quantity::BIGINT)::BIGINT AS sq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT count(*)::BIGINT AS n_small,
+      |  (sum(round(l_extendedprice*100)::BIGINT) // 7)::BIGINT
+      |    AS avg_yearly_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |JOIN pa ON pa.pk = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND 5 * l_quantity::BIGINT * cnt < sq""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("bigint")).as("sq"))
+    li.join(broadcast(Tables.part(s, d).filter($"p_brand" === "Brand#23")),
+        $"p_partkey" === $"l_partkey")
+      .join(perPart, $"pk" === $"l_partkey")
+      .where(lit(5L) * $"l_quantity".cast("bigint") * $"cnt" < $"sq")
+      .agg(count(lit(1)).as("n_small"),
+        expr("sum(CAST(round(l_extendedprice*100) AS BIGINT)) div 7")
+          .as("avg_yearly_cents"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): quarterly per-supplier revenue,
+    * then the suppliers achieving the GLOBAL max — the create-view +
+    * scalar-subquery form, decorrelated to one partial-aggregated
+    * revenue pass reused by both the max probe and the final join (the
+    * optimizer reuses the exchange). Revenue in exact price×(100−disc)
+    * integer units so the max compare can't sit on a float boundary;
+    * ties (several suppliers at the max) all surface, ordered by key. */
+  val q15TopSupplier: CatalogEntry = CatalogEntry(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS sk,
+      |    sum(round(l_extendedprice*100)::BIGINT *
+      |        (100 - round(l_discount*100)::BIGINT))::BIGINT AS rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1),
+      |m AS (SELECT max(rev_e4) AS mx FROM rev)
+      |SELECT s_suppkey, s_name, rev_e4
+      |FROM supplier JOIN rev ON s_suppkey = sk, m
+      |WHERE rev_e4 = m.mx ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey".as("sk"))
+      .agg(sum(round($"l_extendedprice" * 100).cast("bigint") *
+        (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+        .as("rev_e4"))
+    val mx = rev.agg(max($"rev_e4").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .where($"rev_e4" === $"mx")
+      .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"sk")
+      .select($"s_suppkey", $"s_name", $"rev_e4")
+      .orderBy($"s_suppkey")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
-    q14Promo, q19Disjunct, weightedMedian)
+    q14Promo, q19Disjunct, weightedMedian, giniConcentration,
+    q13OrderDist, q17SmallQty, q15TopSupplier)
 }

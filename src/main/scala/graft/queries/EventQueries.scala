@@ -985,8 +985,59 @@ object EventQueries {
       .orderBy($"day")
   }
 
+  /** Inter-arrival-time histogram in decade buckets — the latency/
+    * cadence profile (bot-vs-human detection, SLA monitoring) of an
+    * event stream. Deltas are exact epoch-microsecond BIGINTs bucketed
+    * by an integer CASE chain (no float log — `floor(log10)` flips at
+    * exact powers cross-engine); per-user windows partition naturally;
+    * the census is a map-side-combinable count with share in exact
+    * ppm. */
+  val eventsInterarrival: CatalogEntry = CatalogEntry(
+    "events_interarrival_histogram",
+    """WITH deltas AS (
+      |  SELECT epoch_us(ts::TIMESTAMP) -
+      |    lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+      |      ORDER BY ts::TIMESTAMP, event_id) AS dus
+      |  FROM events),
+      |b AS (
+      |  SELECT CASE
+      |    WHEN dus < 1000 THEN '0_lt_1ms'
+      |    WHEN dus < 10000 THEN '1_1ms_10ms'
+      |    WHEN dus < 100000 THEN '2_10ms_100ms'
+      |    WHEN dus < 1000000 THEN '3_100ms_1s'
+      |    WHEN dus < 10000000 THEN '4_1s_10s'
+      |    WHEN dus < 100000000 THEN '5_10s_100s'
+      |    ELSE '6_ge_100s' END AS bucket
+      |  FROM deltas WHERE dus IS NOT NULL),
+      |tot AS (SELECT count(*)::BIGINT AS t FROM b)
+      |SELECT bucket, count(*)::BIGINT AS n,
+      |  (count(*) * 1000000 // (SELECT t FROM tot))::BIGINT AS share_ppm
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val deltas = Tables.events(s, d)
+      .withColumn("dus",
+        unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .where($"dus".isNotNull)
+      .select(
+        when($"dus" < 1000L, "0_lt_1ms")
+          .when($"dus" < 10000L, "1_1ms_10ms")
+          .when($"dus" < 100000L, "2_10ms_100ms")
+          .when($"dus" < 1000000L, "3_100ms_1s")
+          .when($"dus" < 10000000L, "4_1s_10s")
+          .when($"dus" < 100000000L, "5_10s_100s")
+          .otherwise("6_ge_100s").as("bucket"))
+    val tot = deltas.agg(count(lit(1)).as("t"))
+    deltas.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"bucket", $"n",
+        expr("(n * 1000000) div t").as("share_ppm"))
+      .orderBy($"bucket")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
+    eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
     eventsFunnel, eventsTopDays, eventsSessionWindowNative,
     eventsGroupingSets, statsAgg, eventsCohortRetention,

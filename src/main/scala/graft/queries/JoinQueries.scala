@@ -95,6 +95,50 @@ object JoinQueries {
       .orderBy($"c_custkey")
   }
 
+  /** TPC-H Q22 shape (global-sales opportunity): rich-but-lapsed
+    * customers — balance above the positive-balance average, with no
+    * URGENT order (adapted: this schema has no phone column, and every
+    * customer here has SOME order, so the anti-join predicate is the
+    * priority slice, keeping the anti join non-vacuous). The global
+    * average is ONE broadcast scalar row (never a per-row subquery);
+    * the anti join broadcasts the URGENT custkey side when small and
+    * shuffles cleanly when not. Money in exact cents; the average
+    * itself is exact-integer `div` so the threshold compare cannot sit
+    * on a float boundary. */
+  val q22GlobalSales: CatalogEntry = CatalogEntry(
+    "q22_global_sales",
+    """WITH pos AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         round(c_acctbal*100)::BIGINT AS bal_cents
+      |  FROM customer WHERE c_acctbal > 0.0),
+      |avgbal AS (SELECT (sum(bal_cents) // count(*))::BIGINT AS ab FROM pos)
+      |SELECT n_name, count(*)::BIGINT AS numcust,
+      |  sum(c.bal_cents)::BIGINT AS totacctbal_cents
+      |FROM pos c JOIN nation ON c_nationkey = n_nationkey, avgbal
+      |WHERE c.bal_cents > avgbal.ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pos = Tables.customer(s, d).filter($"c_acctbal" > 0.0)
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("bigint").as("bal_cents"))
+    val avgbal = pos.agg(
+      expr("sum(bal_cents) div count(*)").cast("bigint").as("ab"))
+    pos.crossJoin(broadcast(avgbal))
+      .where($"bal_cents" > $"ab")
+      .join(Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), sum($"bal_cents").as("totacctbal_cents"))
+      .orderBy($"n_name")
+  }
+
   private def custkeysByStatus(s: org.apache.spark.sql.SparkSession,
       d: String, status: String) = {
     import s.implicits._
@@ -382,5 +426,5 @@ object JoinQueries {
     setUnion, setIntersect, setExcept,
     aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
     joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein,
-    fuzzyCorrectJaroWinkler)
+    fuzzyCorrectJaroWinkler, q22GlobalSales)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -541,8 +542,72 @@ object SimilarityQueries {
       .orderBy($"dim")
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
+    * a dense ranking (cosine to the vec_id=0 query) fused with a
+    * lexical ranking (query-term frequency) via Σ 1/(60+rank) — the
+    * standard way to combine rankers without score calibration.
+    * Discipline: each ranker is cut to its top-50 with
+    * TakeOrderedAndProject FIRST and ranks are assigned by a window
+    * over those 50 rows only — the corpus never enters a global
+    * window; the dense rank orders on the ROUNDED cosine (6 dp,
+    * vec_id tiebreak) so a cross-engine ulp cannot flip a rank; RRF
+    * contributions are exact-integer ppb (`div`), so the fused
+    * ordering is bit-stable. Missing-from-one-list ids contribute
+    * from the other list alone (full outer fusion). */
+  val hybridRrf: CatalogEntry = CatalogEntry(
+    "retrieval_hybrid_rrf",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |dense AS (
+      |  SELECT vec_id AS id, row_number() OVER (ORDER BY
+      |    round(list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
+      |              for i in range(1, len(embedding)+1)]) /
+      |    (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |                    for i in range(1, len(embedding)+1)])) *
+      |     sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+      |                    for i in range(1, len(qe)+1)]))), 6) DESC,
+      |    vec_id) AS rnk
+      |  FROM embeddings, q QUALIFY rnk <= 50),
+      |lex AS (
+      |  SELECT doc_id AS id, row_number() OVER (ORDER BY
+      |    len(list_filter(string_split(text, ' '), t -> t = 'spark')) DESC,
+      |    doc_id) AS rnk
+      |  FROM documents WHERE text IS NOT NULL QUALIFY rnk <= 50)
+      |SELECT coalesce(d.id, l.id) AS doc_id,
+      |  coalesce(1000000000 // (60 + d.rnk), 0)::BIGINT
+      |    + coalesce(1000000000 // (60 + l.rnk), 0)::BIGINT AS rrf_ppb,
+      |  d.rnk AS dense_rank, l.rnk AS lex_rank
+      |FROM dense d FULL OUTER JOIN lex l ON d.id = l.id
+      |ORDER BY rrf_ppb DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val rankW = Window.orderBy($"key".desc, $"id".asc)
+    val dense = emb.crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        round(Similarity.cosineNative($"embedding", $"qe"), 6).as("key"))
+      .orderBy($"key".desc, $"id".asc).limit(50)
+      .withColumn("rnk", row_number().over(rankW))
+      .select($"id", $"rnk".cast("long").as("dense_rank"))
+    val lex = Tables.documents(s, d).where($"text".isNotNull)
+      .select($"doc_id".as("id"),
+        size(filter(split($"text", " "), t => t === "spark"))
+          .cast("long").as("key"))
+      .orderBy($"key".desc, $"id".asc).limit(50)
+      .withColumn("rnk", row_number().over(rankW))
+      .select($"id".as("lid"), $"rnk".cast("long").as("lex_rank"))
+    dense.join(lex, $"id" === $"lid", "full_outer")
+      .select(coalesce($"id", $"lid").as("doc_id"),
+        (coalesce(expr("1000000000 div (60 + dense_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)))
+          .as("rrf_ppb"),
+        $"dense_rank", $"lex_rank")
+      .orderBy($"rrf_ppb".desc, $"doc_id")
+      .limit(15)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
     arrayStats, embeddingCentroids, arrayManipulation,
-    embedKmeansAssign, embedKmeansUpdate, embedDimStats)
+    embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf)
 }

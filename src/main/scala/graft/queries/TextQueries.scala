@@ -1680,6 +1680,120 @@ object TextQueries {
     Graph.triangleStats(edges, "src", "dst")
   }
 
+  /** Canonical-document selection — the step a curation pipeline runs
+    * AFTER near-dup clustering: inside each shared-13-gram component,
+    * keep exactly one representative (argmax token count, doc_id
+    * tiebreak) and emit the drop list. The cluster closure is
+    * `dedup_cluster_cc`'s exact pipeline (df-capped gram self-join →
+    * min-label propagation); the selection adds ONE broadcast-sized
+    * join back to documents (only clustered doc_ids — a tiny fraction
+    * of the corpus — ever reach it) and one per-component window.
+    * Singleton docs are implicitly canonical and never enter the plan:
+    * at 100 TB the drop-list output is what the writer anti-joins
+    * against, so emitting only clustered rows IS the product shape. */
+  val dedupClusterCanonical: CatalogEntry = CatalogEntry(
+    "dedup_cluster_canonical",
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(list_slice(toks, i, i + 12), ' ')
+      |                          for i in range(1, greatest(len(toks) - 11, 1))])) AS gram
+      |  FROM t),
+      |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+      |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |      WHERE a.gram IN (SELECT gram FROM rare)),
+      |r(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+      |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id),
+      |q AS (SELECT c.doc_id, c.component, len(t.toks)::BIGINT AS tok_cnt
+      |      FROM c JOIN t ON c.doc_id = t.doc_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY component
+      |                    ORDER BY tok_cnt DESC, doc_id) AS rk FROM q)
+      |SELECT doc_id, component, tok_cnt,
+      |  (rk = 1) AS is_canonical,
+      |  first(doc_id) OVER (PARTITION BY component
+      |    ORDER BY tok_cnt DESC, doc_id) AS canonical_id
+      |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val edges = Dedup.sharedGramPairs(docs, "doc_id", "text",
+      n = 13, maxDf = 50)
+    val comp = Graph.connectedComponents(edges, "src", "dst")
+      .withColumnRenamed("id", "cid")
+    val quality = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("tok_cnt"))
+    val w = Window.partitionBy($"component")
+      .orderBy($"tok_cnt".desc, $"doc_id".asc)
+    comp.join(quality, $"cid" === $"doc_id")
+      .select($"doc_id", $"component", $"tok_cnt")
+      .withColumn("rk", row_number().over(w))
+      .select($"doc_id", $"component", $"tok_cnt",
+        ($"rk" === 1).as("is_canonical"),
+        first($"doc_id").over(w).as("canonical_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-drift detection: symmetric KL divergence between the
+    * unigram distributions of two corpus halves (doc_id parity — in
+    * production, yesterday's crawl vs today's), add-one smoothed over
+    * the union vocabulary. The monitoring signal a training-data
+    * pipeline alarms on when a source shifts domain/language mix.
+    *
+    * Float discipline (the [[textEntropy]] pattern): every per-type
+    * contribution p·ln(p/q) is computed from RATIOS OF EXACT BIGINTs
+    * (products stay far under 2^53 → correctly-rounded doubles, ln
+    * bit-stable in practice), then quantized to integer nanos BEFORE
+    * the sum — the total is an integer sum, immune to partial-agg
+    * ordering. One token-key shuffle builds (c1,c2) per type; totals
+    * (N1,N2,V) are ONE broadcast scalar row. */
+  val corpusKlDrift: CatalogEntry = CatalogEntry(
+    "corpus_kl_drift",
+    """WITH tok AS (
+      |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |cnt AS (
+      |  SELECT token,
+      |    count(*) FILTER (WHERE half = 0)::BIGINT AS c1,
+      |    count(*) FILTER (WHERE half = 1)::BIGINT AS c2
+      |  FROM tok GROUP BY token),
+      |tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+      |               count(*)::BIGINT AS v FROM cnt)
+      |SELECT v, n1, n2,
+      |  sum(round(1e9 * ((c1+1)::DOUBLE/(n1+v)) *
+      |      ln(((c1+1)::DOUBLE*(n2+v)) / ((c2+1)::DOUBLE*(n1+v))))::BIGINT
+      |     )::BIGINT AS kl_ab_nano,
+      |  sum(round(1e9 * ((c2+1)::DOUBLE/(n2+v)) *
+      |      ln(((c2+1)::DOUBLE*(n1+v)) / ((c1+1)::DOUBLE*(n2+v))))::BIGINT
+      |     )::BIGINT AS kl_ba_nano
+      |FROM cnt, tot GROUP BY v, n1, n2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cnt = Tables.documents(s, d).where($"text".isNotNull)
+      .select(($"doc_id" % 2).as("half"),
+        explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(when($"half" === 0, 1)).as("c1"),
+        count(when($"half" === 1, 1)).as("c2"))
+    val tot = cnt.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+      count(lit(1)).as("v"))
+    cnt.crossJoin(broadcast(tot))
+      .groupBy($"v", $"n1", $"n2")
+      .agg(
+        sum(round(lit(1e9) * (($"c1" + 1).cast("double") / ($"n1" + $"v")) *
+          log((($"c1" + 1).cast("double") * ($"n2" + $"v")) /
+              (($"c2" + 1).cast("double") * ($"n1" + $"v"))))
+          .cast("bigint")).as("kl_ab_nano"),
+        sum(round(lit(1e9) * (($"c2" + 1).cast("double") / ($"n2" + $"v")) *
+          log((($"c2" + 1).cast("double") * ($"n1" + $"v")) /
+              (($"c1" + 1).cast("double") * ($"n2" + $"v"))))
+          .cast("bigint")).as("kl_ba_nano"))
+      .select($"v", $"n1", $"n2", $"kl_ab_nano", $"kl_ba_nano")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
@@ -1691,5 +1805,6 @@ object TextQueries {
     decontamBloomPrefilter, dedupSegments, vocabCoverage, docLmScore,
     heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
     qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk,
-    dedupSetsimJoin, dedupGraphTriangles)
+    dedupSetsimJoin, dedupGraphTriangles, dedupClusterCanonical,
+    corpusKlDrift)
 }

@@ -31,6 +31,11 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "basket_cooccur_lift",   // broadcast 1-row basket-count N scalar
     "dedup_graph_triangles", // 4 broadcast 1-row census scalars joined
     "graph_pagerank_copurchase", // broadcast 1-row node-count N scalar
+    "events_interarrival_histogram", // broadcast 1-row delta-total scalar
+    "retrieval_hybrid_rrf",  // broadcast 1 query embedding (dense ranker)
+    "q22_global_sales",      // broadcast 1-row global-average scalar
+    "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
+    "q15_top_supplier",      // broadcast 1-row global-max scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "embed_kmeans_update")   // same coarse-assign shape as above
 
