@@ -9,14 +9,21 @@ import org.apache.spark.sql.functions._
   * pushed down to the parquet scan by Catalyst (verify with
   * `.explain("formatted")`: `PushedFilters` / `ReadSchema`).
   *
-  * `events.parquet` was written with nanosecond timestamps (pandas default),
-  * which Spark's parquet reader rejects (`PARQUET_TYPE_ILLEGAL`). We read the
-  * column as raw long nanos (`spark.sql.legacy.parquet.nanosAsLong`) and
-  * convert with *integer* division (`div 1000`) to a microsecond timestamp.
-  * Floating division would silently lose precision: epoch nanos (~1.7e18)
-  * exceed a double's exact-integer range (2^53). The floor truncation matches
-  * what DuckDB does when casting TIMESTAMP_NS to TIMESTAMP, keeping the
-  * oracle comparison exact.
+  * `events.parquet` has shipped with two `ts` physical types across testdata
+  * generations: nanosecond timestamps (pandas default), which Spark's parquet
+  * reader rejects (`PARQUET_TYPE_ILLEGAL`), and plain microsecond
+  * `TIMESTAMP_NTZ`. [[events]] adapts to whichever shape is on disk:
+  *   - long nanos (via `spark.sql.legacy.parquet.nanosAsLong`) convert with
+  *     *integer* division (`div 1000`) to a microsecond timestamp. Floating
+  *     division would silently lose precision: epoch nanos (~1.7e18) exceed a
+  *     double's exact-integer range (2^53). The floor truncation matches what
+  *     DuckDB does when casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle
+  *     comparison exact.
+  *   - `TIMESTAMP_NTZ` casts to session-local `TIMESTAMP` — a no-op on the
+  *     instant under the catalog's pinned UTC session timezone, and it keeps
+  *     every downstream query seeing one `ts` type regardless of generation.
+  * The DuckDB oracles are shape-independent already: they uniformly read the
+  * column as `ts::TIMESTAMP`, identical on TIMESTAMP_NS and TIMESTAMP.
   *
   * At 100 TB scale these readers are unchanged: they describe *what* to scan;
   * partition pruning / row-group skipping comes from the layout and the
@@ -71,10 +78,17 @@ object Tables {
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // Runtime-settable (not a static conf); the driver's Verify/Bench
     // sessions don't set it at build time, so set it here idempotently.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // ns-int64 generation: exact integer ns -> us
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // us generation: instant-preserving under UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
