@@ -681,9 +681,141 @@ object AggQueries {
       .orderBy($"s_suppkey")
   }
 
+  /** TPC-H Q4 shape (order priority checking): the canonical
+    * EXISTS-correlated subquery — orders in a quarter having at least
+    * one "late" line — planned as a LEFT SEMI join so each order tests
+    * membership once regardless of line count. Lateness is adapted to
+    * this schema (no l_commitdate/l_receiptdate): a line shipped more
+    * than 60 days after the order date. The extra non-equi conjunct
+    * rides ON the equi semi-join (orderkey drives the exchange; the
+    * date comparison is a post-probe filter), so the plan is one
+    * shuffle pair + a tiny 5-group aggregate. The orders-side quarter
+    * predicate is pushed to the scan. */
+  val q4OrderPriority: CatalogEntry = CatalogEntry(
+    "q4_order_priority",
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's yearly volume in one part type — the two-role nation
+    * join (n1 keys the customer's region, n2 names the supplier's
+    * nation). Dimension sides (filtered part, nation⋈region,
+    * supplier⋈nation) broadcast; the only large shuffles are
+    * lineitem⋈orders and orders⋈customer. Share is exact-integer ppm:
+    * volumes in price×(100−disc) e4 units, numerator widened to
+    * DECIMAL(38,0) before ×10⁶ (a BIGINT numerator would overflow at
+    * sf≥1), `div` ≡ DuckDB HUGEINT `//`. */
+  val q8MarketShare: CatalogEntry = CatalogEntry(
+    "q8_market_share",
+    """WITH vol AS (
+      |  SELECT year(o_orderdate)::BIGINT AS o_year,
+      |    round(l_extendedprice*100)::BIGINT *
+      |      (100 - round(l_discount*100)::BIGINT) AS vol_e4,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+      |SELECT o_year,
+      |  (sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END)
+      |     * 1000000 // sum(vol_e4))::BIGINT AS mkt_share_ppm,
+      |  sum(vol_e4)::BIGINT AS total_vol_e4
+      |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val custAsia = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey".as("c_nk"))),
+        $"c_nationkey" === $"c_nk")
+      .select($"c_custkey")
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"s_nk")
+      .select($"s_suppkey", $"supp_nation")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter($"p_type" === "PROMO")
+          .select($"p_partkey")),
+        $"p_partkey" === $"l_partkey")
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(custAsia, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .select(year($"o_orderdate").cast("bigint").as("o_year"),
+        (round($"l_extendedprice" * 100).cast("bigint") *
+          (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+          .as("vol_e4"),
+        $"supp_nation")
+      .groupBy($"o_year")
+      .agg(
+        expr("""CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                        THEN vol_e4 ELSE 0 END) AS DECIMAL(38,0))
+                * 1000000 div CAST(sum(vol_e4) AS DECIMAL(38,0))""")
+          .as("mkt_share_ppm"),
+        sum($"vol_e4").as("total_vol_e4"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority census): join + two
+    * conditional counts per group. Adapted to this schema: group by
+    * l_returnflag (no l_shipmode), lateness = shipped >30 days after
+    * order date (no receipt/commit dates). The year predicate pushes
+    * to the lineitem scan; counts are exact integers; the small
+    * orders projection (key + priority) keeps the shuffle narrow. */
+  val q12PriorityCensus: CatalogEntry = CatalogEntry(
+    "q12_priority_census",
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
     q14Promo, q19Disjunct, weightedMedian, giniConcentration,
-    q13OrderDist, q17SmallQty, q15TopSupplier)
+    q13OrderDist, q17SmallQty, q15TopSupplier, q4OrderPriority,
+    q8MarketShare, q12PriorityCensus)
 }

@@ -1035,7 +1035,168 @@ object EventQueries {
       .orderBy($"bucket")
   }
 
+  /** RSI-14 (relative strength index), the classic rate-momentum
+    * indicator: share of the last 14 one-step moves that were gains,
+    * delta-weighted. Pure exact-integer pipeline — deltas in cents via
+    * `lag`, gain/loss sums over a 14-row frame, RSI as gain/(gain+loss)
+    * in ppm by integer division (the textbook 100−100/(1+RS) form is
+    * algebraically this ratio; stating it as one division keeps every
+    * intermediate an integer). Both window passes share one (type)
+    * partitioning, so the plan is a single shuffle + sort feeding two
+    * chained WindowExecs; rows without a full 14-delta history (or with
+    * a degenerate all-flat frame) are excluded deterministically. */
+  val eventsRsi: CatalogEntry = CatalogEntry(
+    "events_rsi_ppm",
+    """WITH d AS (
+      |  SELECT event_id, event_type, ts::TIMESTAMP AS tsx,
+      |    round(value*100)::BIGINT
+      |      - lag(round(value*100)::BIGINT) OVER w AS delta
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id)),
+      |g AS (
+      |  SELECT event_id,
+      |    sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w14 AS gain,
+      |    sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w14 AS loss,
+      |    count(delta) OVER w14 AS nd
+      |  FROM d WINDOW w14 AS (PARTITION BY event_type ORDER BY tsx, event_id
+      |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, (gain * 1000000 // (gain + loss))::BIGINT AS rsi_ppm
+      |FROM g WHERE nd = 14 AND gain + loss > 0
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val w14 = wOrd.rowsBetween(-13, 0)
+    Tables.events(s, d)
+      .select($"event_id", $"event_type", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("delta", $"cents" - lag($"cents", 1).over(wOrd))
+      .withColumn("gain",
+        sum(when($"delta" > 0, $"delta").otherwise(0L)).over(w14))
+      .withColumn("loss",
+        sum(when($"delta" < 0, -$"delta").otherwise(0L)).over(w14))
+      .withColumn("nd", count($"delta").over(w14))
+      .where($"nd" === 14 && ($"gain" + $"loss") > 0)
+      .select($"event_id",
+        expr("(gain * 1000000) div (gain + loss)").as("rsi_ppm"))
+      .orderBy($"event_id")
+  }
+
+  /** Bollinger-band excursion flags (20-row mean ± 2σ) with the sqrt
+    * eliminated: x outside μ±2σ ⇔ (n·x−Σx)² > 4·(n·Σx²−(Σx)²), so the
+    * flag is an exact BIGINT comparison no float can flip — the same
+    * squared-compare trick the z-score entries can't use when they must
+    * EMIT the score. One 20-row frame computes (Σx, Σx², n) in a single
+    * WindowExec; warm-up rows (n<20) are excluded. */
+  val eventsBollinger: CatalogEntry = CatalogEntry(
+    "events_bollinger_flags",
+    """WITH c AS (SELECT event_id, event_type, ts::TIMESTAMP AS tsx,
+      |                  round(value*100)::BIGINT AS x FROM events),
+      |m AS (SELECT event_id, x,
+      |        sum(x) OVER w AS sx, sum(x*x) OVER w AS sxx,
+      |        count(*) OVER w AS n
+      |      FROM c WINDOW w AS (PARTITION BY event_type
+      |                          ORDER BY tsx, event_id
+      |                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id,
+      |  (CASE WHEN n*x - sx > 0 AND (n*x - sx)*(n*x - sx) > 4*(n*sxx - sx*sx)
+      |        THEN 1 ELSE 0 END)::BIGINT AS above_band,
+      |  (CASE WHEN n*x - sx < 0 AND (n*x - sx)*(n*x - sx) > 4*(n*sxx - sx*sx)
+      |        THEN 1 ELSE 0 END)::BIGINT AS below_band
+      |FROM m WHERE n = 20 ORDER BY event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w20 = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(-19, 0)
+    val dev = $"n" * $"x" - $"sx"
+    val var4 = lit(4L) * ($"n" * $"sxx" - $"sx" * $"sx")
+    Tables.events(s, d)
+      .select($"event_id", $"event_type", $"ts",
+        round($"value" * 100).cast("long").as("x"))
+      .withColumn("sx", sum($"x").over(w20))
+      .withColumn("sxx", sum($"x" * $"x").over(w20))
+      .withColumn("n", count(lit(1)).over(w20))
+      .where($"n" === 20)
+      .select($"event_id",
+        when(dev > 0 && dev * dev > var4, 1L).otherwise(0L).as("above_band"),
+        when(dev < 0 && dev * dev > var4, 1L).otherwise(0L).as("below_band"))
+      .orderBy($"event_id")
+  }
+
+  /** Maximum drawdown per series: the largest peak-to-trough drop of
+    * the running maximum — THE risk summary for a rate feed. One
+    * unbounded-preceding running max per (type) partition (linear
+    * single pass after the window sort), then a 5-group aggregate;
+    * everything in exact cents. */
+  val eventsMaxDrawdown: CatalogEntry = CatalogEntry(
+    "events_max_drawdown",
+    """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |                  round(value*100)::BIGINT AS x FROM events),
+      |r AS (SELECT event_type, max(x) OVER w - x AS dd
+      |      FROM c WINDOW w AS (PARTITION BY event_type
+      |                          ORDER BY tsx, event_id
+      |                          ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, max(dd)::BIGINT AS max_drawdown_cents,
+      |       count(*)::BIGINT AS n
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("x"))
+      .select($"event_type", (max($"x").over(w) - $"x").as("dd"))
+      .groupBy($"event_type")
+      .agg(max($"dd").as("max_drawdown_cents"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** EMA-16 as EXACT rational arithmetic: the exponential moving
+    * average's float recursion y←αx+(1−α)y is order-dependent and
+    * unreproducible across engines; truncating at 16 taps makes every
+    * weight the exact integer 7^k·8^(15−k) (α=1/8), the normalizer the
+    * closed-form 8^16−7^16, and the whole indicator one integer dot
+    * product — bit-identical on any engine, any partitioning. The 16
+    * lag taps share one window sort (one shuffle); products widen to
+    * DECIMAL(38,0) (a BIGINT accumulator overflows at Σw·x ≈ 1.4e19);
+    * output in milli-cents by integer division. */
+  val eventsEma16: CatalogEntry = {
+    val weights = (0 until 16).map(k => BigInt(7).pow(k) * BigInt(8).pow(15 - k))
+    val denom = BigInt(8).pow(16) - BigInt(7).pow(16)
+    val oracleTerms = weights.zipWithIndex
+      .map { case (w, k) => s"($w::HUGEINT * lag(x, $k) OVER w)" }
+      .mkString(" + ")
+    CatalogEntry(
+      "events_ema16",
+      s"""WITH c AS (SELECT event_id, event_type, ts::TIMESTAMP AS tsx,
+        |                  round(value*100)::BIGINT AS x FROM events),
+        |m AS (SELECT event_id, ($oracleTerms) AS num,
+        |        count(*) OVER (PARTITION BY event_type
+        |                       ORDER BY tsx, event_id
+        |                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS n
+        |      FROM c WINDOW w AS (PARTITION BY event_type
+        |                          ORDER BY tsx, event_id))
+        |SELECT event_id, (num * 1000 // $denom)::BIGINT AS ema_milli_cents
+        |FROM m WHERE n = 16 ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val wOrd = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val num = weights.zipWithIndex.map { case (w, k) =>
+        lit(w.toLong).cast("decimal(20,0)") * lag($"x", k).over(wOrd)
+      }.reduce(_ + _)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", $"ts",
+          round($"value" * 100).cast("long").as("x"))
+        .withColumn("num", num)
+        .withColumn("n", count(lit(1)).over(wOrd.rowsBetween(-15, 0)))
+        .where($"n" === 16)
+        .select($"event_id",
+          expr(s"CAST(num * 1000 AS DECIMAL(38,0)) div " +
+            s"CAST(${denom.toString} AS DECIMAL(38,0))")
+            .as("ema_milli_cents"))
+        .orderBy($"event_id")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,

@@ -421,10 +421,61 @@ object JoinQueries {
       .orderBy($"typo")
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the doubly
+    * correlated EXISTS / NOT-EXISTS — late lines in multi-supplier
+    * finished orders where the line's supplier was the ONLY late one.
+    * Decorrelated for scale: ONE per-order aggregate computes
+    * (distinct suppliers, distinct late suppliers); a late line
+    * qualifies iff ns ≥ 2 ∧ nls = 1 — set-equal to the canonical
+    * "exists another supplier's line, not exists another supplier's
+    * late line" (proven equivalent against the EXISTS formulation the
+    * oracle states directly). Both the aggregate and the join back
+    * shuffle on orderkey, so the exchange is planned once and reused;
+    * lateness (no commit/receipt dates in this schema) = shipped >90
+    * days after order date; the supplier name join broadcasts. */
+  val q21WaitingSupplier: CatalogEntry = CatalogEntry(
+    "q21_waiting_supplier",
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, count(*)::BIGINT AS numwait
+      |FROM supplier JOIN l l1 ON s_suppkey = l1.l_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM l l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+          .as("late"))
+    val perOrder = l.groupBy($"l_orderkey".as("ok"))
+      .agg(countDistinct($"l_suppkey").as("ns"),
+        countDistinct(when($"late", $"l_suppkey")).as("nls"))
+    l.filter($"late")
+      .join(perOrder, $"ok" === $"l_orderkey")
+      .where($"ns" >= 2 && $"nls" === 1)
+      .join(broadcast(Tables.supplier(s, d)),
+        $"s_suppkey" === $"l_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
     setUnion, setIntersect, setExcept,
     aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
     joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein,
-    fuzzyCorrectJaroWinkler, q22GlobalSales)
+    fuzzyCorrectJaroWinkler, q22GlobalSales, q21WaitingSupplier)
 }

@@ -269,7 +269,86 @@ object TransformQueries {
       .orderBy($"column_name")
   }
 
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * numeric measures — the dataset-profiling step feature selection
+    * starts from. ONE full-table pass computes every raw moment
+    * (n, Σx, Σx², Σxy for all 6 pairs) as exact DECIMAL(38,0) integers
+    * with map-side partial aggregation; the 6 output rows then explode
+    * from the single aggregate row, so the fact table is scanned once
+    * (never 6×). Cross-engine float discipline follows
+    * `events_rolling_corr`: the only float ops are two IEEE sqrts and
+    * one division applied to identical exact integers — bit-identical
+    * on both engines; a raw float `corr()` would differ by summation
+    * order. */
+  val statsCorrMatrix: CatalogEntry = {
+    // (label_x, sum_x, sum_xx, label_y, sum_y, sum_yy, sum_xy)
+    val pairs = Seq(
+      ("quantity", "sq", "sqq", "extendedprice", "sp", "spp", "sqp"),
+      ("quantity", "sq", "sqq", "discount", "sd", "sdd", "sqd"),
+      ("quantity", "sq", "sqq", "tax", "st", "stt", "sqt"),
+      ("discount", "sd", "sdd", "extendedprice", "sp", "spp", "spd2"),
+      ("extendedprice", "sp", "spp", "tax", "st", "stt", "spt"),
+      ("discount", "sd", "sdd", "tax", "st", "stt", "sdt"))
+    val oracleArms = pairs.map { case (a, sx, sxx, b, sy, syy, sxy) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  round((n*$sxy - $sx*$sy)::DOUBLE /
+         |    (sqrt((n*$sxx - $sx*$sx)::DOUBLE) *
+         |     sqrt((n*$syy - $sy*$sy)::DOUBLE)), 6) AS corr_r FROM s"""
+        .stripMargin
+    }.mkString("\n UNION ALL \n")
+    CatalogEntry(
+      "stats_corr_matrix",
+      s"""WITH c AS (SELECT l_quantity::BIGINT q,
+        |  round(l_extendedprice*100)::BIGINT p,
+        |  round(l_discount*100)::BIGINT d,
+        |  round(l_tax*100)::BIGINT t FROM lineitem),
+        |s AS (SELECT count(*)::HUGEINT n,
+        |  sum(q)::HUGEINT sq, sum(p)::HUGEINT sp,
+        |  sum(d)::HUGEINT sd, sum(t)::HUGEINT st,
+        |  sum(q*q)::HUGEINT sqq, sum(p*p)::HUGEINT spp,
+        |  sum(d*d)::HUGEINT sdd, sum(t*t)::HUGEINT stt,
+        |  sum(q*p)::HUGEINT sqp, sum(q*d)::HUGEINT sqd,
+        |  sum(q*t)::HUGEINT sqt, sum(p*d)::HUGEINT spd2,
+        |  sum(p*t)::HUGEINT spt, sum(d*t)::HUGEINT sdt
+        |  FROM c)
+        |SELECT * FROM (
+        |$oracleArms
+        |) ORDER BY col_x, col_y""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val moments = Tables.lineitem(s, d)
+        .select($"l_quantity".cast("long").as("q"),
+          round($"l_extendedprice" * 100).cast("long").as("p"),
+          round($"l_discount" * 100).cast("long").as("d"),
+          round($"l_tax" * 100).cast("long").as("t"))
+        .agg(dec(count(lit(1))).as("n"),
+          sum(dec($"q")).as("sq"), sum(dec($"p")).as("sp"),
+          sum(dec($"d")).as("sd"), sum(dec($"t")).as("st"),
+          sum(dec($"q" * $"q")).as("sqq"), sum(dec($"p" * $"p")).as("spp"),
+          sum(dec($"d" * $"d")).as("sdd"), sum(dec($"t" * $"t")).as("stt"),
+          sum(dec($"q" * $"p")).as("sqp"), sum(dec($"q" * $"d")).as("sqd"),
+          sum(dec($"q" * $"t")).as("sqt"), sum(dec($"p" * $"d")).as("spd2"),
+          sum(dec($"p" * $"t")).as("spt"), sum(dec($"d" * $"t")).as("sdt"))
+      def corr6(sx: String, sxx: String, sy: String, syy: String,
+          sxy: String): Column =
+        round((col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
+          (sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) *
+            sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double"))),
+          6)
+      moments
+        .select(explode(array(pairs.map {
+          case (a, sx, sxx, b, sy, syy, sxy) =>
+            struct(lit(a).as("col_x"), lit(b).as("col_y"),
+              corr6(sx, sxx, sy, syy, sxy).as("corr_r"))
+        }: _*)).as("kv"))
+        .select($"kv.col_x", $"kv.col_y", $"kv.corr_r")
+        .orderBy($"col_x", $"col_y")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    statsCorrMatrix,
     transformChain, roundtripCsv, profileColumns, unionByNameEvolve,
     dateFunctions, roundtripJson, roundtripOrc, roundtripXml,
     profileColumnsApprox)
