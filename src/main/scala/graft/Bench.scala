@@ -135,11 +135,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm-up: fills codegen/catalog caches, untimed, at sf0.001.
+    // Warm-up: fills codegen/catalog caches, untimed, at sf0.001 — and
+    // CONCURRENT (8 threads draining one queue): warm-up cost is
+    // dominated by per-entry driver work (planning + Janino codegen
+    // compilation, single-threaded per entry), which parallelizes
+    // cleanly across entries; the serial sweep had grown to ~210 s of
+    // the externally-timed-out bench budget at a ~165-entry catalog.
+    // Only the UNTIMED sweep runs concurrently — timed sweeps stay
+    // strictly serial so one query's reading never includes another's
+    // CPU contention.
     locally {
       val w0 = System.nanoTime()
-      names.foreach(runOnce(_, warmDir))
-      System.err.println(f"[bench] warm-up sweep ($warmDir) " +
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      names.foreach(queue.add)
+      val warmThreads = (1 to 8).map { _ =>
+        new Thread(() => {
+          var n = queue.poll()
+          while (n != null) { runOnce(n, warmDir); n = queue.poll() }
+        })
+      }
+      warmThreads.foreach(_.start())
+      warmThreads.foreach(_.join())
+      System.err.println(f"[bench] warm-up sweep ($warmDir, 8 threads) " +
         f"${(System.nanoTime() - w0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s")
     }
     // 3 interleaved sweeps: each query's samples land minutes apart, so

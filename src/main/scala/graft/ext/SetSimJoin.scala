@@ -36,24 +36,59 @@ object SetSimJoin {
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum,
       s"threshold must be in (0,1]: $tNum/$tDen")
+    // Materialize the element arrays ONCE: four sub-plans consume
+    // `sets` (the inverted index, the per-set length join, both sides
+    // of the verification join), and without a barrier each re-derives
+    // the — typically expensive — set-construction expression from the
+    // raw input (the repo's known explode-of-expensive-array trap: the
+    // r2 minhash was 30x slower from exactly this). localCheckpoint
+    // truncates lineage into in-memory blocks; a 100 TB deployment
+    // would use a reliable checkpoint / staging table for the same
+    // single-materialization shape.
     val sets = df.select(col(idCol).cast("long").as("id"),
         col(setCol).as("arr"))
       .withColumn("n", size(col("arr")).cast("long"))
+      .localCheckpoint()
     val tok = sets.select(col("id"), explode(col("arr")).as("el"))
     val dfreq = tok.groupBy(col("el")).agg(count(lit(1)).as("df"))
     val prefixLen =
       col("n") - expr(s"(($tNum * n + ${tDen - 1}) div $tDen)") + 1
+    // Prefix rows carry (pos, n) so the self-join can prune with the
+    // PPJoin filters (Xiao et al. ICDE'08) BEFORE the distinct:
+    //   - length filter: J ≥ τ forces τ·max(n_a,n_b) ≤ min(n_a,n_b);
+    //   - positional filter: a pair's FIRST common element (global
+    //     order) at positions (pa, pb) bounds the overlap by
+    //     1 + min(n_a−pa, n_b−pb) — no common element precedes it. The
+    //     equi-join emits one row per shared prefix element; the first
+    //     common element's row always survives the filter for a true
+    //     pair, so the distinct'd candidate set stays a superset.
+    // Hot prefix elements (template shingles kept by a long document's
+    // wide prefix) otherwise make the join's intermediate O(df²) —
+    // observed 200 CPU-seconds on rows that fit in 3.2 MB.
     val prefix = tok.join(dfreq, "el")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("el").asc)))
       .join(sets.select(col("id"), col("n")), "id")
       .where(col("pos") <= prefixLen)
-      .select(col("id"), col("el"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.el") === col("b.el") && col("a.id") < col("b.id"))
+      .select(col("id"), col("el"), col("pos"), col("n"))
+    // Explicit partition-count repartition: these stages are CPU-bound
+    // at ~60 CPU-s/MB, so AQE's byte-based advisory coalescing (64 MB
+    // targets) would fold them onto 1-2 cores; a user-specified
+    // partition count is exempt from coalescing. Partitioning keys
+    // match the join keys, so no extra exchange is planned after it.
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixP = prefix.repartition(shufN, col("el"))
+    val candRaw = prefixP.as("a")
+      .join(prefixP.as("b"),
+        col("a.el") === col("b.el") && col("a.id") < col("b.id") &&
+          lit(tDen.toLong) * col("a.n") >= lit(tNum.toLong) * col("b.n") &&
+          lit(tDen.toLong) * col("b.n") >= lit(tNum.toLong) * col("a.n") &&
+          lit((tDen + tNum).toLong) *
+            (least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) +
+              1) >= lit(tNum.toLong) * (col("a.n") + col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = candRaw.repartition(shufN, col("id_a"), col("id_b"))
       .distinct()
     cand
       .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a"),
