@@ -33,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:$f").toSeq ++
+  sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split(" ").toSeq)

@@ -107,7 +107,7 @@ object Bench {
     //      (and so the codegen-class and catalog caches it exists to
     //      fill) are data-size-independent, and at 1/100th the data the
     //      sweep costs seconds instead of ~70 s;
-    //   2. a soft budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 420 s
+    //   2. a soft budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 470 s
     //      measured from this main's start) is checked between queries;
     //      when exceeded, remaining work is dropped and the JSON is
     //      emitted from the samples already collected, marked
@@ -116,7 +116,7 @@ object Bench {
     val t0Wall = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - t0Wall) / 1e9
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "470").toDouble
     val warmDir = {
       val p = Paths.get(sfDir).toAbsolutePath
       Option(p.getParent).map(_.resolve("sf0.001"))
@@ -150,6 +150,12 @@ object Bench {
       names.foreach(queue.add)
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
+          // NO unpersist in here: warm-up entries run CONCURRENTLY, and
+          // a blanket getPersistentRDDs unpersist from one thread
+          // destroys another thread's in-flight localCheckpoint blocks
+          // (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Blocks
+          // accumulated by the warm-up are dropped once, serially,
+          // before the first timed sweep.
           var n = queue.poll()
           while (n != null) { runOnce(n, warmDir); n = queue.poll() }
         })
@@ -165,10 +171,38 @@ object Bench {
     val sweepCals = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var sweepsCompleted = 0
     var partial = false
+    var lastSweepSec = 0.0
     val sweepLoop = new scala.util.control.Breaks
     sweepLoop.breakable {
       for (s <- 1 to 3) {
+        // Pre-sweep feasibility: starting a sweep that cannot finish
+        // only produces an alphabetically-biased partial — if the last
+        // completed sweep's cost doesn't fit in the remaining budget,
+        // stop cleanly with the sweeps already collected.
+        if (s > 1 && elapsedSec + lastSweepSec > budgetSec) {
+          System.err.println(f"[bench] remaining budget " +
+            f"${budgetSec - elapsedSec}%.0f s < last sweep " +
+            f"$lastSweepSec%.0f s: stopping after ${s - 1} sweeps")
+          sweepLoop.break()
+        }
+        // Drop cached blocks left by checkpointing entries (CC, page-
+        // rank, set-sim…): once an entry's noop write returns, its
+        // localCheckpoint RDDs are unreachable but still pinned in the
+        // BlockManager until a GC notices — ~400 executions per bench
+        // session accumulate GBs, and the resulting G1 concurrent
+        // cycles tax every query's reading.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
+        // Drain pause: the gc() floods the ContextCleaner with every
+        // dead broadcast/RDD/shuffle ref accumulated by the preceding
+        // ~165 query executions; the cleaner's blocking BlockManager
+        // RPCs then tax whichever entries run next (observed: the
+        // inflated entries MOVED between runs, always the first ones
+        // after a System.gc — broadcast-building queries worst, 25x).
+        // 12 s of untimed settling lets the storm pass before any
+        // timed reading starts.
+        Thread.sleep(12000)
         val c1 = calibrate(1)
         val cN = calibrate(cpus.toInt)
         sweepCals += ((c1, cN))
@@ -181,6 +215,9 @@ object Bench {
             sweepLoop.break()
           }
           samples(n) = runOnce(n, sfDir) :: samples.getOrElse(n, Nil)
+          // free this entry's checkpoint blocks before the next timing
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
         sweepsCompleted = s
         System.err.println(f"[bench] sweep $s " +

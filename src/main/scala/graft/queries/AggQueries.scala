@@ -812,10 +812,43 @@ object AggQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q11 shape (important stock identification, adapted: this
+    * schema has no partsupp, so the "value" is supplier account
+    * balance by nation): a grouped aggregate kept only where it
+    * exceeds a FRACTION OF THE GLOBAL TOTAL — the correlated-HAVING
+    * decorrelated to one broadcast 1-row scalar reused by the share
+    * projection. The threshold compare is integer cross-multiplication
+    * (bal·25 > total), the share exact ppm by integer division; the
+    * per-nation aggregate's exchange is reused by the global sum. */
+  val supplierValueShare: CatalogEntry = CatalogEntry(
+    "q11_value_share",
+    """WITH s AS (SELECT n_name,
+      |             sum(round(s_acctbal*100)::BIGINT)::BIGINT AS bal_cents
+      |           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |           GROUP BY 1),
+      |g AS (SELECT sum(bal_cents)::BIGINT AS total FROM s)
+      |SELECT n_name, bal_cents,
+      |       (bal_cents * 1000000 // g.total)::BIGINT AS share_ppm
+      |FROM s, g WHERE bal_cents * 25 > g.total
+      |ORDER BY bal_cents DESC, n_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val perNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(round($"s_acctbal" * 100).cast("bigint")).as("bal_cents"))
+    val g = perNation.agg(sum($"bal_cents").as("total"))
+    perNation.crossJoin(broadcast(g))
+      .where($"bal_cents" * 25 > $"total")
+      .select($"n_name", $"bal_cents",
+        expr("(bal_cents * 1000000) div total").as("share_ppm"))
+      .orderBy($"bal_cents".desc, $"n_name")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
     q14Promo, q19Disjunct, weightedMedian, giniConcentration,
     q13OrderDist, q17SmallQty, q15TopSupplier, q4OrderPriority,
-    q8MarketShare, q12PriorityCensus)
+    q8MarketShare, q12PriorityCensus, supplierValueShare)
 }

@@ -1195,8 +1195,56 @@ object EventQueries {
     }
   }
 
+  /** CUSUM changepoint detection per series, float-free: the classic
+    * statistic Σ_{i≤k}(x_i − μ) is rescaled by n to
+    * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term an
+    * exact BIGINT. The per-type (n, Σx) scalars broadcast back (5-row
+    * dim); the running sum and the argmax ranking share one (type)
+    * partitioning so the plan is a single shuffle + two chained
+    * window passes; ties on |S| break to the earliest event id. */
+  val eventsChangepointCusum: CatalogEntry = CatalogEntry(
+    "events_changepoint_cusum",
+    """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |                  round(value*100)::BIGINT AS x FROM events),
+      |t AS (SELECT event_type, count(*)::BIGINT AS n,
+      |             sum(x)::BIGINT AS sx FROM c GROUP BY 1),
+      |s AS (SELECT c.event_type, event_id,
+      |        sum(t.n * x) OVER w - (row_number() OVER w) * t.sx AS cusum
+      |      FROM c JOIN t ON c.event_type = t.event_type
+      |      WINDOW w AS (PARTITION BY c.event_type ORDER BY tsx, event_id
+      |                   ROWS UNBOUNDED PRECEDING)),
+      |r AS (SELECT event_type, event_id, abs(cusum) AS a,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY abs(cusum) DESC, event_id) AS rk
+      |      FROM s)
+      |SELECT event_type, event_id AS changepoint_event,
+      |       a::BIGINT AS max_abs_cusum
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("x"))
+    val t = c.groupBy($"event_type".as("et"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOrd = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val wRank = Window.partitionBy($"event_type")
+      .orderBy(abs($"cusum").desc, $"event_id")
+    c.join(broadcast(t), $"event_type" === $"et")
+      .withColumn("cusum",
+        sum($"n" * $"x").over(w) -
+          row_number().over(wOrd).cast("long") * $"sx")
+      .withColumn("rk", row_number().over(wRank))
+      .where($"rk" === 1)
+      .select($"event_type", $"event_id".as("changepoint_event"),
+        abs($"cusum").as("max_abs_cusum"))
+      .orderBy($"event_type")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
+    eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,

@@ -606,8 +606,54 @@ object SimilarityQueries {
       .limit(15)
   }
 
+  /** L2-normalization of the embedding column — the prep step every
+    * cosine-metric index (IVF, HNSW, brute-force dot) assumes. Fully
+    * ROW-LOCAL (two codegen'd higher-order folds per row, zero
+    * shuffles before the determinism sort): components micro-quantize
+    * to exact integers, the squared norm is an exact integer fold
+    * (order-immaterial), and the emitted checksums re-quantize the
+    * unit vector — the only floats are one IEEE sqrt + division per
+    * component on identical exact inputs, bit-identical cross-engine
+    * (`events_rolling_corr` discipline). Zero-norm vectors are
+    * excluded deterministically rather than NaN-propagated. */
+  val embedNormalizeL2: CatalogEntry = CatalogEntry(
+    "embed_normalize_l2",
+    """WITH b AS (
+      |  SELECT vec_id,
+      |    [round(embedding[i] * 1e6)::BIGINT
+      |     for i in range(1, len(embedding)+1)] AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q,
+      |        list_sum([x*x for x in q])::BIGINT AS norm2 FROM b)
+      |SELECT vec_id, norm2,
+      |  list_sum([round(x::DOUBLE / sqrt(norm2::DOUBLE) * 1e6)::BIGINT
+      |            for x in q])::BIGINT AS unit_l1_ppm,
+      |  list_sum([abs(round(x::DOUBLE / sqrt(norm2::DOUBLE) * 1e6))::BIGINT
+      |            for x in q])::BIGINT AS unit_abs_ppm
+      |FROM n WHERE norm2 > 0 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+      .withColumn("norm2",
+        aggregate($"q", lit(0L), (a, x) => a + x * x))
+      .where($"norm2" > 0)
+      .withColumn("unit_l1_ppm",
+        aggregate($"q", lit(0L), (a, x) =>
+          a + round(x.cast("double") / sqrt($"norm2".cast("double")) * 1e6)
+            .cast("long")))
+      .withColumn("unit_abs_ppm",
+        aggregate($"q", lit(0L), (a, x) =>
+          a + abs(round(x.cast("double") / sqrt($"norm2".cast("double"))
+            * 1e6)).cast("long")))
+      .select($"vec_id", $"norm2", $"unit_l1_ppm", $"unit_abs_ppm")
+      .orderBy($"vec_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
     arrayStats, embeddingCentroids, arrayManipulation,
-    embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf)
+    embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
+    embedNormalizeL2)
 }

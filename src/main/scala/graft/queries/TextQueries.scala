@@ -1794,7 +1794,58 @@ object TextQueries {
       .select($"v", $"n1", $"n2", $"kl_ab_nano", $"kl_ba_nano")
   }
 
+  /** Per-document top-3 TF-IDF terms — keyword extraction, the
+    * summarization/tagging primitive (corpus-level `tfidf_top_terms`'s
+    * per-document sibling). Discipline: tf and df are exact integers;
+    * idf = ln(N/df) is the one transcendental — a correctly-rounded
+    * libm call on a ratio of exact integers (the repo's established
+    * safe pattern), quantized to nano-BIGINTs BEFORE the tf multiply
+    * so the ranking key is integer-exact and a cross-engine ulp can't
+    * flip rank order. Plan: one token-count shuffle keyed (doc, term),
+    * df reduced from tf (no second corpus scan), idf join on term, one
+    * per-doc ranking window; the corpus scalar N broadcasts. */
+  val tfidfPerDocTopk: CatalogEntry = CatalogEntry(
+    "tfidf_per_doc_topk",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      |       WHERE term <> '' GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf),
+      |sc AS (SELECT doc_id, tf.term,
+      |         (tf * round(ln(n::DOUBLE / df::DOUBLE) * 1e9)::BIGINT)
+      |           AS score_nano
+      |       FROM tf JOIN df ON tf.term = df.term, n),
+      |r AS (SELECT doc_id, term, score_nano,
+      |        row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score_nano DESC, term) AS rk
+      |      FROM sc)
+      |SELECT doc_id, rk::BIGINT AS rk, term, score_nano
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tf = Tables.documents(s, d).where($"text".isNotNull)
+      .select($"doc_id", explode(graft.ext.TextOps.tokens($"text")).as("term"))
+      .where($"term" =!= "")
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term".as("t2")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct($"doc_id").as("n"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score_nano".desc, $"term")
+    tf.join(df, $"term" === $"t2")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * round(log($"n".cast("double") / $"df".cast("double"))
+          * 1e9).cast("long")).as("score_nano"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"score_nano")
+      .orderBy($"doc_id", $"rk")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    tfidfPerDocTopk,
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
     tfidfTopTerms, docQualityFilter, textBigrams, heavyHittersMg,
