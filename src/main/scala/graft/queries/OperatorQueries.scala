@@ -443,8 +443,57 @@ object OperatorQueries {
       .limit(20)
   }
 
+  /** k-core of the co-purchase graph ([[graft.ext.Graph.kcorePeel]]):
+    * parts in the dense repeated-co-purchase backbone — the
+    * community/recommendation sibling of `graph_pagerank_copurchase`
+    * on the same graph, sparsified to edges co-occurring in ≥2
+    * distinct orders (one incidental shared basket links nothing).
+    * Bounded 6-round peel with a `converged` flag so the oracle
+    * replays the IDENTICAL unrolled rounds as chained MATERIALIZED
+    * CTEs (plain CTEs re-derive the edge join per reference); k=2,
+    * converged=true at both test SFs. */
+  val kcoreCoPurchase: CatalogEntry = {
+    val roundCtes = (1 to 6).map { r =>
+      val prev = if (r == 1) "v0" else s"r${r - 1}"
+      s"""r$r AS MATERIALIZED (
+         |  SELECT e.src AS id FROM eu e
+         |  JOIN $prev a ON e.src = a.id JOIN $prev b ON e.dst = b.id
+         |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    CatalogEntry(
+      "graph_kcore_copurchase",
+      s"""WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS pk FROM lineitem),
+        |eu AS MATERIALIZED (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM baskets a JOIN baskets b ON a.ord = b.ord AND a.pk <> b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v0 AS (SELECT DISTINCT src AS id FROM eu),
+        |$roundCtes,
+        |deg AS (SELECT e.src AS id, count(*)::BIGINT AS deg FROM eu e
+        |        JOIN r6 a ON e.src = a.id JOIN r6 b ON e.dst = b.id
+        |        GROUP BY 1)
+        |SELECT id AS part_id, deg,
+        |  ((SELECT count(*) FROM r5) = (SELECT count(*) FROM r6))
+        |    AS converged
+        |FROM deg ORDER BY part_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val baskets = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
+      val edges = baskets.as("a")
+        .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
+        .groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where($"n_ab" >= 2)
+        .select($"src", $"dst")
+      graft.ext.Graph.kcorePeel(edges, "src", "dst", k = 2, rounds = 6)
+        .select($"id".as("part_id"), $"deg", $"converged")
+        .orderBy($"part_id")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
     zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward,
-    summaryRewriteAgg, basketLift, pagerankCoPurchase)
+    summaryRewriteAgg, basketLift, pagerankCoPurchase, kcoreCoPurchase)
 }

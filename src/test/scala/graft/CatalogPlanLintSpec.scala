@@ -39,7 +39,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "embed_kmeans_update",   // same coarse-assign shape as above
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
-    "q11_value_share")       // broadcast 1-row global-total scalar
+    "q11_value_share",       // broadcast 1-row global-total scalar
+    "graph_kcore_copurchase") // broadcast 1-row converged flag
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle
