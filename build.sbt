@@ -23,15 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// 32 GiB heap (box has 128 GiB): at -Xmx8g a local[32] session gives
-// ~150 MiB of execution memory per task slot, so the heavy dedup/graph
-// entries spill and the first large run grinds through heap growth +
-// full-GC churn (observed: one entry's first run 104 s vs 7 s warm).
-// -Xms pinned to -Xmx so the benchmark never pays growth pauses.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:$f").toSeq ++
   sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split(" ").toSeq)
+// 32 GiB heap for `run` (Bench/Verify/tools — box has 128 GiB): at
+// -Xmx8g a local[32] sf0.1 session gives ~150 MiB of execution memory
+// per task slot, so the heavy dedup/graph entries spill and the first
+// large run grinds through heap growth + full-GC churn (observed: one
+// entry's first run 104 s vs 7 s warm). -Xms pinned to -Xmx so the
+// benchmark never pays growth pauses. Tests get a modest UNPINNED heap
+// (sf0.001 fixtures) so `sbt test` still starts on hosts without
+// 32 GiB free.
+run / javaOptions ++= {
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+  Seq(s"-Xmx$m", s"-Xms$m")
+}
+Test / javaOptions +=
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -160,17 +160,57 @@ object Bench {
           }
         }
       })
-    def runOnce(name: String, dir: String): Double = {
-      stageLog.clear()
+    // Per-query deadline (round-11, verdict item 5): one pathological
+    // entry must never zero out a whole sweep again (r10: a single
+    // 466 s entry burned the entire 470 s budget → partial artifact,
+    // 0 sweeps). The watchdog cancels the query's job group REPEATEDLY
+    // (period 2 s) once the deadline passes — a single cancel can land
+    // between two of an iterative entry's jobs and miss. A deadlined
+    // entry records its elapsed time (~deadline) as a LOWER BOUND —
+    // still counted in totals and vs_baseline so the artifact can't
+    // look better by dropping its worst entries — and is listed under
+    // "deadlined" in the JSON.
+    val queryDeadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_DEADLINE_SEC", "120").toDouble
+    val deadlined =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val watchdog = new java.util.Timer("bench-deadline", true)
+    val groupSeq = new java.util.concurrent.atomic.AtomicLong()
+    // `attribute`: stage-attribution diagnostics share ONE queue, so
+    // they are only meaningful when queries run serially — the timed
+    // sweeps. The 8-thread warm-up passes false (clears would race
+    // with other threads' appends and misattribute stages).
+    def runOnce(name: String, dir: String, attribute: Boolean): Double = {
+      if (attribute) stageLog.clear()
+      val group = s"bench-$name-${groupSeq.incrementAndGet()}"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      @volatile var killed = false
+      val killer = new java.util.TimerTask {
+        override def run(): Unit = {
+          killed = true
+          spark.sparkContext.cancelJobGroup(group)
+        }
+      }
+      watchdog.schedule(killer, (queryDeadlineSec * 1000).toLong, 2000L)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        killer.cancel()
+        spark.sparkContext.clearJobGroup()
+        if (killed) {
+          deadlined.add(name)
+          System.err.println(f"[bench] $name hit the per-query deadline " +
+            f"($queryDeadlineSec%.0f s): cancelled, recording lower bound")
+          return (System.nanoTime() - t0) / 1e9
+        }
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      killer.cancel()
+      spark.sparkContext.clearJobGroup()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (sec >= 3.0) {
+      if (attribute && sec >= 3.0) {
         import scala.jdk.CollectionConverters._
         System.err.println(s"[bench] slow $name ${math.rint(sec * 10) / 10} s: " +
           stageLog.asScala.mkString("; "))
@@ -219,7 +259,7 @@ object Bench {
           var n = queue.poll()
           while (n != null &&
               (System.nanoTime() - w0) / 1e9 < warmBudget) {
-            runOnce(n, warmDir)
+            runOnce(n, warmDir, attribute = false)
             n = queue.poll()
           }
         })
@@ -273,14 +313,23 @@ object Bench {
         val cN = calibrate(cpus.toInt)
         sweepCals += ((c1, cN))
         val sw0 = System.nanoTime()
-        for (n <- names) {
+        // Budget shard (round-11): the `*_portable` verification twins
+        // exist only to hash-oracle the sketch entries — their md5-as-
+        // string cost is verification overhead, excluded from every
+        // throughput ratio already. Timing them once (sweep 1) keeps
+        // their numbers in the artifact while the repeat sweeps spend
+        // the budget on production entries only.
+        val sweepNames =
+          if (s == 1) names else names.filterNot(verificationOnly)
+        for (n <- sweepNames) {
           if (elapsedSec > budgetSec) {
             partial = true
             System.err.println(f"[bench] budget $budgetSec%.0f s exceeded " +
               f"at $elapsedSec%.1f s (sweep $s, query $n): emitting partial result")
             sweepLoop.break()
           }
-          samples(n) = runOnce(n, sfDir) :: samples.getOrElse(n, Nil)
+          samples(n) = runOnce(n, sfDir, attribute = true) ::
+            samples.getOrElse(n, Nil)
           // NO per-query unpersist here: spreading the cleaner's RPCs
           // through the sweep cost ~100 s/sweep of untimed gaps; the
           // between-sweep unpersist + gc + drain pause absorbs the
@@ -358,12 +407,18 @@ object Bench {
       v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
     val extra = ratio3("vs_baseline", vsBaseline) +
       ratio3("vs_baseline_cal", vsBaselineCal)
+    val deadlinedJson = {
+      import scala.jdk.CollectionConverters._
+      deadlined.asScala.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""production_sec":$prod,"verification_sec":${total - prod},""" +
         s""""calib1_sec":${math.rint(calib1 * 1000) / 1000},""" +
         s""""calibn_sec":${math.rint(calibN * 1000) / 1000},""" +
-        s""""partial":$partial,"sweeps_completed":$sweepsCompleted""" +
+        s""""partial":$partial,"sweeps_completed":$sweepsCompleted,""" +
+        s""""deadlined":$deadlinedJson""" +
         s"""$extra,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line)

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,5 +63,50 @@ object Load {
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(cols.toIndexedSeq.map(col): _*)
+  }
+
+  /** Partition-scoped MERGE — the `replaceWhere` shape of the
+    * reference's incremental maintenance (load_to_bigquery.py:98-111)
+    * at warehouse scale: instead of rewriting the whole snapshot, read
+    * ONLY the partitions the batch touches, merge them with
+    * [[upsertLatest]] (same strict `S.ts > T.ts` / tie-keeps-stored
+    * semantics), and overwrite ONLY those partitions via Spark's
+    * dynamic partition-overwrite commit. On a 100 TB snapshot a daily
+    * batch touching 3 of 10⁴ partitions rewrites 0.03% of the table;
+    * untouched partition files are never read, never rewritten.
+    *
+    * CONTRACT: `partCol` must be FUNCTIONALLY DETERMINED by the merge
+    * keys (a key's rows always land in one partition — e.g. a
+    * key-hash bucket, or the key's region column). Otherwise a key
+    * living in an untouched partition could also be inserted into a
+    * touched one, breaking the snapshot's key-uniqueness invariant.
+    *
+    * Plan shape: the touched-partition scan is pruned by a broadcast
+    * semi-join on the partition column (dynamic partition pruning —
+    * no driver-side collect of partition values); the merge is
+    * upsertLatest's single key-partitioned window; `localCheckpoint`
+    * materializes the merged rows before the overwrite because Spark
+    * (correctly) refuses to overwrite a path its own input plan is
+    * still reading. The `partitionOverwriteMode=dynamic` WRITE OPTION
+    * scopes the commit to partitions present in the output — the
+    * session conf is never mutated. Idempotent by construction:
+    * re-applying the same batch is a no-op (strict `>` keeps every
+    * stored row), proven in UpsertPartitionedSpec. */
+  def upsertLatestPartitioned(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, partCol: String): Unit = {
+    val current = spark.read.parquet(tablePath)
+    val cols = current.columns
+    val batch = incoming.select(cols.toIndexedSeq.map(col): _*)
+    val touched = batch.select(col(partCol)).distinct()
+    val affected =
+      current.join(broadcast(touched), Seq(partCol), "left_semi")
+    val merged = upsertLatest(affected, batch, keys, tsCol, tieCol)
+      .localCheckpoint()
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(tablePath)
   }
 }

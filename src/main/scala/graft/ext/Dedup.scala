@@ -164,15 +164,25 @@ object Dedup {
     *
     * Plan shape (100 TB): two shuffles of the gram stream, both with
     * map-side partial aggregation — (1) `groupBy(gram).count()` for df,
-    * (2) a semi-join of grams against the rare-gram set, whose output
-    * partitioning the follow-up `collect_set` groupBy REUSES (no third
-    * exchange). Because the df filter runs BEFORE the collect, every
+    * (2) an explicit gram-keyed repartition feeding the `collect_set`
+    * groupBy (the semi-join broadcasts the rare set, so this is the
+    * posting build's only exchange). Because the df filter runs BEFORE
+    * the collect, every
     * aggregation buffer is structurally bounded at `maxDf` ids — a hot
     * gram can never balloon an executor — and pair expansion is
     * row-local (`transform` over the sorted posting, no join). */
   def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf cannot link any pair")
+    // Explicit partition count on the posting-build and pair exchanges:
+    // the rare-gram set is small, so the semi-join broadcasts and the
+    // posting aggregate's exchange carries only partially-aggregated
+    // postings — tiny in BYTES, so AQE's byte-based coalescing folds
+    // the final collect_set + pair explode (the CPU-heavy part) onto
+    // ONE core (round-10 bench: a 368 s single-task stage inside
+    // dedup_cluster_cc). repartition(n, key) is REPARTITION_BY_NUM,
+    // exempt from coalescing, and the groupBy/distinct reuse it.
+    val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
     val grams = docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(tokenNgrams(col(textCol), n)).as("gram"))
@@ -183,6 +193,7 @@ object Dedup {
       .where(col("df").between(2, maxDf))
       .select(col("gram"))
     val postings = grams.join(rare, Seq("gram"), "left_semi")
+      .repartition(shufN, col("gram"))
       .groupBy(col("gram"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
     // all (i < j) pairs within one posting, row-local: for each element
@@ -192,6 +203,7 @@ object Dedup {
         y => struct(x.as("src"), y.as("dst")))))
     postings.select(explode(pairs).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(shufN, col("src"), col("dst"))
       .distinct()
   }
 

@@ -49,6 +49,15 @@ object Graph {
     // (self ∪ neighbors) IS the propagation step, and the self-loop row
     // carries the node's previous label so the convergence flag costs
     // nothing extra.
+    //
+    // Every per-round exchange carries a USER-SPECIFIED partition count
+    // (repartition(n, key) — REPARTITION_BY_NUM, exempt from AQE
+    // coalescing): the label/edge tables are kilobytes, so AQE's
+    // byte-based coalescing otherwise folds each round's CPU-heavy
+    // join+aggregate onto ONE core — observed in the round-10 bench as
+    // 87 s and 368 s single-task stages inside dedup_cluster_cc. Same
+    // pathology and fix as kcorePeel below.
+    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
@@ -57,9 +66,11 @@ object Graph {
     val ids = sym.select(col("src").as("id")).distinct()
     val symSelf = sym
       .union(ids.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(shufN, col("src"))
       .localCheckpoint()
     var labels = ids
       .select(col("id"), col("id").as("component"))
+      .repartition(shufN, col("id"))
       .localCheckpoint()
     var round = 0
     var moved = 1L
@@ -68,7 +79,11 @@ object Graph {
         throw new IllegalStateException(
           s"connectedComponents: no fixpoint after $maxRounds rounds " +
             "(component diameter exceeds the round budget)")
+      // symSelf is pre-partitioned on src and labels on id (the join
+      // keys) → the join plans no new exchange; the explicit
+      // repartition on dst then pins the aggregation's task count.
       val next = symSelf.join(labels, symSelf("src") === labels("id"))
+        .repartition(shufN, col("dst"))
         .groupBy(col("dst"))
         .agg(min(col("component")).as("component"),
           min(when(col("src") === col("dst"), col("component"))).as("prev"))
@@ -103,6 +118,12 @@ object Graph {
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 50): DataFrame = {
+    // As in connectedComponents: every per-round exchange is pinned to
+    // an explicit partition count (REPARTITION_BY_NUM, exempt from
+    // AQE's byte-based coalescing) — the per-round parent table is
+    // kilobytes, so AQE otherwise folds the CPU-heavy join rounds onto
+    // one core.
+    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val symRaw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("u"),
@@ -112,12 +133,16 @@ object Graph {
     // self-loops let ONE edges⋈parent join compute min over
     // {p(u)} ∪ {p(v) : (u,v) ∈ E} with no union of parent-derived
     // branches (duplicate attribute ids across union branches trip
-    // constraint propagation)
+    // constraint propagation); the self-loop row also carries p(u)
+    // into the aggregate, so the per-round convergence flag is a
+    // column (`prev`) instead of an extra probe join.
     val sym = symRaw
       .union(ids.select(col("id").as("u"), col("id").as("v")))
+      .repartition(shufN, col("v"))
       .localCheckpoint()
     // parent(u) = min(u, neighbors(u)) — one propagation for free
     var parent = sym
+      .repartition(shufN, col("u"))
       .groupBy(col("u"))
       .agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("p"))
@@ -128,20 +153,27 @@ object Graph {
       if (round >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
-      val propagated = sym.join(parent, sym("v") === parent("id"))
-        .groupBy(sym("u")).agg(min(col("p")).as("p"))
-        .select(col("u").as("id"), col("p"))
-        .localCheckpoint() // materialized: the jump self-joins it twice
+      val propagated = sym
+        .join(parent.repartition(shufN, col("id")),
+          sym("v") === col("id"))
+        .repartition(shufN, sym("u"))
+        .groupBy(sym("u"))
+        .agg(min(col("p")).as("p"),
+          min(when(col("v") === sym("u"), col("p"))).as("prev"))
+        .select(sym("u").as("id"), col("p"), col("prev"))
+        .localCheckpoint() // materialized: the jump self-joins it
       // path-halving: point u at min(p(u), p(p(u)))
       val hop = propagated.select(col("id").as("pid"), col("p").as("pp"))
       val next = propagated
-        .join(hop, propagated("p") === hop("pid"))
-        .select(propagated("id"), least(propagated("p"), col("pp")).as("p"))
+        .repartition(shufN, col("p"))
+        .join(hop.repartition(shufN, col("pid")), col("p") === col("pid"))
+        .select(col("id"), least(col("p"), col("pp")).as("p"),
+          col("prev"))
         .localCheckpoint()
-      moved = next
-        .join(parent.select(col("id"), col("p").as("prev")), "id")
-        .where(col("p") =!= col("prev")).count()
-      parent = next
+      // parents are non-increasing, so "some parent moved this round"
+      // (propagation OR halving) is exactly p < prev
+      moved = next.where(col("p") < col("prev")).count()
+      parent = next.select(col("id"), col("p"))
       round += 1
     }
     parent.select(col("id"), col("p").as("component"))
@@ -175,11 +207,17 @@ object Graph {
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    // Explicit partition counts on the per-iteration exchanges — the
+    // rank table is kilobytes, so AQE's byte-based coalescing would
+    // otherwise fold each iteration's join+aggregate onto one core
+    // (the connectedComponents/kcorePeel pathology).
+    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .repartition(shufN, col("src"))
       .localCheckpoint() // consumed once per iteration
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -189,8 +227,10 @@ object Graph {
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(pr.select(col("id").as("cid"), expr("r div deg").as("c")),
+        .join(pr.select(col("id").as("cid"), expr("r div deg").as("c"))
+            .repartition(shufN, col("cid")),
           col("src") === col("cid"))
+        .repartition(shufN, col("dst"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       pr = deg.join(contrib, deg("id") === contrib("dst"))
         .crossJoin(nDf)
@@ -237,6 +277,11 @@ object Graph {
     val withKeys = e
       .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+    // Explicit partition counts on the self-joins: the oriented edge
+    // list is small in BYTES but the wedge expansion is the CPU-heavy
+    // part — AQE's byte-based coalescing would fold it onto one core
+    // (the connectedComponents/kcorePeel pathology).
+    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val oriented = withKeys.select(
       when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
         struct(col("a").as("u"), col("b").as("v"),
@@ -244,14 +289,18 @@ object Graph {
         .otherwise(struct(col("b").as("u"), col("a").as("v"),
           struct(col("dega").as("kd"), col("a").as("ki")).as("kv"))).as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.kv").as("kv"))
+      .repartition(shufN, col("u"))
       .localCheckpoint() // self-joined twice (wedge + close)
-    // wedges at the min-order vertex, ordered so each is built once
+    // wedges at the min-order vertex, ordered so each is built once;
+    // both sides share oriented's pinned u-partitioning → no exchange
     val o2 = oriented.select(col("u").as("u2"), col("v").as("w"),
       col("kv").as("kw"))
     val wedges = oriented.join(o2,
       col("u") === col("u2") && col("kv") < col("kw"))
+      .repartition(shufN, col("v"), col("w"))
     // closing edge is oriented v → w by construction
     val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
+      .repartition(shufN, col("cv"), col("cw"))
     val triangles = wedges.join(closing,
       col("v") === col("cv") && col("w") === col("cw"))
     val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
@@ -284,7 +333,11 @@ object Graph {
     * one degree aggregate — all hash-partitioned on vertex id;
     * lineage truncates per round (reliable checkpoint on a real
     * cluster). Output: (id, deg, converged), deg = degree within the
-    * surviving set. */
+    * surviving set. Note: if the peel has NOT converged in `rounds`,
+    * survivors whose within-set degree drops to 0 in the final round
+    * are absent from the output (they produce no row in the last
+    * degree aggregate); the SQL oracle replays the same unrolled
+    * steps, so both engines omit the same rows. */
   def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k out of range: $k")
@@ -293,8 +346,11 @@ object Graph {
     // set is kilobytes, so AQE's byte-based coalescing folds every
     // round's CPU-heavy join onto one core (observed: 6-round peel at
     // 58 s, single-task stages burning 11 s of solid CPU each); a
-    // user-specified partition count is exempt. Keys match the join
-    // keys, so no additional exchange is planned.
+    // user-specified partition count is exempt. The src-side probe
+    // reuses sym's src partitioning; the dst-side probe necessarily
+    // re-exchanges the joined stream on dst each round (the stream is
+    // new each round), but its partition count is held at shufN by the
+    // pinned alive side.
     val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges
       .select(col(srcCol).cast("long").as("src"),

@@ -1197,11 +1197,17 @@ object EventQueries {
 
   /** CUSUM changepoint detection per series, float-free: the classic
     * statistic Σ_{i≤k}(x_i − μ) is rescaled by n to
-    * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term an
-    * exact BIGINT. The per-type (n, Σx) scalars broadcast back (5-row
-    * dim); the running sum and the argmax ranking share one (type)
-    * partitioning so the plan is a single shuffle + two chained
-    * window passes; ties on |S| break to the earliest event id. */
+    * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term exact.
+    * The accumulator is DECIMAL(38,0), not BIGINT: worst-case |S_k| is
+    * ~n²·max|x| cents, which wraps an int64 around n ≈ 10⁶ rows per
+    * series — Spark's non-ANSI long sum wraps SILENTLY while DuckDB
+    * promotes sum(BIGINT) to HUGEINT, so a long accumulator diverges
+    * cross-engine exactly when the data gets big (the events_ema16 /
+    * q8_market_share pattern). The per-type (n, Σx) scalars broadcast
+    * back (5-row dim); the running sum and the argmax ranking share
+    * one (type) partitioning so the plan is a single shuffle + two
+    * chained window passes; ties on |S| break to the earliest event
+    * id. */
   val eventsChangepointCusum: CatalogEntry = CatalogEntry(
     "events_changepoint_cusum",
     """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
@@ -1209,7 +1215,8 @@ object EventQueries {
       |t AS (SELECT event_type, count(*)::BIGINT AS n,
       |             sum(x)::BIGINT AS sx FROM c GROUP BY 1),
       |s AS (SELECT c.event_type, event_id,
-      |        sum(t.n * x) OVER w - (row_number() OVER w) * t.sx AS cusum
+      |        sum(t.n::DECIMAL(38,0) * x) OVER w
+      |          - (row_number() OVER w) * t.sx::DECIMAL(38,0) AS cusum
       |      FROM c JOIN t ON c.event_type = t.event_type
       |      WINDOW w AS (PARTITION BY c.event_type ORDER BY tsx, event_id
       |                   ROWS UNBOUNDED PRECEDING)),
@@ -1233,12 +1240,13 @@ object EventQueries {
       .orderBy(abs($"cusum").desc, $"event_id")
     c.join(broadcast(t), $"event_type" === $"et")
       .withColumn("cusum",
-        sum($"n" * $"x").over(w) -
-          row_number().over(wOrd).cast("long") * $"sx")
+        sum($"n".cast("decimal(38,0)") * $"x").over(w) -
+          row_number().over(wOrd).cast("decimal(38,0)") *
+            $"sx".cast("decimal(38,0)"))
       .withColumn("rk", row_number().over(wRank))
       .where($"rk" === 1)
       .select($"event_type", $"event_id".as("changepoint_event"),
-        abs($"cusum").as("max_abs_cusum"))
+        abs($"cusum").cast("long").as("max_abs_cusum"))
       .orderBy($"event_type")
   }
 

@@ -354,16 +354,33 @@ object OperatorQueries {
     * pair census is a map-side-combinable count, and lift is computed
     * in exact integer parts-per-million: lift = P(ab)/(P(a)·P(b)) =
     * n_ab·N / (n_a·n_b), all BIGINTs, `div`-scaled — no float ratio
-    * to diverge cross-engine. Top-30 under a total order. */
+    * to diverge cross-engine. Top-30 under a total order.
+    *
+    * Megabasket guard (the `maxDf` analogue from sharedGramPairs):
+    * baskets with more than 1000 items are excluded from PAIR
+    * generation — one 10⁵-item basket is 5·10⁹ pairs landing on a
+    * single order key, the classic last-reducer kill. Item supports
+    * and the basket total stay EXACT (computed before the cap); only
+    * pair counts lose the megabaskets' contribution — the documented
+    * recall tradeoff, and the right one: a basket with 1000+ items
+    * carries no association signal (every pair in it co-occurs). The
+    * oracle applies the identical cap, and BasketLiftGuardSpec proves
+    * the top-30 is unchanged by the guard on the test data (TPC-H
+    * baskets max out at 7 items). */
   val basketLift: CatalogEntry = CatalogEntry(
     "basket_cooccur_lift",
     """WITH baskets AS (
       |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS pk FROM lineitem),
+      |capped AS (
+      |  SELECT ord, pk FROM (
+      |    SELECT ord, pk, count(*) OVER (PARTITION BY ord) AS bsz
+      |    FROM baskets)
+      |  WHERE bsz <= 1000),
       |nb AS (SELECT count(DISTINCT ord) AS n FROM baskets),
       |item AS (SELECT pk, count(*)::BIGINT AS cnt FROM baskets GROUP BY pk),
       |pairs AS (
       |  SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_ab
-      |  FROM baskets a JOIN baskets b ON a.ord = b.ord AND a.pk < b.pk
+      |  FROM capped a JOIN capped b ON a.ord = b.ord AND a.pk < b.pk
       |  GROUP BY 1, 2)
       |SELECT pa, pb, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
       |  (n_ab * (SELECT n FROM nb) * 1000000) // (ia.cnt * ib.cnt)
@@ -378,8 +395,15 @@ object OperatorQueries {
     val nBaskets = baskets.agg(
       countDistinct($"ord").as("n")) // 1 row, broadcast below
     val item = baskets.groupBy($"pk").agg(count(lit(1)).as("cnt"))
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"),
+    // basket-size window shares the self-join's ord partitioning, so
+    // the guard adds no extra exchange
+    val capped = baskets
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"ord")))
+      .where($"bsz" <= 1000)
+      .select($"ord", $"pk")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
         $"a.ord" === $"b.ord" && $"a.pk" < $"b.pk")
       .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
       .agg(count(lit(1)).as("n_ab"))

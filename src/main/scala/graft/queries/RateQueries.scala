@@ -348,6 +348,76 @@ object RateQueries {
       .orderBy($"o_custkey")
   }
 
+  /** Partition-scoped MERGE ([[graft.etl.Load.upsertLatestPartitioned]]
+    * — the `replaceWhere` shape of load_to_bigquery.py:98-111 at
+    * warehouse scale): the current snapshot is WRITTEN partitioned by
+    * a key-hash bucket (o_custkey % 16), the incoming odd-orderkey
+    * batch is restricted to customers with o_custkey % 4 = 1 (so only
+    * 4 of the 16 buckets are touched), and the upsert reads + rewrites
+    * ONLY the touched partitions through the dynamic
+    * partition-overwrite commit. The entry's output is the FULL table
+    * read back from disk — untouched buckets must surface their
+    * original rows byte-for-byte, touched buckets the merged rows.
+    * The oracle is the independent FULL OUTER JOIN formulation of
+    * MERGE restricted to the same batch — logically, partition-scoped
+    * merge and whole-table merge must agree EXACTLY (that equivalence
+    * is the correctness claim of the partition optimization).
+    * UpsertPartitionedSpec additionally proves idempotence and that
+    * untouched partition FILES are physically untouched. */
+  val mergeUpsertPartitioned: CatalogEntry = CatalogEntry(
+    "merge_upsert_partitioned",
+    s"""WITH cur AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders WHERE o_orderkey % 2 = 0) WHERE rn = 1),
+       |inc AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders
+       |    WHERE o_orderkey % 2 = 1 AND o_custkey % 4 = 1) WHERE rn = 1),
+       |m AS (
+       |  SELECT coalesce(c.o_custkey, i.o_custkey) AS o_custkey,
+       |    CASE WHEN c.o_custkey IS NULL
+       |              OR (i.o_custkey IS NOT NULL AND i.o_orderdate > c.o_orderdate)
+       |         THEN i.o_orderkey ELSE c.o_orderkey END AS chosen_orderkey,
+       |    CASE WHEN c.o_custkey IS NULL
+       |              OR (i.o_custkey IS NOT NULL AND i.o_orderdate > c.o_orderdate)
+       |         THEN i.o_orderdate ELSE c.o_orderdate END AS chosen_orderdate,
+       |    CASE WHEN c.o_custkey IS NULL
+       |              OR (i.o_custkey IS NOT NULL AND i.o_orderdate > c.o_orderdate)
+       |         THEN i.o_totalprice ELSE c.o_totalprice END AS chosen_totalprice
+       |  FROM cur c FULL OUTER JOIN inc i ON c.o_custkey = i.o_custkey)
+       |SELECT o_custkey, chosen_orderkey,
+       |  strftime(chosen_orderdate, '$dfmt') AS chosen_orderdate_s,
+       |  round(chosen_totalprice, 2) AS chosen_totalprice_r,
+       |  (o_custkey % 16)::INT AS bucket
+       |FROM m ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_upsert_part_${s.sparkContext.applicationId}"
+    val o = Tables.orders(s, d)
+    // base snapshot rebuilt from scratch each run (static overwrite
+    // wipes every partition), so repeated executions are deterministic
+    Load.latestPerKey(o.filter($"o_orderkey" % 2 === 0),
+        Seq("o_custkey"), "o_orderdate", "o_orderkey")
+      .withColumn("bucket", ($"o_custkey" % 16).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
+    val incoming = o
+      .filter($"o_orderkey" % 2 === 1 && $"o_custkey" % 4 === 1)
+      .withColumn("bucket", ($"o_custkey" % 16).cast("int"))
+    Load.upsertLatestPartitioned(s, tablePath, incoming,
+      Seq("o_custkey"), "o_orderdate", "o_orderkey", "bucket")
+    s.read.parquet(tablePath)
+      .select($"o_custkey",
+        $"o_orderkey".as("chosen_orderkey"),
+        date_format($"o_orderdate", fmt).as("chosen_orderdate_s"),
+        round($"o_totalprice", 2).as("chosen_totalprice_r"),
+        $"bucket")
+      .orderBy($"o_custkey")
+  }
+
   /** Row-count action (fetch.py:58) as a 1-row aggregate. */
   val countRows: CatalogEntry = CatalogEntry(
     "count_rows",
@@ -473,5 +543,6 @@ object RateQueries {
     topkLatestPerPair, earliestInWindow, sortLimit5000, filterEq,
     filterConjEq, filterRangeTs, windowLagPctChange, movingAvg,
     movingAvgTimeRange, scalarPctChange, latestPerKeyMaxby, mergeUpsert,
+    mergeUpsertPartitioned,
     countRows, previewHead, windowFirstLast, cdcSnapshotDiff)
 }

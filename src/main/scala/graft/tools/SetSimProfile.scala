@@ -1,15 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
-import graft.Tables
-
-/** Stage-attribution profiler for `dedup_setsim_join`: times each
-  * sub-plan of [[graft.ext.SetSimJoin.selfJoin]] in isolation to find
-  * where the wall-clock goes (the full entry benches ~20x DuckDB's
-  * whole-query time at sf0.1, so one stage is pathological).
+/** Stage-attribution profiler for `dedup_setsim_join`: runs the
+  * catalog entry repeatedly in a quiet session and prints the slowest
+  * stages of each rep (task counts, CPU vs wall, GC, shuffle bytes) —
+  * the tool that located the AQE byte-based-coalescing pathology
+  * (CPU-heavy verification stages folded onto 1-2 cores). The entry
+  * itself is always run through [[graft.SparkEntry]], so this can
+  * never drift from the production plan.
   *
   * Usage: runMain graft.tools.SetSimProfile <sfDir>
   */
@@ -25,66 +24,8 @@ object SetSimProfile {
       .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    def shingled: DataFrame = {
-      val docs = Tables.documents(spark, sfDir).where($"text".isNotNull)
-      val aug = docs.select($"doc_id", $"text")
-        .union(docs.where($"doc_id" % 17 === 0)
-          .select($"doc_id" + 100000, $"text"))
-        .union(docs.where($"doc_id" % 23 === 0)
-          .select($"doc_id" + 200000,
-            concat($"text", lit(" graftdup graftdup2 graftdup3"))))
-        .toDF("doc_id", "text")
-      aug.withColumn("t", split($"text", " "))
-        .where(size($"t") >= 3)
-        .withColumn("shingles", array_distinct(
-          transform(sequence(lit(1), size($"t") - 2), i =>
-            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
-              element_at($"t", i + 2)))))
-        .select($"doc_id", $"shingles")
-    }
-
-    def time(label: String)(f: => Long): Unit = {
-      // twice: first reading includes codegen, second is warm
-      val t0 = System.nanoTime(); val n0 = f
-      val t1 = System.nanoTime(); val n1 = f
-      val t2 = System.nanoTime()
-      println(f"[setsim] $label%-28s cold ${(t1 - t0) / 1e9}%7.2f s  " +
-        f"warm ${(t2 - t1) / 1e9}%7.2f s  rows $n1%d (cold $n0%d)")
-    }
-
-    val (tNum, tDen) = (3, 5)
-    val sets = shingled.select(col("doc_id").cast("long").as("id"),
-        col("shingles").as("arr"))
-      .withColumn("n", size(col("arr")).cast("long"))
-    val tok = sets.select(col("id"), explode(col("arr")).as("el"))
-    val dfreq = tok.groupBy(col("el")).agg(count(lit(1)).as("df"))
-    val prefixLen =
-      col("n") - expr(s"(($tNum * n + ${tDen - 1}) div $tDen)") + 1
-    val prefix = tok.join(dfreq, "el")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("df").asc, col("el").asc)))
-      .join(sets.select(col("id"), col("n")), "id")
-      .where(col("pos") <= prefixLen)
-      .select(col("id"), col("el"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.el") === col("b.el") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val verified = cand
-      .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a"),
-        col("n").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("arr").as("arr_b"),
-        col("n").as("n_b")), "id_b")
-      .withColumn("overlap",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .where(lit((tDen + tNum).toLong) * col("overlap") >=
-        lit(tNum.toLong) * (col("n_a") + col("n_b")))
-
-    // stage-level attribution: record every stage's duration + name
+    // stage-level attribution: record every stage's duration + metrics
     val stages =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(
