@@ -36,9 +36,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // benchmark never pays growth pauses. Tests get a modest UNPINNED heap
 // (sf0.001 fixtures) so `sbt test` still starts on hosts without
 // 32 GiB free.
+// CICompilerCount=16: a ~190-entry catalog generates thousands of
+// codegen classes; the default C2 thread count leaves a compilation
+// backlog during which fresh classes run INTERPRETED — whole stages at
+// 10-50x. ReservedCodeCacheSize=512m headroom for the same reason.
 run / javaOptions ++= {
   val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
-  Seq(s"-Xmx$m", s"-Xms$m")
+  Seq(s"-Xmx$m", s"-Xms$m",
+    "-XX:CICompilerCount=16", "-XX:ReservedCodeCacheSize=512m")
 }
 Test / javaOptions +=
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -114,26 +114,29 @@ object Bench {
     // hard external timeout (~600 s including sbt startup/compile) and a
     // kill leaves NO artifact — BENCH_r09.json was rc=124 with
     // "parsed": null even though the same catalog benched at 0.8x
-    // baseline the same morning. Two changes keep the artifact alive:
-    //   1. the untimed warm-up sweep runs against sf0.001 — the plans
-    //      (and so the codegen-class and catalog caches it exists to
-    //      fill) are data-size-independent, and at 1/100th the data the
-    //      sweep costs seconds instead of ~70 s;
-    //   2. a soft budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 470 s
-    //      measured from this main's start) is checked between queries;
-    //      when exceeded, remaining work is dropped and the JSON is
-    //      emitted from the samples already collected, marked
-    //      "partial": true with "sweeps_completed" — a slow session now
-    //      degrades the sample count, never the artifact.
+    // baseline the same morning. A soft budget
+    // (SPARK_GRAFT_BENCH_BUDGET_SEC, default 470 s measured from this
+    // main's start) is checked between queries; when exceeded,
+    // remaining work is dropped and the JSON is emitted from the
+    // samples already collected, marked "partial": true with
+    // "sweeps_completed" — a slow session degrades the sample count,
+    // never the artifact.
     val t0Wall = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - t0Wall) / 1e9
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "470").toDouble
-    val warmDir = {
-      val p = Paths.get(sfDir).toAbsolutePath
-      Option(p.getParent).map(_.resolve("sf0.001"))
-        .filter(Files.isDirectory(_)).map(_.toString).getOrElse(sfDir)
-    }
+    // Warm-up runs against the MEASURED dir (round-11 revert of the
+    // round-9 sf0.001 shortcut): under AQE, physical plans — and so
+    // the generated whole-stage-codegen classes — are NOT
+    // data-size-independent (different broadcast/coalesce decisions at
+    // 1/100th the bytes → different generated code). An sf0.001
+    // warm-up left sweep 1 loading fresh sf0.1 codegen classes into a
+    // saturated C2 queue, so entries ran INTERPRETED for whole stages:
+    // date_functions read 18.5 s (14 s of solid single-task CPU)
+    // against a 0.37 s baseline and a 0.67 s quiet-session median.
+    // The 8-thread concurrent drain keeps the real-dir warm-up inside
+    // its deadline.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Stage-attribution listener: when a timed query stalls, the log
@@ -218,12 +221,13 @@ object Bench {
       sec
     }
 
-    // Warm-up: fills codegen/catalog caches, untimed, at sf0.001 — and
-    // CONCURRENT (8 threads draining one queue): warm-up cost is
-    // dominated by per-entry driver work (planning + Janino codegen
-    // compilation, single-threaded per entry), which parallelizes
-    // cleanly across entries; the serial sweep had grown to ~210 s of
-    // the externally-timed-out bench budget at a ~165-entry catalog.
+    // Warm-up: fills codegen/catalog caches AND lets C2 compile the
+    // measured dir's generated classes, untimed — CONCURRENT (8
+    // threads draining one queue): warm-up cost is dominated by
+    // per-entry driver work (planning + Janino codegen compilation,
+    // single-threaded per entry), which parallelizes cleanly across
+    // entries; the serial sweep had grown to ~210 s of the
+    // externally-timed-out bench budget at a ~165-entry catalog.
     // Only the UNTIMED sweep runs concurrently — timed sweeps stay
     // strictly serial so one query's reading never includes another's
     // CPU contention.

@@ -50,6 +50,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Scan-parallelism guard for CPU-DENSE pipelines (tokenize /
+    * n-gram explode / codec work), where per-row compute dwarfs scan
+    * cost: if the upstream scan yields fewer partitions than the
+    * session's shuffle parallelism, redistribute rows round-robin so
+    * the expensive map work uses every core. Rationale: Spark sizes
+    * scan tasks by BYTES (`files.maxPartitionBytes`), which is right
+    * for I/O-bound scans and catastrophically wrong for a 0.5 MB
+    * single-row-group file feeding 13-token n-gram explosion — one
+    * task inherits ALL the CPU (observed: a 66 s single-task stage in
+    * dedup_graph_triangles at sf0.1). At warehouse scale the scan
+    * already has ≥ shufN splits and this is a NO-OP — the condition,
+    * not the caller, decides, so the guard never adds an exchange to
+    * a plan that is already parallel. The partition-count probe reads
+    * plan metadata only (no job). */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val shufN =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= shufN) df
+    else df.repartition(shufN)
+  }
+
   /** Table row count from parquet FILE METADATA only — a driver-side
     * footer read, never a Spark job. Exists for operators whose *plan
     * shape* depends on corpus size (e.g. the LSH plane count in

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Deduplication for document corpora at training-data scale.
   *
   * Exact: group on a content hash (32-byte digest, not the full text —
@@ -183,7 +185,9 @@ object Dedup {
     // dedup_cluster_cc). repartition(n, key) is REPARTITION_BY_NUM,
     // exempt from coalescing, and the groupBy/distinct reuse it.
     val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val grams = docs.where(col(textCol).isNotNull)
+    // spreadScan: the tokenize+explode CPU must not inherit the scan's
+    // byte-sized (possibly single-task) parallelism
+    val grams = Tables.spreadScan(docs.where(col(textCol).isNotNull))
       .select(col(idCol).cast("long").as("doc_id"),
         explode(tokenNgrams(col(textCol), n)).as("gram"))
     // per-doc grams are already distinct (tokenNgrams array_distinct),
@@ -236,8 +240,8 @@ object Dedup {
     * so a SQL oracle can replay the pipeline verbatim. */
   def ngramOverlapCounts(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val corpusGrams = docs
-      .where(col(textCol).isNotNull)
+    // spreadScan: the corpus-side gram explode is the CPU-dense leg
+    val corpusGrams = Tables.spreadScan(docs.where(col(textCol).isNotNull))
       .select(col(idCol), tokenNgrams(col(textCol), n).as("gs"))
     val evalGrams = evalDocs
       .where(col(textCol).isNotNull)

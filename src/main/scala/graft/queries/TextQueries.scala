@@ -1083,7 +1083,7 @@ object TextQueries {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
-    docs.where($"text".isNotNull)
+    Tables.spreadScan(docs.where($"text".isNotNull))
       .select($"doc_id", explode(Dedup.tokenNgrams($"text", 13)).as("gram"))
       .createOrReplaceTempView("graft_bloom_corpus")
     docs.where($"text".isNotNull && $"doc_id" % 97 === 0)
