@@ -243,8 +243,10 @@ object Dedup {
     // spreadScan: the corpus-side gram explode is the CPU-dense leg
     val corpusGrams = Tables.spreadScan(docs.where(col(textCol).isNotNull))
       .select(col(idCol), tokenNgrams(col(textCol), n).as("gs"))
-    val evalGrams = evalDocs
-      .where(col(textCol).isNotNull)
+    // spreadScan on the eval leg too: it is small in BYTES (a filtered
+    // slice of one scan partition) but its 13-gram explode is the same
+    // CPU-dense work — observed as a 3.3 s single-task stage at sf0.1.
+    val evalGrams = Tables.spreadScan(evalDocs.where(col(textCol).isNotNull))
       .select(explode(tokenNgrams(col(textCol), n)).as("gram"))
       .distinct()
     corpusGrams

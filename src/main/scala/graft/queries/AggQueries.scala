@@ -845,10 +845,105 @@ object AggQueries {
       .orderBy($"bal_cents".desc, $"n_name")
   }
 
+  /** TPC-H Q9 shape (product-type profit): per-nation per-year profit
+    * over a part-name-filtered slice of the fact table. This schema
+    * has no `ps_supplycost`, so cost is the part's retail price times
+    * quantity — the same five-way star (lineitem ⋈ part ⋈ supplier ⋈
+    * nation ⋈ orders) with every money term exact-integer:
+    * `price_cents·(100−disc_pct) − retail_cents·100·qty`, summed as
+    * BIGINT (DuckDB's HUGEINT sum cast back down; worst case
+    * ~1e9/row · 6e9 rows at sf1000 ≈ 6e18 — inside int64 only because
+    * the name filter keeps ~1/8 of rows; the `_e4` unit is the widest
+    * this sum can afford, documented here deliberately).
+    *
+    * Scale shape: part (name-filtered) and supplier⋈nation broadcast;
+    * the only fact-sized shuffle is lineitem ⋈ orders on orderkey;
+    * the (nation, year) aggregate partial-combines map-side to a few
+    * hundred groups. */
+  val q9ProductProfit: CatalogEntry = CatalogEntry(
+    "q9_product_profit",
+    """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+      |  sum(round(l_extendedprice*100)::BIGINT
+      |        * (100 - round(l_discount*100)::BIGINT)
+      |      - round(p_retailprice*100)::BIGINT * 100
+      |        * l_quantity::BIGINT)::BIGINT AS profit_e4
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val boltParts = Tables.part(s, d)
+      .filter($"p_name".contains("bolt"))
+      .select($"p_partkey", $"p_retailprice")
+    val supNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    Tables.lineitem(s, d)
+      .join(broadcast(boltParts), $"p_partkey" === $"l_partkey")
+      .join(broadcast(supNation), $"s_suppkey" === $"l_suppkey")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("bigint").as("o_year"))
+      .agg(sum(round($"l_extendedprice" * 100).cast("bigint") *
+          (lit(100L) - round($"l_discount" * 100).cast("bigint")) -
+          round($"p_retailprice" * 100).cast("bigint") * lit(100L) *
+          $"l_quantity".cast("bigint")).as("profit_e4"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** TPC-H Q16 shape (supplier-relationship census): distinct
+    * suppliers per (brand, type, size) over an attribute-filtered part
+    * slice, excluding a supplier denylist. The part↔supplier relation
+    * is derived from lineitem (no `partsupp` here); "complaint"
+    * suppliers are adapted to `s_acctbal < 0` — the same NOT-IN
+    * exclusion shape, planned as a broadcast LEFT ANTI join (the
+    * denylist is tiny by construction; `s_suppkey` is never null, so
+    * NOT IN ≡ anti-join with no null-semantics hazard).
+    *
+    * Scale shape: the filtered part dim broadcasts into the fact scan;
+    * COUNT(DISTINCT) over (brand, type, size, suppkey) plans as two
+    * hash aggregates with a partial-distinct map side — the shuffle
+    * carries deduplicated 4-tuples, not lines. */
+  val q16SupplierCensus: CatalogEntry = CatalogEntry(
+    "q16_supplier_census",
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#2' AND p_type <> 'ECONOMY'
+      |  AND p_size IN (2, 5, 11, 28, 29, 37, 42, 50)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val qualPart = Tables.part(s, d)
+      .filter($"p_brand" =!= "Brand#2" && $"p_type" =!= "ECONOMY" &&
+        $"p_size".isin(2, 5, 11, 28, 29, 37, 42, 50))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val complaints = Tables.supplier(s, d)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey")
+      .join(broadcast(qualPart), $"p_partkey" === $"l_partkey")
+      .join(broadcast(complaints), $"l_suppkey" === $"s_suppkey",
+        "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
     q14Promo, q19Disjunct, weightedMedian, giniConcentration,
     q13OrderDist, q17SmallQty, q15TopSupplier, q4OrderPriority,
-    q8MarketShare, q12PriorityCensus, supplierValueShare)
+    q8MarketShare, q12PriorityCensus, supplierValueShare,
+    q9ProductProfit, q16SupplierCensus)
 }

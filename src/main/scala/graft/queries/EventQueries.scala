@@ -1250,7 +1250,70 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Robust outlier census via MAD (median absolute deviation) — the
+    * z-score's breakdown-proof sibling: one fat-finger 1e9 moves a
+    * mean/σ band arbitrarily but moves the median-based band not at
+    * all (`anomaly_zscore_topk` is the moment-based counterpart). The
+    * classic rule flags |x − med| > 3·1.4826·MAD; every compare here
+    * is BIGINT-exact: values are doubled cents (`y = 2·cents`, so the
+    * median of an even count — the average of two even integers — is
+    * itself an integer), deviations are doubled again before the
+    * second median for the same reason, and the 1.4826 normal-
+    * consistency constant enters as the cross-multiplied integer test
+    * `10000·dev2 > 44478·mad4` (3·1.4826 = 4.4478) that no float
+    * rounding can flip. Outputs keep the doubled units
+    * (`median_cents_x2`, `mad_cents_x4`) to stay integer-typed.
+    *
+    * Scale shape: two grouped aggregates whose |groups|-row results
+    * BROADCAST back (the winsorize two-pass pattern — the data is
+    * scanned, never shuffled); the final census partial-aggregates to
+    * one row per type. Exact per-group medians buffer the group's
+    * values (Spark `percentile`); at 100 TB production swaps in
+    * `approx_percentile` or the sorted-window median — kept exact
+    * here so the DuckDB oracle replays it verbatim. */
+  val eventsOutlierMad: CatalogEntry = CatalogEntry(
+    "events_outlier_mad",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    median(2 * round(value*100)::BIGINT)::BIGINT AS med_y
+      |  FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_type,
+      |    2 * abs(2 * round(e.value*100)::BIGINT - b.med_y) AS dev2
+      |  FROM events e JOIN b USING (event_type)),
+      |m AS (
+      |  SELECT event_type, median(dev2)::BIGINT AS mad4
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, count(*)::BIGINT AS n_rows,
+      |  sum(CASE WHEN 10000 * d.dev2 > 44478 * m.mad4
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  max(b.med_y) AS median_cents_x2, max(m.mad4) AS mad_cents_x4
+      |FROM d JOIN m USING (event_type) JOIN b USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val y = Tables.events(s, d)
+      .select($"event_type",
+        (lit(2L) * round($"value" * 100).cast("bigint")).as("y"))
+    val med = y.groupBy($"event_type")
+      .agg(percentile($"y", lit(0.5)).cast("bigint").as("med_y"))
+    val dev = y.join(broadcast(med), "event_type")
+      .select($"event_type", $"med_y",
+        (lit(2L) * abs($"y" - $"med_y")).as("dev2"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"dev2", lit(0.5)).cast("bigint").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(lit(10000L) * $"dev2" > lit(44478L) * $"mad4", 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max($"med_y").as("median_cents_x2"),
+        max($"mad4").as("mad_cents_x4"))
+      .orderBy($"event_type")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    eventsOutlierMad,
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
     eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,

@@ -472,10 +472,135 @@ object JoinQueries {
       .orderBy($"numwait".desc, $"s_name")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the argmin-correlated
+    * subquery — for each qualifying part, the EUROPE suppliers whose
+    * observed unit cost equals the per-part minimum. This schema has
+    * no `partsupp`, so supply cost is DERIVED from the fact table:
+    * per (part, supplier), the minimum observed unit price over all
+    * their lines, kept exact-integer as
+    * `(price_cents * 10) div quantity` (tenth-cents, floor division —
+    * identical semantics to DuckDB `//` on positive BIGINTs, no float
+    * boundary for the min/equality compares to sit on).
+    *
+    * Scale shape: ONE partial-aggregated pass over lineitem builds the
+    * (part, supplier) cost table — the only fact-sized shuffle; the
+    * region-restricted supplier dim and the size/type-filtered part
+    * dim both broadcast; the per-part min reuses the cost table's
+    * exchange (same grouping key prefix). The argmin join is
+    * cost ⋈ min on (pk, cost) — equi-keyed, never all-pairs. */
+  val q2MinCostSupplier: CatalogEntry = CatalogEntry(
+    "q2_min_cost_supplier",
+    """WITH cost AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    min((round(l_extendedprice*100)::BIGINT * 10)
+      |        // l_quantity::BIGINT)::BIGINT AS cost_e3
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |pc AS (
+      |  SELECT pk, sk, cost_e3 FROM cost
+      |  JOIN eu ON sk = s_suppkey
+      |  JOIN part ON p_partkey = pk
+      |  WHERE p_size = 15 AND p_type = 'STANDARD'),
+      |mn AS (SELECT pk, min(cost_e3) AS mc FROM pc GROUP BY 1)
+      |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+      |       p_partkey, p_name, cost_e3
+      |FROM pc JOIN mn ON pc.pk = mn.pk AND cost_e3 = mc
+      |JOIN eu ON sk = s_suppkey
+      |JOIN part ON p_partkey = pc.pk
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cost = Tables.lineitem(s, d)
+      .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
+      .agg(min(expr("(CAST(round(l_extendedprice*100) AS BIGINT) * 10) " +
+        "div CAST(l_quantity AS BIGINT)")).as("cost_e3"))
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+              .filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val qualPart = Tables.part(s, d)
+      .filter($"p_size" === 15 && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_name")
+    val pc = cost
+      .join(broadcast(eu.select($"s_suppkey")), $"sk" === $"s_suppkey")
+      .join(broadcast(qualPart.select($"p_partkey")), $"pk" === $"p_partkey")
+      .select($"pk", $"sk", $"cost_e3")
+    val mn = pc.groupBy($"pk".as("mpk")).agg(min($"cost_e3").as("mc"))
+    pc.join(mn, $"pk" === $"mpk" && $"cost_e3" === $"mc")
+      .join(broadcast(eu), $"sk" === $"s_suppkey")
+      .join(broadcast(qualPart), $"pk" === $"p_partkey")
+      .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name",
+        $"p_partkey", $"p_name", $"cost_e3")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q20 shape (excess-share suppliers): suppliers in a region
+    * whose 1996 shipments of a part family exceed HALF their all-time
+    * shipments of that part — the `ps_availqty > 0.5 * sum(qty)`
+    * correlated-aggregate semi-join, adapted to a schema without
+    * `partsupp` (1996 share stands in for available stock). The half
+    * threshold is exact-integer: `2*q96 > qall` (quantities are
+    * integral), so no 0.5 float multiply. Scale shape: the part-family
+    * filter broadcasts into the fact scan; ONE partial-aggregated
+    * pass builds per-(supplier, part) conditional sums (the CASE sum
+    * combines map-side, so the shuffle carries two BIGINTs per pair);
+    * the qualifying supplier set is DISTINCT-collapsed and broadcast
+    * into a LEFT SEMI probe of the supplier dim — the fact table is
+    * never joined row-wise to supplier. */
+  val q20ExcessShare: CatalogEntry = CatalogEntry(
+    "q20_excess_share",
+    """WITH pq AS (
+      |  SELECT l_suppkey AS sk,
+      |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |             AND l_shipdate < TIMESTAMP '1997-01-01'
+      |        THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q96,
+      |    sum(l_quantity::BIGINT)::BIGINT AS qall
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY sk, l_partkey)
+      |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (SELECT DISTINCT sk FROM pq WHERE 2*q96 > qall)
+      |ORDER BY s_name, s_suppkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val smallParts = Tables.part(s, d)
+      .filter($"p_name".startsWith("small"))
+      .select($"p_partkey")
+    val pq = Tables.lineitem(s, d)
+      .join(broadcast(smallParts), $"p_partkey" === $"l_partkey")
+      .groupBy($"l_suppkey".as("sk"), $"l_partkey")
+      .agg(sum(when($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"),
+          $"l_quantity".cast("bigint")).otherwise(0L)).as("q96"),
+        sum($"l_quantity".cast("bigint")).as("qall"))
+    val qualifying = pq.where(lit(2L) * $"q96" > $"qall")
+      .select($"sk").distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+              .filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(qualifying, $"s_suppkey" === $"sk", "left_semi")
+      .select($"s_suppkey", $"s_name", round($"s_acctbal", 2).as("s_acctbal"))
+      .orderBy($"s_name", $"s_suppkey")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
     setUnion, setIntersect, setExcept,
     aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
     joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein,
-    fuzzyCorrectJaroWinkler, q22GlobalSales, q21WaitingSupplier)
+    fuzzyCorrectJaroWinkler, q22GlobalSales, q21WaitingSupplier,
+    q2MinCostSupplier, q20ExcessShare)
 }

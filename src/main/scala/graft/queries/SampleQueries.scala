@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -339,8 +340,61 @@ object SampleQueries {
         round($"es_key" * 1e6).cast("long").as("key_micros"))
   }
 
+  /** Curriculum interleave — the deterministic "mix difficulty bands
+    * round-robin" ordering a curriculum-training data loader wants:
+    * docs are cut into 10 length deciles and emitted cycling
+    * 1,2,…,10,1,2,… so every consecutive window of the stream sees
+    * the full difficulty spread. Decile assignment is by comparison
+    * against BROADCAST percentile cut points — NOT a global
+    * `ntile()`, whose empty PARTITION BY plans the whole corpus
+    * through one sort task; cuts are identical doubles in both
+    * engines (the `agg_percentiles` interpolation precedent), and the
+    * strict `cut < n_chars` rank is a per-row integer no float can
+    * flip. Output position `(rn−1)·10 + decile` is unique by
+    * construction (decile is pos mod 10).
+    *
+    * Scale shape: one tiny percentile aggregate broadcasts back; the
+    * per-decile `row_number` runs 10 window partitions — at 100 TB
+    * production two-levels the numbering (row_number within
+    * (decile, shard), then add broadcast per-shard offsets) to spread
+    * each decile across the cluster; the interleave arithmetic is
+    * unchanged. */
+  val curriculumInterleave: CatalogEntry = CatalogEntry(
+    "curriculum_interleave",
+    """WITH cuts AS (
+      |  SELECT quantile_cont(n_chars,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_chars,
+      |    (1 + len(list_filter(cs, c -> c < n_chars)))::BIGINT AS decile
+      |  FROM documents, cuts),
+      |r AS (
+      |  SELECT doc_id, n_chars, decile,
+      |    row_number() OVER (PARTITION BY decile ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT doc_id, n_chars, decile,
+      |  ((rn - 1) * 10 + decile)::BIGINT AS pos
+      |FROM r ORDER BY pos LIMIT 1000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val cuts = docs.agg(percentile($"n_chars",
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+    val deciled = docs.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"n_chars",
+        (lit(1) + size(filter($"cs", c => c < $"n_chars")))
+          .cast("bigint").as("decile"))
+    deciled
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"decile").orderBy($"doc_id")))
+      .select($"doc_id", $"n_chars", $"decile",
+        (($"rn" - 1) * 10 + $"decile").cast("bigint").as("pos"))
+      .orderBy($"pos")
+      .limit(1000)
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
     sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
-    splitTrainValTest, sampleWeightedEs)
+    splitTrainValTest, sampleWeightedEs, curriculumInterleave)
 }

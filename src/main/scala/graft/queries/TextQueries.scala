@@ -1844,7 +1844,91 @@ object TextQueries {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** Exact substring-level duplication census — the character-window
+    * variant of exact dedup (the "50-gram exact substring" rule of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): fixed 40-char windows at stride 20,
+    * grouped by content, keeping windows shared by ≥2 distinct docs.
+    * Unlike token n-grams this catches copies that tokenization splits
+    * differently (whitespace/punctuation edits between the copies).
+    * Stride-20 windows overlap by half, so any shared run ≥ 59 chars
+    * is guaranteed to contain at least one aligned window in both
+    * copies IF the copies start at the same offset parity; the full
+    * suffix-array construction of the paper removes that alignment
+    * caveat at ~20x the cost — this is the bounded, shuffle-friendly
+    * approximation a 100 TB pass runs first.
+    *
+    * Scale shape: the window explode is CPU-dense over a byte-light
+    * scan (spreadScan); ONE shuffle groups (gram, doc) pairs with
+    * map-side partial aggregation; the ≥2-docs filter drops the
+    * overwhelmingly-unique tail before the tiny determinism sort.
+    * Production hashes windows to int64 before the exchange
+    * (xxhash64), shrinking shuffle bytes ~5x; gram TEXT rides the
+    * shuffle here so the DuckDB oracle replays the pipeline verbatim
+    * (the output column is md5 either way). */
+  val decontamSubstringExact: CatalogEntry = CatalogEntry(
+    "decontam_substring_exact",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest([substring(text, i, 40)
+      |            for i in range(1, len(text) - 38, 20)]) AS gram
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND len(text) >= 40)
+      |SELECT md5(gram) AS gram_md5,
+      |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |  count(*)::BIGINT AS n_occurrences,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM w GROUP BY gram
+      |HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY gram_md5""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.spreadScan(Tables.documents(s, d)
+        .where($"text".isNotNull && length($"text") >= 40))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 39, 20)," +
+          " i -> substring(text, i, 40))")).as("gram"))
+      .groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .where($"n_docs" >= 2)
+      .select(md5($"gram").as("gram_md5"), $"n_docs", $"n_occurrences",
+        $"first_doc", $"last_doc")
+      .orderBy($"gram_md5")
+  }
+
+  /** Per-(source, log2-token-count) histogram — the sequence-length
+    * profile a packing/batching stage reads before choosing context
+    * lengths. The bucket is the BIT LENGTH of the token count
+    * (`length(bin(n)) − 1` = ⌊log₂ n⌋ computed on the binary string
+    * representation — no float log to straddle a power-of-two boundary
+    * differently per engine). One partial-aggregated shuffle to a few
+    * dozen groups; token counts come from `size(split(...))`, never a
+    * second scan. */
+  val tokenLengthHistogram: CatalogEntry = CatalogEntry(
+    "token_length_histogram",
+    """WITH t AS (
+      |  SELECT source, len(string_split(text, ' '))::BIGINT AS ntok
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+      |SELECT source, (length(bin(ntok)) - 1)::BIGINT AS log2_bucket,
+      |  count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS sum_tokens,
+      |  min(ntok) AS min_tokens, max(ntok) AS max_tokens
+      |FROM t GROUP BY 1, 2
+      |ORDER BY source, log2_bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"source",
+        size(TextOps.tokens($"text")).cast("bigint").as("ntok"))
+      .groupBy($"source",
+        (length(bin($"ntok")) - 1).cast("bigint").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
+        min($"ntok").as("min_tokens"), max($"ntok").as("max_tokens"))
+      .orderBy($"source", $"log2_bucket")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    decontamSubstringExact, tokenLengthHistogram,
     tfidfPerDocTopk,
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,

@@ -33,6 +33,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "graph_pagerank_copurchase", // broadcast 1-row node-count N scalar
     "events_interarrival_histogram", // broadcast 1-row delta-total scalar
     "retrieval_hybrid_rrf",  // broadcast 1 query embedding (dense ranker)
+    "curriculum_interleave", // broadcast 1-row percentile-cuts scalar
     "q22_global_sales",      // broadcast 1-row global-average scalar
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
