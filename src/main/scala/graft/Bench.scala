@@ -183,7 +183,8 @@ object Bench {
     // they are only meaningful when queries run serially — the timed
     // sweeps. The 8-thread warm-up passes false (clears would race
     // with other threads' appends and misattribute stages).
-    def runOnce(name: String, dir: String, attribute: Boolean): Double = {
+    def runOnce(name: String, dir: String, attribute: Boolean,
+        deadlineSec: Double = queryDeadlineSec): Double = {
       if (attribute) stageLog.clear()
       val group = s"bench-$name-${groupSeq.incrementAndGet()}"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
@@ -194,7 +195,7 @@ object Bench {
           spark.sparkContext.cancelJobGroup(group)
         }
       }
-      watchdog.schedule(killer, (queryDeadlineSec * 1000).toLong, 2000L)
+      watchdog.schedule(killer, (deadlineSec * 1000).toLong, 2000L)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -202,9 +203,14 @@ object Bench {
         killer.cancel()
         spark.sparkContext.clearJobGroup()
         if (killed) {
-          deadlined.add(name)
+          // Only a TIMED run's cancellation is a reportable deadline:
+          // the concurrent warm-up runs 8 heavy entries at once, so a
+          // warm-up cancellation measures contention, not the query
+          // (r11: a 2.4 s entry was flagged from its warm-up run).
+          if (attribute) deadlined.add(name)
           System.err.println(f"[bench] $name hit the per-query deadline " +
-            f"($queryDeadlineSec%.0f s): cancelled, recording lower bound")
+            f"($deadlineSec%.0f s): cancelled" +
+            (if (attribute) ", recording lower bound" else " (warm-up)"))
           return (System.nanoTime() - t0) / 1e9
         }
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -263,7 +269,12 @@ object Bench {
           var n = queue.poll()
           while (n != null &&
               (System.nanoTime() - w0) / 1e9 < warmBudget) {
-            runOnce(n, warmDir, attribute = false)
+            // Short per-query deadline: one straggler must not stretch
+            // the warm-up past its budget by a full queryDeadlineSec
+            // (r11: a single 8-way-contended entry ran the 120 s clock
+            // out, growing a 120 s warm-up budget to 144 s elapsed).
+            // A cancelled warm-up still warmed that entry's codegen.
+            runOnce(n, warmDir, attribute = false, deadlineSec = 45.0)
             n = queue.poll()
           }
         })
@@ -288,11 +299,18 @@ object Bench {
         // Pre-sweep feasibility: starting a sweep that cannot finish
         // only produces an alphabetically-biased partial — if the last
         // completed sweep's cost doesn't fit in the remaining budget,
-        // stop cleanly with the sweeps already collected.
-        if (s > 1 && elapsedSec + lastSweepSec > budgetSec) {
+        // stop cleanly with the sweeps already collected. The estimate
+        // must include the INTER-SWEEP overhead spent before any query
+        // is timed (12 s drain pause + gc + two calibration probes,
+        // ~15 s) plus sweep-to-sweep variance headroom (r11: sweep 3
+        // was started with 97 s left against a 89.5 s previous sweep
+        // and overran the budget mid-sweep — a partial artifact where
+        // stopping at 2 clean sweeps was strictly better).
+        if (s > 1 &&
+            elapsedSec + 15.0 + lastSweepSec * 1.2 > budgetSec) {
           System.err.println(f"[bench] remaining budget " +
-            f"${budgetSec - elapsedSec}%.0f s < last sweep " +
-            f"$lastSweepSec%.0f s: stopping after ${s - 1} sweeps")
+            f"${budgetSec - elapsedSec}%.0f s < overhead + 1.2x last " +
+            f"sweep ($lastSweepSec%.0f s): stopping after ${s - 1} sweeps")
           sweepLoop.break()
         }
         // Drop cached blocks left by checkpointing entries (CC, page-
