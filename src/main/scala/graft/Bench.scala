@@ -269,12 +269,16 @@ object Bench {
           var n = queue.poll()
           while (n != null &&
               (System.nanoTime() - w0) / 1e9 < warmBudget) {
-            // Short per-query deadline: one straggler must not stretch
-            // the warm-up past its budget by a full queryDeadlineSec
-            // (r11: a single 8-way-contended entry ran the 120 s clock
-            // out, growing a 120 s warm-up budget to 144 s elapsed).
-            // A cancelled warm-up still warmed that entry's codegen.
-            runOnce(n, warmDir, attribute = false, deadlineSec = 45.0)
+            // Full per-query deadline even here: a SHORTER warm-up
+            // deadline was tried (45 s) and it made the bench WORSE —
+            // under 8-way contention the heavy iterative entries get
+            // cancelled mid-run, enter sweep 1 with cold generated
+            // code, and pay 20-50x there (observed: dedup_cluster_cc
+            // 48.6 s cold vs 2.0 s warmed; sweep 1 blew the whole
+            // budget). The heavies are EXACTLY the entries warm-up
+            // exists for; a ~30 s budget overrun from one straggler
+            // is absorbed by the pre-sweep feasibility margin.
+            runOnce(n, warmDir, attribute = false)
             n = queue.poll()
           }
         })

@@ -340,6 +340,48 @@ object SampleQueries {
         round($"es_key" * 1e6).cast("long").as("key_micros"))
   }
 
+  /** Leakage-safe train/val/test split — the dedup-aware refinement of
+    * `split_train_val_test`: hashing each DOCUMENT id sends exact
+    * copies of the same text to different sides, leaking training
+    * content into eval (the benchmark-contamination failure mode the
+    * decontam entries exist to catch). Hashing the GROUP key instead —
+    * here md5(text), the exact-dup class — pins every copy to one
+    * side by construction. The same pattern upgrades to near-dup
+    * safety by substituting any cluster id (e.g.
+    * `dedup_cluster_cc`'s component label) as the group key; the
+    * split arithmetic is unchanged. `n_groups` counts split units,
+    * `n_docs` the documents they carry.
+    *
+    * Scale shape: ONE digest-keyed aggregate (the shuffle carries
+    * 32-byte digests + counts, never text) feeds a 3-group census;
+    * the split hash is md5-derived like every sampling entry — no
+    * rand(), bit-reproducible across engines, epochs, and reruns. */
+  val splitLeakageSafe: CatalogEntry = CatalogEntry(
+    "split_leakage_safe",
+    """WITH a AS (
+      |  SELECT md5(text) AS gkey,
+      |    ('0x' || substring(md5(md5(text) || '|split'), 1, 15))::BIGINT
+      |      % 100 AS u,
+      |    count(*)::BIGINT AS n_copies
+      |  FROM documents GROUP BY md5(text))
+      |SELECT CASE WHEN u < 80 THEN 'train'
+      |            WHEN u < 90 THEN 'val' ELSE 'test' END AS bucket,
+      |  count(*)::BIGINT AS n_groups, sum(n_copies)::BIGINT AS n_docs
+      |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val a = Tables.documents(s, d)
+      .groupBy(md5($"text").as("gkey"))
+      .agg(count(lit(1)).as("n_copies"))
+      .select(
+        (conv(substring(md5(concat($"gkey", lit("|split"))), 1, 15),
+          16, 10).cast("long") % 100L).as("u"),
+        $"n_copies")
+    a.groupBy(when($"u" < 80, "train").when($"u" < 90, "val")
+        .otherwise("test").as("bucket"))
+      .agg(count(lit(1)).as("n_groups"), sum($"n_copies").as("n_docs"))
+      .orderBy($"bucket")
+  }
+
   /** Curriculum interleave — the deterministic "mix difficulty bands
     * round-robin" ordering a curriculum-training data loader wants:
     * docs are cut into 10 length deciles and emitted cycling
@@ -396,5 +438,6 @@ object SampleQueries {
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
     sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
-    splitTrainValTest, sampleWeightedEs, curriculumInterleave)
+    splitTrainValTest, sampleWeightedEs, curriculumInterleave,
+    splitLeakageSafe)
 }

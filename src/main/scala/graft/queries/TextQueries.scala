@@ -1927,8 +1927,55 @@ object TextQueries {
       .orderBy($"source", $"log2_bucket")
   }
 
+  /** Priority-keep dedup — the production refinement of
+    * `dedup_exact`'s min-id winner: among duplicate copies, keep the
+    * copy from the HIGHEST-PRIORITY source (curated beats crawled),
+    * not the arbitrary min-id one. The duplicate class here is the
+    * 64-char-prefix digest — the "templated boilerplate head" rule
+    * that groups share-a-header docs (byte-identical copies are a
+    * subset; the same code runs on md5 of the full text or any
+    * cluster id). Priority is the source's numeric suffix
+    * (src0 ≻ src1 ≻ …); a real pipeline broadcasts a source→rank
+    * dim. The winner is row_number = 1 under the total order
+    * (priority, doc_id) — deterministic for the oracle, and the same
+    * window carries the copy count, so one shuffle serves both.
+    *
+    * Scale shape: the window partitions on the 16-byte DIGEST, not
+    * the document, so the exchange carries fixed-width keys plus row
+    * metadata, never text payloads; group cardinality ≈ corpus size,
+    * so partitions distribute evenly (no single-task risk). */
+  val dedupPriorityKeep: CatalogEntry = CatalogEntry(
+    "dedup_priority_keep",
+    """WITH p AS (
+      |  SELECT doc_id, source, md5(substring(text, 1, 64)) AS gkey,
+      |    substring(source, 4)::BIGINT AS prio
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, gkey, prio,
+      |    row_number() OVER (PARTITION BY gkey ORDER BY prio, doc_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY gkey) AS n_copies
+      |  FROM p)
+      |SELECT doc_id, source, n_copies::BIGINT AS n_copies
+      |FROM r WHERE rn = 1 AND n_copies >= 2
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"gkey")
+    val p = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        md5(substring($"text", 1, 64)).as("gkey"),
+        substring($"source", 4, 16).cast("bigint").as("prio"))
+    p.withColumn("rn",
+        row_number().over(w.orderBy($"prio", $"doc_id")))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .where($"rn" === 1 && $"n_copies" >= 2)
+      .select($"doc_id", $"source",
+        $"n_copies".cast("bigint").as("n_copies"))
+      .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    decontamSubstringExact, tokenLengthHistogram,
+    decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
     tfidfPerDocTopk,
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
