@@ -78,6 +78,48 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-cost MEMORY-BANDWIDTH probe: `threads` concurrent strided
+    * sums over per-thread 64 MB long arrays (touched at allocation, so
+    * steady-state reads, not page faults). Exists because the ALU
+    * probe is CACHE-RESIDENT and therefore BLIND to the dominant
+    * co-location hazard on a shared host: memory-bandwidth
+    * saturation. A starved session shows the exact signature the r10
+    * verdict called "transient session pressure" — normal LCG
+    * calibration, yet the same stages at ~10x executorCpuTime (cycles
+    * stalled on memory bill as CPU) and heavy jvmGCTime (GC is
+    * bandwidth-bound) — measured on this box: an idle-VM steady-state
+    * read rate of 0.1-1.9 GB/s (vs the >10 GB/s a healthy host
+    * gives) while the LCG probes read within 15% of baseline.
+    * calibm_sec makes that session state machine-detectable in the
+    * artifact. */
+  private lazy val memProbeArrays: IndexedSeq[Array[Long]] =
+    (1 to 8).map { _ =>
+      val a = new Array[Long](8 * 1024 * 1024) // 64 MB
+      var i = 0
+      while (i < a.length) { a(i) = i; i += 1024 } // touch pages
+      a
+    }
+
+  private def calibrateMem(): Double = {
+    val arrays = memProbeArrays // allocated once, reused every sweep
+    val t0 = System.nanoTime()
+    val ts = arrays.map { a =>
+      new Thread(() => {
+        var s = 0L
+        var pass = 0
+        while (pass < 4) {
+          var i = 0
+          while (i < a.length) { s += a(i); i += 8 } // one read/cacheline
+          pass += 1
+        }
+        calibSink = s
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -248,16 +290,42 @@ object Bench {
       val warmBudget =
         sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "120").toDouble
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      // Heavies first: when the deadline truncates the warm-up, the
-      // un-warmed tail should be the CHEAP entries (first-run codegen
-      // ~1 s each, shed by the sweep median), never the iterative /
-      // gram-join entries whose cold first run costs 10-100 s inside a
-      // timed sweep.
+      // Costliest first, DATA-DRIVEN: when the deadline truncates the
+      // warm-up, the un-warmed tail must be the CHEAP entries
+      // (first-run codegen ~1 s each, shed by the sweep median), never
+      // the iterative / gram-join entries whose cold first run costs
+      // 10-60 s inside a timed sweep. A static prefix list proved
+      // luck-dependent (r11: two runs with the same 120 s budget
+      // warmed different subsets; the one that missed
+      // dedup_cluster_cc paid 55 s for it in sweep 1 and the sweep
+      // blew the budget). Instead, rank by the MAX time ever recorded
+      // for the entry across the round artifacts in the repo
+      // (BENCH_r*.json / bench_out.json, scraped with the same regex
+      // as the baseline — stale highs are FINE here: an entry that was
+      // ever slow has expensive code paths worth warming first).
+      // Entries with no record (new this round) fall back to the
+      // heavy-prefix heuristic.
       val heavyPrefixes = Seq("dedup_", "decontam_", "graph_", "basket_",
         "anomaly_", "sample_cap", "corpus_", "multimodal_", "pipeline_")
-      val (heavy, light) =
-        names.partition(n => heavyPrefixes.exists(n.startsWith))
-      (heavy ++ light).foreach(queue.add)
+      val recordedCost: Map[String, Double] = {
+        import scala.jdk.CollectionConverters._
+        val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+        val files = Files.list(Paths.get("."))
+          .iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.matches("BENCH_r\\d+\\.json") || n == "bench_out.json"
+          }.toSeq
+        files.flatMap { p =>
+          val text = scala.util.Try(Files.readString(p)).getOrElse("")
+          kv.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+        }.groupMapReduce(_._1)(_._2)(math.max)
+      }
+      def warmRank(n: String): Double =
+        recordedCost.getOrElse(n,
+          if (heavyPrefixes.exists(n.startsWith)) 5.0 else 0.0)
+      names.sortBy(n => -warmRank(n)).foreach(queue.add)
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
           // NO unpersist in here: warm-up entries run CONCURRENTLY, and
@@ -269,16 +337,22 @@ object Bench {
           var n = queue.poll()
           while (n != null &&
               (System.nanoTime() - w0) / 1e9 < warmBudget) {
-            // Full per-query deadline even here: a SHORTER warm-up
-            // deadline was tried (45 s) and it made the bench WORSE —
-            // under 8-way contention the heavy iterative entries get
-            // cancelled mid-run, enter sweep 1 with cold generated
-            // code, and pay 20-50x there (observed: dedup_cluster_cc
-            // 48.6 s cold vs 2.0 s warmed; sweep 1 blew the whole
-            // budget). The heavies are EXACTLY the entries warm-up
-            // exists for; a ~30 s budget overrun from one straggler
-            // is absorbed by the pre-sweep feasibility margin.
-            runOnce(n, warmDir, attribute = false)
+            // Per-entry deadline = REMAINING warm budget (+30 s
+            // grace, floor 40 s). A short FLAT deadline was tried
+            // (45 s) and made the bench worse — it cancelled the
+            // heavy iterative entries mid-run under 8-way contention
+            // and they entered sweep 1 cold, paying 20-50x
+            // (dedup_cluster_cc 48.6 s cold vs 2.0 s warmed). With
+            // costliest-first ordering the expensive entries start
+            // EARLY and get effectively the full deadline; only
+            // stragglers started near the budget edge are clipped, so
+            // the warm-up cannot stretch a 120 s budget to 195 s
+            // (observed on a bandwidth-starved session) while the
+            // entries that matter still warm fully.
+            val remain = warmBudget - (System.nanoTime() - w0) / 1e9
+            runOnce(n, warmDir, attribute = false,
+              deadlineSec = math.min(queryDeadlineSec,
+                math.max(40.0, remain + 30.0)))
             n = queue.poll()
           }
         })
@@ -293,7 +367,8 @@ object Bench {
     // 3 interleaved sweeps: each query's samples land minutes apart, so
     // a transient contention window taxes at most one of its 3 samples.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val sweepCals = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val sweepCals =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
     var sweepsCompleted = 0
     var partial = false
     var lastSweepSec = 0.0
@@ -326,18 +401,44 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.gc()
-        // Drain pause: the gc() floods the ContextCleaner with every
-        // dead broadcast/RDD/shuffle ref accumulated by the preceding
-        // ~165 query executions; the cleaner's blocking BlockManager
-        // RPCs then tax whichever entries run next (observed: the
-        // inflated entries MOVED between runs, always the first ones
-        // after a System.gc — broadcast-building queries worst, 25x).
-        // 12 s of untimed settling lets the storm pass before any
-        // timed reading starts.
-        Thread.sleep(12000)
+        // Drain pause, ADAPTIVE (round-11): a fixed 12 s was tuned for
+        // the ContextCleaner RPC storm (now moot — referenceTracking is
+        // off in bench), but the dominant start-of-sweep hazard turned
+        // out to be the C2 COMPILE BACKLOG: the concurrent warm-up
+        // generates hundreds of whole-stage-codegen classes and queues
+        // them for C2; if sweep 1 starts while 16 compiler threads are
+        // still chewing the queue, entries run partially INTERPRETED on
+        // a compiler-taxed machine (observed: one session's sweep 1 at
+        // 286 s vs another's 114 s, same code, same coverage — slow
+        // entries showing the same stages at ~10x CPU). Wait until the
+        // JVM's total compilation time stops advancing (<400 ms of
+        // compiler work across a 2 s window, 3 windows in a row),
+        // capped at 75 s — time spent here is untimed and buys back
+        // multiples of itself inside the sweep.
+        locally {
+          Thread.sleep(4000) // GC/unpersist settling
+          val mx = java.lang.management.ManagementFactory
+            .getCompilationMXBean
+          if (mx == null || !mx.isCompilationTimeMonitoringSupported)
+            Thread.sleep(8000)
+          else {
+            val q0 = System.nanoTime()
+            var prev = mx.getTotalCompilationTime
+            var quiet = 0
+            while (quiet < 3 && (System.nanoTime() - q0) / 1e9 < 75.0) {
+              Thread.sleep(2000)
+              val cur = mx.getTotalCompilationTime
+              if (cur - prev < 400) quiet += 1 else quiet = 0
+              prev = cur
+            }
+            System.err.println(f"[bench] JIT quiesce wait " +
+              f"${(System.nanoTime() - q0) / 1e9}%.1f s before sweep $s")
+          }
+        }
         val c1 = calibrate(1)
         val cN = calibrate(cpus.toInt)
-        sweepCals += ((c1, cN))
+        val cM = calibrateMem()
+        sweepCals += ((c1, cN, cM))
         val sw0 = System.nanoTime()
         // Budget shard (round-11): the `*_portable` verification twins
         // exist only to hash-oracle the sketch entries — their md5-as-
@@ -375,12 +476,13 @@ object Bench {
               else t.sorted.apply((t.length - 1) / 2))
       }
     }
-    def medCal(sel: ((Double, Double)) => Double): Double = {
+    def medCal(sel: ((Double, Double, Double)) => Double): Double = {
       val v = sweepCals.map(sel).sorted
       if (v.isEmpty) -1.0 else v((v.length - 1) / 2)
     }
     val calib1 = medCal(_._1)
     val calibN = medCal(_._2)
+    val calibM = medCal(_._3)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -443,6 +545,7 @@ object Bench {
         s""""production_sec":$prod,"verification_sec":${total - prod},""" +
         s""""calib1_sec":${math.rint(calib1 * 1000) / 1000},""" +
         s""""calibn_sec":${math.rint(calibN * 1000) / 1000},""" +
+        s""""calibm_sec":${math.rint(calibM * 1000) / 1000},""" +
         s""""partial":$partial,"sweeps_completed":$sweepsCompleted,""" +
         s""""deadlined":$deadlinedJson""" +
         s"""$extra,"sf":"$sfDir"}"""
