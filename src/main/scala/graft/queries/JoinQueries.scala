@@ -485,9 +485,12 @@ object JoinQueries {
     * Scale shape: ONE partial-aggregated pass over lineitem builds the
     * (part, supplier) cost table — the only fact-sized shuffle; the
     * region-restricted supplier dim and the size/type-filtered part
-    * dim both broadcast; the per-part min reuses the cost table's
-    * exchange (same grouping key prefix). The argmin join is
-    * cost ⋈ min on (pk, cost) — equi-keyed, never all-pairs. */
+    * dim both broadcast. The per-part argmin is a WINDOW MIN over pk,
+    * not a join back against a grouped-min subquery: the join form
+    * plans the filtered cost pipeline TWICE (one per join side — the
+    * min aggregate on top defeats exchange reuse), doubling the fact
+    * pass at scale; the window form re-exchanges the already-filtered
+    * (tiny) cost rows once and needs no self-join at all. */
   val q2MinCostSupplier: CatalogEntry = CatalogEntry(
     "q2_min_cost_supplier",
     """WITH cost AS (
@@ -501,16 +504,18 @@ object JoinQueries {
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'EUROPE'),
       |pc AS (
-      |  SELECT pk, sk, cost_e3 FROM cost
+      |  SELECT pk, sk, cost_e3,
+      |    min(cost_e3) OVER (PARTITION BY pk) AS mc
+      |  FROM cost
       |  JOIN eu ON sk = s_suppkey
       |  JOIN part ON p_partkey = pk
-      |  WHERE p_size = 15 AND p_type = 'STANDARD'),
-      |mn AS (SELECT pk, min(cost_e3) AS mc FROM pc GROUP BY 1)
+      |  WHERE p_size = 15 AND p_type = 'STANDARD')
       |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
       |       p_partkey, p_name, cost_e3
-      |FROM pc JOIN mn ON pc.pk = mn.pk AND cost_e3 = mc
+      |FROM pc
       |JOIN eu ON sk = s_suppkey
       |JOIN part ON p_partkey = pc.pk
+      |WHERE cost_e3 = mc
       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       |LIMIT 100""".stripMargin) { (s, d) =>
     import s.implicits._
@@ -532,8 +537,9 @@ object JoinQueries {
       .join(broadcast(eu.select($"s_suppkey")), $"sk" === $"s_suppkey")
       .join(broadcast(qualPart.select($"p_partkey")), $"pk" === $"p_partkey")
       .select($"pk", $"sk", $"cost_e3")
-    val mn = pc.groupBy($"pk".as("mpk")).agg(min($"cost_e3").as("mc"))
-    pc.join(mn, $"pk" === $"mpk" && $"cost_e3" === $"mc")
+      .withColumn("mc",
+        min($"cost_e3").over(Window.partitionBy($"pk")))
+    pc.where($"cost_e3" === $"mc")
       .join(broadcast(eu), $"sk" === $"s_suppkey")
       .join(broadcast(qualPart), $"pk" === $"p_partkey")
       .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name",
