@@ -1974,8 +1974,73 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Candidate-generator QUALITY census — the measurement a pipeline
+    * owner reads before trusting near-dup removal at 100 TB: every
+    * candidate pair the rare-gram blocker emits, verified with its
+    * EXACT 13-gram Jaccard and bucketed into a precision histogram
+    * (bucket = ⌊10·J⌋; bucket 10 = byte-identical gram sets). A
+    * blocker that floods buckets 0-2 wastes verify compute; one whose
+    * mass sits in 8-10 is safe to act on — this entry makes that
+    * judgment a query instead of folklore.
+    *
+    * Scale shape: candidates come from the production blocker
+    * ([[Dedup.sharedGramPairs]] — bounded postings, never all-pairs);
+    * the verify stage joins pairs back to per-doc gram sets on each
+    * endpoint (two hash joins keyed on doc id) and the Jaccard is one
+    * row-local `array_intersect` per pair — computed ONCE into a
+    * column before the arithmetic (projecting it k times re-inlines
+    * the intersection k times under CollapseProject). All-integer
+    * ppm: `(1e6·|∩|) div (|A|+|B|−|∩|)`, denominator ≥ 1 since a
+    * candidate shares ≥ 1 gram. At 100 TB the histogram runs on a
+    * hash-sampled slice of the pairs; the plan is unchanged. */
+  val dedupCandidateQuality: CatalogEntry = CatalogEntry(
+    "dedup_candidate_quality",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |gl AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(list_slice(toks, i, i + 12), ' ')
+      |                   for i in range(1, greatest(len(toks) - 11, 1))])
+      |      AS gs
+      |  FROM t),
+      |g AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
+      |rare AS (SELECT gram FROM g GROUP BY gram
+      |         HAVING count(*) BETWEEN 2 AND 50),
+      |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      WHERE a.gram IN (SELECT gram FROM rare)),
+      |j AS (
+      |  SELECT src, dst, len(x.gs) AS na, len(y.gs) AS nb,
+      |    len(list_intersect(x.gs, y.gs)) AS ni
+      |  FROM e JOIN gl x ON x.doc_id = src JOIN gl y ON y.doc_id = dst),
+      |p AS (SELECT (1000000 * ni) // (na + nb - ni) AS jac_ppm FROM j)
+      |SELECT (jac_ppm * 10 // 1000000)::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_pairs,
+      |  min(jac_ppm)::BIGINT AS min_ppm, max(jac_ppm)::BIGINT AS max_ppm
+      |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+      n = 13, maxDf = 50)
+    val gl = Tables.spreadScan(docs.where($"text".isNotNull))
+      .select($"doc_id", Dedup.tokenNgrams($"text", 13).as("gs"))
+    pairs
+      .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
+      .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
+      .select(size($"ga").as("na"), size($"gb").as("nb"),
+        size(array_intersect($"ga", $"gb")).as("ni"))
+      .select(expr("(1000000 * ni) div (na + nb - ni)").as("jac_ppm"))
+      .groupBy(expr("(jac_ppm * 10) div 1000000").cast("bigint")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"jac_ppm").cast("bigint").as("min_ppm"),
+        max($"jac_ppm").cast("bigint").as("max_ppm"))
+      .orderBy($"bucket")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
+    dedupCandidateQuality,
     tfidfPerDocTopk,
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
