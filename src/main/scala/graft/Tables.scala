@@ -47,8 +47,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Documents reads are CPU-dense downstream for the same reason as
+    * [[embeddings]] — tokenize / regex / n-gram / hashing per row —
+    * and the corpus ships as a single-row-group file at test SFs, so
+    * every text entry otherwise inherits a 1-task scan (observed under
+    * a bandwidth-starved session: doc_quality_filter 18.8 s on one
+    * core vs 0.26 s spread). Filters still push below the
+    * repartition; at warehouse scale the guard no-ops. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    spreadScan(table(s, d, "documents"))
+
+  /** Embeddings reads are ALWAYS CPU-dense downstream — every consumer
+    * does per-row vector math (dot products, norms, quantization,
+    * centroid distances), so the scan's byte-sized parallelism is the
+    * wrong parallelism for all of them (observed: an 11.3 s single-task
+    * k-means assign stage over a single-row-group file that reads
+    * 0.4 s spread across the cores). spreadScan at the reader fixes
+    * the whole family at once; scan-level predicates still reach the
+    * parquet scan (Catalyst pushes filters through repartition), and
+    * at warehouse scale — where the scan already has >= shufN splits —
+    * the guard makes this a no-op. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spreadScan(table(s, d, "embeddings"))
 
   /** Scan-parallelism guard for CPU-DENSE pipelines (tokenize /
     * n-gram explode / codec work), where per-row compute dwarfs scan

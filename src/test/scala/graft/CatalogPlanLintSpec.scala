@@ -107,9 +107,13 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "doc_repetition_stats" -> "rep_stats")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
-      assert(shuffleCount(physical) <= 1,
-        s"$name: sketch + determinism sort allow at most 1 shuffle " +
-          s"exchange, got ${shuffleCount(physical)}:\n$physical")
+      // <= 2: the determinism sort plus the documents reader's
+      // spreadScan round-robin exchange (scan-parallelism for the
+      // CPU-dense kernel; a no-op on a warehouse-scale scan). The
+      // kernel stage itself still plans no keyed shuffle.
+      assert(shuffleCount(physical) <= 2,
+        s"$name: sketch + determinism sort + scan spread allow at most " +
+          s"2 shuffle exchanges, got ${shuffleCount(physical)}:\n$physical")
       val optimized = df.queryExecution.optimizedPlan.toString
       val evals = kernel.r.findAllMatchIn(optimized).size
       assert(evals == 1,
@@ -145,7 +149,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "scd2_point_in_time" -> 3,     // versions + asof union + sort
         "events_value_histogram" -> 2, // partial-agg exchange + sort
         "events_bitwise_agg" -> 2,     // partial-agg exchange + sort
-        "sample_cap_per_source" -> 3)) { // salt phase + exact phase + sort
+        "sample_cap_per_source" -> 4)) { // spread + salt + exact + sort
       val plan = SparkEntry.catalog(name).query(spark, sf)
         .queryExecution.executedPlan.toString
       assert(shuffleCount(plan) <= maxShuffles,
