@@ -123,7 +123,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    def buildSession(): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -150,7 +150,6 @@ object Bench {
       // Verify/tests keep the default cleaner.
       .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     // Wall-clock discipline (round-9 fix): the driver runs Bench under a
     // hard external timeout (~600 s including sbt startup/compile) and a
@@ -188,23 +187,29 @@ object Bench {
     // that hit them.
     val stageLog =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
-            : Unit = {
-          val i = sc.stageInfo
-          val dur = (for { a <- i.completionTime; b <- i.submissionTime }
-            yield a - b).getOrElse(-1L)
-          if (dur >= 2000) {
-            val m = i.taskMetrics
-            stageLog.add(f"stage ${i.stageId} real ${dur / 1000.0}%.1f s " +
-              f"tasks=${i.numTasks} cpu=${m.executorCpuTime / 1e9}%.1f " +
-              f"run=${m.executorRunTime / 1e3}%.1f " +
-              f"gc=${m.jvmGCTime / 1e3}%.1f")
+    def newSession(): SparkSession = {
+      val s = buildSession()
+      s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = sc.stageInfo
+            val dur = (for { a <- i.completionTime; b <- i.submissionTime }
+              yield a - b).getOrElse(-1L)
+            if (dur >= 2000) {
+              val m = i.taskMetrics
+              stageLog.add(f"stage ${i.stageId} real ${dur / 1000.0}%.1f s " +
+                f"tasks=${i.numTasks} cpu=${m.executorCpuTime / 1e9}%.1f " +
+                f"run=${m.executorRunTime / 1e3}%.1f " +
+                f"gc=${m.jvmGCTime / 1e3}%.1f")
+            }
           }
-        }
-      })
+        })
+      s
+    }
+    var spark = newSession()
     // Per-query deadline (round-11, verdict item 5): one pathological
     // entry must never zero out a whole sweep again (r10: a single
     // 466 s entry burned the entire 470 s budget → partial artifact,
@@ -279,6 +284,32 @@ object Bench {
     // Only the UNTIMED sweep runs concurrently — timed sweeps stay
     // strictly serial so one query's reading never includes another's
     // CPU contention.
+    // Recorded-cost rank, shared by warm-up (descending: warm the
+    // expensive first) and sweep order (ascending: time the cheap
+    // first): the MAX time ever recorded per entry across the round
+    // artifacts in the repo (BENCH_r*.json / bench_out.json, scraped
+    // with the baseline's regex — stale highs are fine, they mark
+    // expensive code paths). Unrecorded (new) entries rank by the
+    // heavy-prefix heuristic.
+    val costRank: String => Double = {
+      import scala.jdk.CollectionConverters._
+      val heavyPrefixes = Seq("dedup_", "decontam_", "graph_", "basket_",
+        "anomaly_", "sample_cap", "corpus_", "multimodal_", "pipeline_")
+      val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+      val recorded: Map[String, Double] = Files.list(Paths.get("."))
+        .iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.matches("BENCH_r\\d+\\.json") || n == "bench_out.json"
+        }.toSeq
+        .flatMap { p =>
+          val text = scala.util.Try(Files.readString(p)).getOrElse("")
+          kv.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+        }.groupMapReduce(_._1)(_._2)(math.max)
+      n => recorded.getOrElse(n,
+        if (heavyPrefixes.exists(n.startsWith)) 5.0 else 0.0)
+    }
     locally {
       val w0 = System.nanoTime()
       // Hard deadline: the concurrent warm-up's wall time is high-
@@ -305,27 +336,7 @@ object Bench {
       // ever slow has expensive code paths worth warming first).
       // Entries with no record (new this round) fall back to the
       // heavy-prefix heuristic.
-      val heavyPrefixes = Seq("dedup_", "decontam_", "graph_", "basket_",
-        "anomaly_", "sample_cap", "corpus_", "multimodal_", "pipeline_")
-      val recordedCost: Map[String, Double] = {
-        import scala.jdk.CollectionConverters._
-        val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-        val files = Files.list(Paths.get("."))
-          .iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.matches("BENCH_r\\d+\\.json") || n == "bench_out.json"
-          }.toSeq
-        files.flatMap { p =>
-          val text = scala.util.Try(Files.readString(p)).getOrElse("")
-          kv.findAllMatchIn(text)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-        }.groupMapReduce(_._1)(_._2)(math.max)
-      }
-      def warmRank(n: String): Double =
-        recordedCost.getOrElse(n,
-          if (heavyPrefixes.exists(n.startsWith)) 5.0 else 0.0)
-      names.sortBy(n => -warmRank(n)).foreach(queue.add)
+      names.sortBy(n => -costRank(n)).foreach(queue.add)
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
           // NO unpersist in here: warm-up entries run CONCURRENTLY, and
@@ -392,14 +403,25 @@ object Bench {
             f"sweep ($lastSweepSec%.0f s): stopping after ${s - 1} sweeps")
           sweepLoop.break()
         }
-        // Drop cached blocks left by checkpointing entries (CC, page-
-        // rank, set-sim…): once an entry's noop write returns, its
-        // localCheckpoint RDDs are unreachable but still pinned in the
-        // BlockManager until a GC notices — ~400 executions per bench
-        // session accumulate GBs, and the resulting G1 concurrent
-        // cycles tax every query's reading.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // SESSION RESTART (round-11): `getPersistentRDDs.unpersist`
+        // only drops blocks whose RDDs are still registered — the
+        // localCheckpoint / broadcast blocks of ~200 already-finished
+        // warm-up executions are dead-but-STRONGLY-HELD by the
+        // BlockManager store with the cleaner off, so sweep 1 started
+        // on a nearly-full old gen and heavy entries GC-thrashed
+        // (observed: a stage with executorRun 112 s of which
+        // jvmGCTime 100.7 s, calibration probes all normal). Stopping
+        // the context releases the entire store wholesale; what must
+        // survive a restart DOES survive: JIT-compiled code and the
+        // JVM-static generated-class cache (codegen.cache lives in
+        // object CodeGenerator, not the session). Re-planning per
+        // entry costs ~0.1-0.3 s, identical for every run. The heap at
+        // each timed sweep's start is thereby DETERMINISTIC — the
+        // run-to-run variance of "how full did warm-up leave the old
+        // gen" is what made identical code bench 0.6x one hour and
+        // 1.8x the next.
+        spark.stop()
+        spark = newSession()
         System.gc()
         // Drain pause, ADAPTIVE (round-11): a fixed 12 s was tuned for
         // the ContextCleaner RPC storm (now moot — referenceTracking is
@@ -446,8 +468,17 @@ object Bench {
         // throughput ratio already. Timing them once (sweep 1) keeps
         // their numbers in the artifact while the repeat sweeps spend
         // the budget on production entries only.
+        // CHEAPEST-FIRST sweep order (round-11): a budget-death mid-
+        // sweep used to leave an alphabetical prefix — the dedup_*
+        // heavies — as the whole partial sample (r11: a 30-entry
+        // partial read 9.3x on cold cluster entries alone). Cheap
+        // entries first maximizes per-entry coverage per unit budget;
+        // heavies still run at the sweep's end, a COMPLETED sweep
+        // times the identical set either way, and a partial stays
+        // marked partial.
         val sweepNames =
-          if (s == 1) names else names.filterNot(verificationOnly)
+          (if (s == 1) names else names.filterNot(verificationOnly))
+            .sortBy(costRank)
         for (n <- sweepNames) {
           if (elapsedSec > budgetSec) {
             partial = true
