@@ -2038,9 +2038,129 @@ object TextQueries {
       .orderBy($"bucket")
   }
 
+
+  /** BPE merge learning — the first 6 merge rounds of byte-pair
+    * encoding learned from the corpus, the vocabulary-induction step
+    * every tokenizer pipeline runs before `vocab_encode_docs` can
+    * exist. Each round counts frequency-weighted adjacent symbol
+    * pairs, picks the argmax under the total order (count DESC, pair
+    * ASC — deterministic for the oracle), and applies the merge with
+    * a plain left-to-right `replace` (both engines replace
+    * non-overlapping occurrences left to right, which IS greedy BPE
+    * application). Round 6 already learns a multi-character merge on
+    * this corpus ("m er" -> "mer") — the real BPE dynamic, not a
+    * bigram census.
+    *
+    * Scale shape: THE textbook reason BPE scales — learning runs on
+    * the WORD-FREQUENCY table, not the corpus. The corpus-sized
+    * shuffle happens exactly once (the word count); all 6 rounds are
+    * vocab-sized: a tiny pair aggregate, a 1-row broadcast argmax,
+    * and a row-local merge apply, with lineage truncated per round.
+    * At 100 TB only the word count grows. */
+  val vocabBpeMerges: CatalogEntry = CatalogEntry(
+    "vocab_bpe_merges",
+    """WITH w AS (
+      |  SELECT word, count(*)::BIGINT AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |        WHERE text IS NOT NULL)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT word, freq,
+      |        trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM w),
+      |p1 AS (
+      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+      |                         for i in range(1, len(sy))]) AS pr
+      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s0))
+      |  GROUP BY pr),
+      |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr LIMIT 1),
+      |s1 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m1),
+      |           replace((SELECT pr FROM m1), ' ', '')) AS sym FROM s0),
+      |p2 AS (
+      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+      |                         for i in range(1, len(sy))]) AS pr
+      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s1))
+      |  GROUP BY pr),
+      |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr LIMIT 1),
+      |s2 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m2),
+      |           replace((SELECT pr FROM m2), ' ', '')) AS sym FROM s1),
+      |p3 AS (
+      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+      |                         for i in range(1, len(sy))]) AS pr
+      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s2))
+      |  GROUP BY pr),
+      |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1),
+      |s3 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m3),
+      |           replace((SELECT pr FROM m3), ' ', '')) AS sym FROM s2),
+      |p4 AS (
+      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+      |                         for i in range(1, len(sy))]) AS pr
+      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s3))
+      |  GROUP BY pr),
+      |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr LIMIT 1),
+      |s4 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m4),
+      |           replace((SELECT pr FROM m4), ' ', '')) AS sym FROM s3),
+      |p5 AS (
+      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+      |                         for i in range(1, len(sy))]) AS pr
+      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s4))
+      |  GROUP BY pr),
+      |m5 AS (SELECT pr, cnt FROM p5 ORDER BY cnt DESC, pr LIMIT 1),
+      |s5 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m5),
+      |           replace((SELECT pr FROM m5), ' ', '')) AS sym FROM s4),
+      |p6 AS (
+      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+      |                         for i in range(1, len(sy))]) AS pr
+      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s5))
+      |  GROUP BY pr),
+      |m6 AS (SELECT pr, cnt FROM p6 ORDER BY cnt DESC, pr LIMIT 1),
+      |s6 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m6),
+      |           replace((SELECT pr FROM m6), ' ', '')) AS sym FROM s5)
+      |SELECT * FROM (SELECT 1::BIGINT AS round, pr AS pair, cnt FROM m1
+      |UNION ALL SELECT 2::BIGINT AS round, pr AS pair, cnt FROM m2
+      |UNION ALL SELECT 3::BIGINT AS round, pr AS pair, cnt FROM m3
+      |UNION ALL SELECT 4::BIGINT AS round, pr AS pair, cnt FROM m4
+      |UNION ALL SELECT 5::BIGINT AS round, pr AS pair, cnt FROM m5
+      |UNION ALL SELECT 6::BIGINT AS round, pr AS pair, cnt FROM m6) ORDER BY round""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select(explode(TextOps.tokens($"text")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    var sym = words
+      .withColumn("sym", trim(regexp_replace($"word", "(.)", "$1 ")))
+      .localCheckpoint()
+    val rounds = (1 to 6).map { r =>
+      val winner = sym
+        .select($"freq", split($"sym", " ").as("sy"))
+        .select($"freq", explode(when(size($"sy") >= 2, expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("pr"))
+        .groupBy($"pr").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pr").limit(1)
+        .withColumn("round", lit(r.toLong))
+        .localCheckpoint() // argmax pinned; reused by output AND apply
+      sym = sym
+        .crossJoin(broadcast(winner.select($"pr".as("mpr"))))
+        .withColumn("sym", expr("replace(sym, mpr, replace(mpr, ' ', ''))"))
+        .drop("mpr")
+        .localCheckpoint() // vocab-sized; truncates the 6-round lineage
+      winner
+    }
+    rounds.reduce(_ unionByName _)
+      .select($"round", $"pr".as("pair"), $"cnt")
+      .orderBy($"round")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
-    dedupCandidateQuality,
+    dedupCandidateQuality, vocabBpeMerges,
     tfidfPerDocTopk,
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,

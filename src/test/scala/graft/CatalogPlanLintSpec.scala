@@ -34,6 +34,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "events_interarrival_histogram", // broadcast 1-row delta-total scalar
     "retrieval_hybrid_rrf",  // broadcast 1 query embedding (dense ranker)
     "curriculum_interleave", // broadcast 1-row percentile-cuts scalar
+    "vocab_bpe_merges",      // 6x broadcast 1-row argmax merge winners
     "q22_global_sales",      // broadcast 1-row global-average scalar
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
