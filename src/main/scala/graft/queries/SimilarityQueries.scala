@@ -380,6 +380,99 @@ object SimilarityQueries {
     * the IVF coarse-assign pass (`sim_ann_ivf`); reference scope:
     * app.py:44-49 charts per-currency aggregates, the analogous
     * group-then-summarize shape over a derived key. */
+  /** Semantic dedup (the SemDeDup shape, arXiv:2303.09540): cluster
+    * the embedding space, then prune within-cluster pairs whose
+    * cosine exceeds a threshold, keeping the lowest id — the
+    * embedding-level near-dup pass that catches paraphrases exact and
+    * n-gram dedup cannot see. Clustering reuses the
+    * [[embedKmeansAssign]] pipeline (deterministic seed centroids,
+    * nano-quantized exact distances); the cosine test is cleared of
+    * floats entirely by squaring: `cos > 0.4` becomes
+    * `dotq > 0 AND 100·dotq² > 16·naq·nbq` over nano-quantized BIGINT
+    * dot/norm sums, widened to DECIMAL(38,0) for the squares (the
+    * Bollinger sqrt-elimination precedent) — no IEEE boundary can
+    * flip membership. Output: each pruned vector with its cluster and
+    * how many lower-id near-neighbors condemned it.
+    *
+    * Scale shape: the all-pairs join is WITHIN-CLUSTER only (equi-join
+    * on cluster id, never corpus-wide); at 100 TB the per-cluster
+    * block is further LSH-bucketed (`sim_bucketed_pairs`) before
+    * pairing — the threshold algebra is unchanged. Assignment is one
+    * broadcast-centroid pass; norms ride the same row. */
+  val dedupSemanticEmbed: CatalogEntry = CatalogEntry(
+    "dedup_semantic_embed",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id < 8),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid, e.embedding AS v,
+      |    list_sum([round(((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * ((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * 1e9, 0)::BIGINT
+      |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS d2q
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |n AS (
+      |  SELECT vec_id, cid, v,
+      |    list_sum([round((v[i]::DOUBLE) * (v[i]::DOUBLE) * 1e9, 0)::BIGINT
+      |              for i in range(1, len(v) + 1)])::BIGINT AS nq
+      |  FROM asg),
+      |p AS (
+      |  SELECT x.vec_id AS keep_id, y.vec_id AS prune_id, y.cid AS cid,
+      |    list_sum([round((x.v[i]::DOUBLE) * (y.v[i]::DOUBLE) * 1e9, 0)::BIGINT
+      |              for i in range(1, len(x.v) + 1)])::BIGINT AS dotq,
+      |    x.nq AS naq, y.nq AS nbq
+      |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      |SELECT prune_id AS vec_id, cid AS cluster,
+      |  count(*)::BIGINT AS n_dups
+      |FROM p
+      |WHERE dotq > 0 AND
+      |  100::HUGEINT * dotq::HUGEINT * dotq::HUGEINT >
+      |  16::HUGEINT * naq::HUGEINT * nbq::HUGEINT
+      |GROUP BY prune_id, cid
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cent = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val asg = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"embedding".as("v"), $"cid",
+        aggregate(
+          zip_with($"embedding", $"cvec", (a, c) => {
+            val diff = a.cast("double") - c.cast("double")
+            round(diff * diff * lit(1e9), 0).cast("long")
+          }),
+          lit(0L), (acc, t) => acc + t).as("d2q"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2q", $"cid", $"v")).as("b"))
+      .select($"vec_id", $"b.cid".as("cid"), $"b.v".as("v"))
+    val n = asg.withColumn("nq",
+      aggregate(zip_with($"v", $"v", (a, b) =>
+          round(a.cast("double") * b.cast("double") * lit(1e9), 0)
+            .cast("long")),
+        lit(0L), (acc, t) => acc + t))
+    val x = n.select($"vec_id".as("keep_id"), $"cid",
+      $"v".as("xv"), $"nq".as("naq"))
+    val y = n.select($"vec_id".as("prune_id"), $"cid".as("ycid"),
+      $"v".as("yv"), $"nq".as("nbq"))
+    x.join(y, $"cid" === $"ycid" && $"keep_id" < $"prune_id")
+      .select($"prune_id", $"cid", $"naq", $"nbq",
+        aggregate(zip_with($"xv", $"yv", (a, b) =>
+            round(a.cast("double") * b.cast("double") * lit(1e9), 0)
+              .cast("long")),
+          lit(0L), (acc, t) => acc + t).as("dotq"))
+      .where($"dotq" > 0 &&
+        lit(100).cast("decimal(38,0)") * $"dotq" * $"dotq" >
+          lit(16).cast("decimal(38,0)") * $"naq" * $"nbq")
+      .groupBy($"prune_id".as("vec_id"), $"cid".as("cluster"))
+      .agg(count(lit(1)).as("n_dups"))
+      .orderBy($"vec_id")
+  }
+
   val embedKmeansAssign: CatalogEntry = CatalogEntry(
     "embed_kmeans_assign",
     """WITH cent AS (
@@ -654,6 +747,7 @@ object SimilarityQueries {
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
     arrayStats, embeddingCentroids, arrayManipulation,
+    dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
     embedNormalizeL2)
 }

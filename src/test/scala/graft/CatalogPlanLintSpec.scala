@@ -39,6 +39,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
+    "dedup_semantic_embed",  // same k=8 centroid assign feeds the prune
     "embed_kmeans_update",   // same coarse-assign shape as above
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
