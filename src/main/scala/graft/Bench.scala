@@ -310,6 +310,7 @@ object Bench {
       n => recorded.getOrElse(n,
         if (heavyPrefixes.exists(n.startsWith)) 5.0 else 0.0)
     }
+    var unwarmed = -1
     locally {
       val w0 = System.nanoTime()
       // Hard deadline: the concurrent warm-up's wall time is high-
@@ -371,6 +372,7 @@ object Bench {
       warmThreads.foreach(_.start())
       warmThreads.foreach(_.join())
       val skipped = queue.size
+      unwarmed = skipped
       System.err.println(f"[bench] warm-up sweep ($warmDir, 8 threads) " +
         f"${(System.nanoTime() - w0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s" +
         (if (skipped > 0) s"; $skipped entries un-warmed (deadline)" else ""))
@@ -423,6 +425,21 @@ object Bench {
         spark.stop()
         spark = newSession()
         System.gc()
+        // Settle pass: the fresh session's first queries absorb its
+        // init + compile storm — the r11 run that restarted and then
+        // timed cheapest-first showed a consecutive stretch of ~dozen
+        // sub-second entries reading 7-14 s each (stage run-time 4x
+        // their CPU: task threads waiting out compiler/init threads),
+        // and the pre-sweep JIT quiesce can't see it because
+        // compilation only STARTS when queries run. Three median-cost
+        // entries run untimed first and eat that storm; the extra
+        // warmth they gain is what warm-up intends for every entry
+        // anyway.
+        locally {
+          val settle = names.sortBy(costRank).drop(names.size / 2).take(3)
+          settle.foreach(n =>
+            runOnce(n, sfDir, attribute = false, deadlineSec = 20.0))
+        }
         // Drain pause, ADAPTIVE (round-11): a fixed 12 s was tuned for
         // the ContextCleaner RPC storm (now moot — referenceTracking is
         // off in bench), but the dominant start-of-sweep hazard turned
@@ -578,6 +595,7 @@ object Bench {
         s""""calibn_sec":${math.rint(calibN * 1000) / 1000},""" +
         s""""calibm_sec":${math.rint(calibM * 1000) / 1000},""" +
         s""""partial":$partial,"sweeps_completed":$sweepsCompleted,""" +
+        s""""unwarmed":$unwarmed,""" +
         s""""deadlined":$deadlinedJson""" +
         s"""$extra,"sf":"$sfDir"}"""
     println(line)
