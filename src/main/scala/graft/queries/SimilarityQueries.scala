@@ -744,8 +744,36 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** ANN recall@10 — the evaluation harness that justifies trusting
+    * `sim_ann_lsh` at scale: the LSH candidate path's top-10 joined
+    * against the exact brute-force top-10, reported as one (n_hit,
+    * recall_pct) row. Composed from the two existing entries (same
+    * plans, same oracles — the SQL nests both pipelines verbatim), so
+    * this entry can never drift from what it evaluates. SimilaritySpec
+    * asserts recall >= 0.9 at sf0.1; this makes the measurement a
+    * first-class, hash-gated query instead of a test-only fact.
+    *
+    * Scale shape: both sides are top-10 rows; the join is trivial. At
+    * 100 TB the same composition runs over a SAMPLE of query vectors
+    * (a few thousand) — recall estimation never needs the corpus
+    * twice. */
+  val simRecallAtK: CatalogEntry = CatalogEntry(
+    "sim_recall_at_k",
+    s"""SELECT count(*)::BIGINT AS n_hit,
+       |  (count(*) * 10)::BIGINT AS recall_pct
+       |FROM (${simAnnLsh.oracle.get.replace("\n", "\n      ")}) a
+       |JOIN (${simCosineTopk.oracle.get.replace("\n", "\n      ")}) e
+       |  ON a.vec_id = e.vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ann = simAnnLsh.query(s, d).select($"vec_id")
+    val exact = simCosineTopk.query(s, d).select($"vec_id".as("evid"))
+    ann.join(exact, $"vec_id" === $"evid")
+      .agg(count(lit(1)).as("n_hit"),
+        (count(lit(1)) * 10).as("recall_pct"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk,
+    simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,

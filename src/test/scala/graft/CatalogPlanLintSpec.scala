@@ -35,6 +35,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "retrieval_hybrid_rrf",  // broadcast 1 query embedding (dense ranker)
     "curriculum_interleave", // broadcast 1-row percentile-cuts scalar
     "vocab_bpe_merges",      // 6x broadcast 1-row argmax merge winners
+    "sim_recall_at_k",       // composes sim_cosine_topk's 1-query cross
     "q22_global_sales",      // broadcast 1-row global-average scalar
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
