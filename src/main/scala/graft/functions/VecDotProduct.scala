@@ -71,6 +71,69 @@ case class VecDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nano-quantized exact-integer dot product:
+  * Σᵢ rint(aᵢ·bᵢ·1e9) as BIGINT — the oracle-replayable building block
+  * of every "cleared of floats by squaring" similarity test
+  * (`dedup_semantic_embed`'s cosine threshold). Per-element rounding
+  * is HALF_EVEN (`Math.rint` ≡ DuckDB `roundbankers(x, 0)` on the
+  * identical IEEE product — both operate directly on the double, no
+  * `floor(x+0.5)` boundary hazard), so the quantized sums are
+  * bit-identical cross-engine and integer addition makes the total
+  * order-free.
+  *
+  * Same rationale as [[VecDotProduct]]: the `zip_with` + `round` +
+  * `aggregate` fold evaluates interpreted — boxing every element,
+  * allocating an intermediate array, and calling BigDecimal per
+  * element for the HALF_UP round; this is one primitive fused loop
+  * inside whole-stage codegen. In the semantic-dedup pair stage
+  * (millions of within-cluster pairs × dim) the fold was the top CPU
+  * consumer of the entire bench. Null contract as VecDotProduct. */
+case class VecDotQ9(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_q9 expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_q9"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Math.rint(
+        x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e9).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, s) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.rint(
+         |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1e9);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Int8 quantize-and-score in one pass: both `array<float>` vectors are
   * symmetric-quantized to int8 codes (code_i = round(127 x_i / max|x|))
   * and the approximate ranking score dot(qa, qb) / |qa| comes out of
@@ -180,6 +243,8 @@ object GraftFunctions {
     if (!registered.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_q9", exprs => VecDotQ9(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order2", exprs => ZOrderKey(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -391,7 +391,11 @@ object SimilarityQueries {
     * `dotq > 0 AND 100·dotq² > 16·naq·nbq` over nano-quantized BIGINT
     * dot/norm sums, widened to DECIMAL(38,0) for the squares (the
     * Bollinger sqrt-elimination precedent) — no IEEE boundary can
-    * flip membership. Output: each pruned vector with its cluster and
+    * flip membership. The quantized sums come from the native
+    * [[graft.functions.VecDotQ9]] kernel (one fused codegen loop;
+    * HALF_EVEN per element ≡ DuckDB `roundbankers`) — the interpreted
+    * zip_with+round+aggregate fold it replaced was the single largest
+    * CPU consumer in the bench at millions of within-cluster pairs. Output: each pruned vector with its cluster and
     * how many lower-id near-neighbors condemned it.
     *
     * Scale shape: the all-pairs join is WITHIN-CLUSTER only (equi-join
@@ -418,12 +422,12 @@ object SimilarityQueries {
       |    FROM d2) WHERE rn = 1),
       |n AS (
       |  SELECT vec_id, cid, v,
-      |    list_sum([round((v[i]::DOUBLE) * (v[i]::DOUBLE) * 1e9, 0)::BIGINT
+      |    list_sum([roundbankers((v[i]::DOUBLE) * (v[i]::DOUBLE) * 1e9, 0)::BIGINT
       |              for i in range(1, len(v) + 1)])::BIGINT AS nq
       |  FROM asg),
       |p AS (
       |  SELECT x.vec_id AS keep_id, y.vec_id AS prune_id, y.cid AS cid,
-      |    list_sum([round((x.v[i]::DOUBLE) * (y.v[i]::DOUBLE) * 1e9, 0)::BIGINT
+      |    list_sum([roundbankers((x.v[i]::DOUBLE) * (y.v[i]::DOUBLE) * 1e9, 0)::BIGINT
       |              for i in range(1, len(x.v) + 1)])::BIGINT AS dotq,
       |    x.nq AS naq, y.nq AS nbq
       |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id)
@@ -450,21 +454,15 @@ object SimilarityQueries {
       .groupBy($"vec_id")
       .agg(min(struct($"d2q", $"cid", $"v")).as("b"))
       .select($"vec_id", $"b.cid".as("cid"), $"b.v".as("v"))
-    val n = asg.withColumn("nq",
-      aggregate(zip_with($"v", $"v", (a, b) =>
-          round(a.cast("double") * b.cast("double") * lit(1e9), 0)
-            .cast("long")),
-        lit(0L), (acc, t) => acc + t))
+    GraftFunctions.register(s)
+    val n = asg.withColumn("nq", expr("vec_dot_q9(v, v)"))
     val x = n.select($"vec_id".as("keep_id"), $"cid",
       $"v".as("xv"), $"nq".as("naq"))
     val y = n.select($"vec_id".as("prune_id"), $"cid".as("ycid"),
       $"v".as("yv"), $"nq".as("nbq"))
     x.join(y, $"cid" === $"ycid" && $"keep_id" < $"prune_id")
       .select($"prune_id", $"cid", $"naq", $"nbq",
-        aggregate(zip_with($"xv", $"yv", (a, b) =>
-            round(a.cast("double") * b.cast("double") * lit(1e9), 0)
-              .cast("long")),
-          lit(0L), (acc, t) => acc + t).as("dotq"))
+        expr("vec_dot_q9(xv, yv)").as("dotq"))
       .where($"dotq" > 0 &&
         lit(100).cast("decimal(38,0)") * $"dotq" * $"dotq" >
           lit(16).cast("decimal(38,0)") * $"naq" * $"nbq")

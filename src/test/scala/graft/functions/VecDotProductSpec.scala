@@ -84,4 +84,39 @@ class VecDotProductSpec extends SparkTestBase {
     val exec = plan.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Project \[vec_dot""".r.findFirstIn(exec).isDefined, exec)
   }
+
+  test("vec_dot_q9 is bit-exact with the rint HOF fold on random vectors") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+        Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "a", "b")
+    // the interpreted fold the kernel replaced, restated with rint
+    // (HALF_EVEN — the kernel's per-element rounding)
+    val fold = aggregate(
+      zip_with($"a", $"b", (x, y) =>
+        rint(x.cast("double") * y.cast("double") * lit(1e9)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    val diff = df.select(
+      call_function("vec_dot_q9", $"a", $"b").as("native"),
+      fold.as("hof"))
+      .filter($"native" =!= $"hof") // bit-exact: no tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("vec_dot_q9 known values, null array, mismatched lengths") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
+      (2L, None, Some(Seq(1f))),
+      (3L, Some(Seq(1f, 2f)), Some(Seq(3f)))).toDF("id", "a", "b")
+    val out = df.select($"id",
+      call_function("vec_dot_q9", $"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).contains(32L * 1000000000L))
+    assert(out(2L).isEmpty)                    // null array -> null
+    assert(out(3L).contains(3L * 1000000000L)) // min-length prefix
+  }
 }
