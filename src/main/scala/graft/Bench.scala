@@ -96,7 +96,11 @@ object Bench {
     (1 to 8).map { _ =>
       val a = new Array[Long](8 * 1024 * 1024) // 64 MB
       var i = 0
-      while (i < a.length) { a(i) = i; i += 1024 } // touch pages
+      // stride 512 longs = 4 KB — one write per PAGE. The first cut
+      // strode 1024 longs (8 KB), leaving every other page untouched,
+      // so the session's first calibrateMem() billed soft faults as
+      // bandwidth and inflated sweep 1's calibm_sec.
+      while (i < a.length) { a(i) = i; i += 512 } // touch every page
       a
     }
 

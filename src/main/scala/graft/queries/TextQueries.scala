@@ -2029,7 +2029,13 @@ object TextQueries {
       .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
       .select(size($"ga").as("na"), size($"gb").as("nb"),
         size(array_intersect($"ga", $"gb")).as("ni"))
-      .select(expr("(1000000 * ni) div (na + nb - ni)").as("jac_ppm"))
+      // size() yields IntegerType: 1000000*ni would wrap 32-bit for
+      // docs with >= 2148 distinct 13-grams (~2160 tokens) — silent at
+      // the test SFs (docs cap at 100 tokens) but live at corpus
+      // scale, and the DuckDB oracle's len() is already BIGINT.
+      // Promote before multiplying.
+      .select(expr("(1000000L * cast(ni as bigint)) div " +
+        "(cast(na as bigint) + nb - ni)").as("jac_ppm"))
       .groupBy(expr("(jac_ppm * 10) div 1000000").cast("bigint")
         .as("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -2044,10 +2050,16 @@ object TextQueries {
     * every tokenizer pipeline runs before `vocab_encode_docs` can
     * exist. Each round counts frequency-weighted adjacent symbol
     * pairs, picks the argmax under the total order (count DESC, pair
-    * ASC — deterministic for the oracle), and applies the merge with
-    * a plain left-to-right `replace` (both engines replace
-    * non-overlapping occurrences left to right, which IS greedy BPE
-    * application). Round 6 already learns a multi-character merge on
+    * ASC — deterministic for the oracle), and applies the merge as a
+    * boundary-safe left-to-right replace: the symbol string's
+    * separators are doubled (each symbol gets its OWN flanking
+    * spaces) before replacing ' a  b ' with ' ab ', so the pattern
+    * only matches whole symbols — a naive replace of 'a b' also
+    * fires where a symbol merely ends with 'a' ('xa b' -> 'xab'),
+    * merging pairs the census never counted — while adjacent
+    * occurrences still chain ('a a a' + (a,a) -> 'aa a', exactly the
+    * greedy non-overlapping scan of BPE application), with the SAME
+    * formula in both engines. Round 6 already learns a multi-character merge on
     * this corpus ("m er" -> "mer") — the real BPE dynamic, not a
     * bigram census.
     *
@@ -2073,8 +2085,11 @@ object TextQueries {
       |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s0))
       |  GROUP BY pr),
       |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr LIMIT 1),
-      |s1 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m1),
-      |           replace((SELECT pr FROM m1), ' ', '')) AS sym FROM s0),
+      |s1 AS (SELECT word, freq, trim(replace(replace(
+      |           ' ' || replace(sym, ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m1), ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m1), ' ', '') || ' '),
+      |           '  ', ' ')) AS sym FROM s0),
       |p2 AS (
       |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
       |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
@@ -2082,8 +2097,11 @@ object TextQueries {
       |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s1))
       |  GROUP BY pr),
       |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr LIMIT 1),
-      |s2 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m2),
-      |           replace((SELECT pr FROM m2), ' ', '')) AS sym FROM s1),
+      |s2 AS (SELECT word, freq, trim(replace(replace(
+      |           ' ' || replace(sym, ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m2), ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m2), ' ', '') || ' '),
+      |           '  ', ' ')) AS sym FROM s1),
       |p3 AS (
       |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
       |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
@@ -2091,8 +2109,11 @@ object TextQueries {
       |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s2))
       |  GROUP BY pr),
       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1),
-      |s3 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m3),
-      |           replace((SELECT pr FROM m3), ' ', '')) AS sym FROM s2),
+      |s3 AS (SELECT word, freq, trim(replace(replace(
+      |           ' ' || replace(sym, ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m3), ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m3), ' ', '') || ' '),
+      |           '  ', ' ')) AS sym FROM s2),
       |p4 AS (
       |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
       |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
@@ -2100,8 +2121,11 @@ object TextQueries {
       |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s3))
       |  GROUP BY pr),
       |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr LIMIT 1),
-      |s4 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m4),
-      |           replace((SELECT pr FROM m4), ' ', '')) AS sym FROM s3),
+      |s4 AS (SELECT word, freq, trim(replace(replace(
+      |           ' ' || replace(sym, ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m4), ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m4), ' ', '') || ' '),
+      |           '  ', ' ')) AS sym FROM s3),
       |p5 AS (
       |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
       |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
@@ -2109,8 +2133,11 @@ object TextQueries {
       |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s4))
       |  GROUP BY pr),
       |m5 AS (SELECT pr, cnt FROM p5 ORDER BY cnt DESC, pr LIMIT 1),
-      |s5 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m5),
-      |           replace((SELECT pr FROM m5), ' ', '')) AS sym FROM s4),
+      |s5 AS (SELECT word, freq, trim(replace(replace(
+      |           ' ' || replace(sym, ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m5), ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m5), ' ', '') || ' '),
+      |           '  ', ' ')) AS sym FROM s4),
       |p6 AS (
       |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
       |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
@@ -2118,8 +2145,11 @@ object TextQueries {
       |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s5))
       |  GROUP BY pr),
       |m6 AS (SELECT pr, cnt FROM p6 ORDER BY cnt DESC, pr LIMIT 1),
-      |s6 AS (SELECT word, freq, replace(sym, (SELECT pr FROM m6),
-      |           replace((SELECT pr FROM m6), ' ', '')) AS sym FROM s5)
+      |s6 AS (SELECT word, freq, trim(replace(replace(
+      |           ' ' || replace(sym, ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m6), ' ', '  ') || ' ',
+      |           ' ' || replace((SELECT pr FROM m6), ' ', '') || ' '),
+      |           '  ', ' ')) AS sym FROM s5)
       |SELECT * FROM (SELECT 1::BIGINT AS round, pr AS pair, cnt FROM m1
       |UNION ALL SELECT 2::BIGINT AS round, pr AS pair, cnt FROM m2
       |UNION ALL SELECT 3::BIGINT AS round, pr AS pair, cnt FROM m3
@@ -2148,7 +2178,17 @@ object TextQueries {
         .localCheckpoint() // argmax pinned; reused by output AND apply
       sym = sym
         .crossJoin(broadcast(winner.select($"pr".as("mpr"))))
-        .withColumn("sym", expr("replace(sym, mpr, replace(mpr, ' ', ''))"))
+        // Boundary-safe merge apply (see docstring): doubling the
+        // separators gives every symbol its own flanking spaces, so
+        // the padded pattern ' a  b ' can only match WHOLE symbols
+        // (a plain replace of 'a b' also fires where a symbol merely
+        // ENDS with 'a', e.g. 'xa b' -> 'xab' — a pair the census
+        // never counted) and adjacent occurrences still chain
+        // because each match consumes only its own padding.
+        .withColumn("sym", expr(
+          "trim(replace(replace(concat(' ', replace(sym, ' ', '  '), ' '), " +
+            "concat(' ', replace(mpr, ' ', '  '), ' '), " +
+            "concat(' ', replace(mpr, ' ', ''), ' ')), '  ', ' '))"))
         .drop("mpr")
         .localCheckpoint() // vocab-sized; truncates the 6-round lineage
       winner

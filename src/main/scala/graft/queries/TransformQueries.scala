@@ -77,7 +77,16 @@ object TransformQueries {
     // each other mid-read (stable within a session so re-runs reuse it)
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
       s.sparkContext.applicationId
-    Tables.part(s, d).write.mode("overwrite").option("header", true).csv(tmp)
+    // `part` at sf0.1 is ONE parquet file, so without a repartition
+    // the CSV write — and therefore the inferSchema read-back over the
+    // single file it produces — each run as ONE task (r11 bench:
+    // 11.1 s + 9.7 s of single-core CPU). Spread the write across the
+    // session's parallelism; the read-back then parallelizes over the
+    // many output files, and the oracle (which reads the original
+    // parquet) is unaffected.
+    val shufN = s.sessionState.conf.numShufflePartitions
+    Tables.part(s, d).repartition(shufN)
+      .write.mode("overwrite").option("header", true).csv(tmp)
     s.read.option("header", true).option("inferSchema", true).csv(tmp)
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_parts"),

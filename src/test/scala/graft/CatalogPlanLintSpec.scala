@@ -60,6 +60,20 @@ class CatalogPlanLintSpec extends SparkTestBase {
       line.dropWhile(c => !c.isLetter).startsWith("Exchange ")
     }
 
+  /** KEYED shuffle exchanges only: round-robin repartitions (the
+    * documents reader's spreadScan — pure scan-parallelism, a no-op on
+    * a warehouse-scale multi-file scan) are excluded, so a budget
+    * stated in keyed shuffles can stay tight: loosening the TOTAL
+    * count to absorb spreadScan would also absorb a genuine keyed
+    * shuffle regressing into a sketch kernel. */
+  private def keyedShuffleCount(plan: String): Int =
+    plan.linesIterator.count { line =>
+      val op = line.dropWhile(c => !c.isLetter)
+      op.startsWith("Exchange ") &&
+        !op.startsWith("Exchange RoundRobinPartitioning") &&
+        !op.startsWith("Exchange roundrobinpartitioning")
+    }
+
   test("custom join operators stay single-shuffle; their catalog entries " +
       "add at most the determinism sort") {
     import org.apache.spark.sql.functions._
@@ -110,13 +124,14 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "doc_repetition_stats" -> "rep_stats")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
-      // <= 2: the determinism sort plus the documents reader's
-      // spreadScan round-robin exchange (scan-parallelism for the
-      // CPU-dense kernel; a no-op on a warehouse-scale scan). The
-      // kernel stage itself still plans no keyed shuffle.
-      assert(shuffleCount(physical) <= 2,
-        s"$name: sketch + determinism sort + scan spread allow at most " +
-          s"2 shuffle exchanges, got ${shuffleCount(physical)}:\n$physical")
+      // Exactly ONE keyed exchange — the determinism sort. The
+      // documents reader's spreadScan round-robin is excluded by
+      // keyedShuffleCount, so a future keyed shuffle sneaking into a
+      // sketch kernel still fails here (a total-count budget of 2
+      // would have absorbed it unnoticed).
+      assert(keyedShuffleCount(physical) <= 1,
+        s"$name: sketch + determinism sort allow at most 1 KEYED " +
+          s"shuffle exchange, got ${keyedShuffleCount(physical)}:\n$physical")
       val optimized = df.queryExecution.optimizedPlan.toString
       val evals = kernel.r.findAllMatchIn(optimized).size
       assert(evals == 1,

@@ -45,4 +45,23 @@ class BpeMergeSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.toSeq == Seq((1L, "a a", 2L), (2L, "aa a", 1L)))
   }
+
+  test("merge matches WHOLE symbols only — 'xa b' must not fire 'a b'") {
+    // After round 1 merges "x a" -> "xa", the word "xab" is "xa b".
+    // Round 2's winner is "a b" (count 3, from the "ab" words) — a
+    // naive substring replace would also rewrite "xa b" -> "xab"
+    // (the 'a b' it contains starts mid-symbol), destroying the
+    // "xa b" pair round 3 must still see. The boundary-safe apply
+    // leaves it intact.
+    val d = Files.createTempDirectory("bpe-boundary").toString
+    val s = spark
+    import s.implicits._
+    Seq((0L, "xa xa xa xa xa xab ab ab ab", "en", "src0", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("vocab_bpe_merges")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq ==
+      Seq((1L, "x a", 6L), (2L, "a b", 3L), (3L, "xa b", 1L)))
+  }
 }
