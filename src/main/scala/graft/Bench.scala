@@ -4,34 +4,76 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR.
+/** Benchmark main: times the catalog on SPARK_GRAFT_SF_DIR.
   *
-  * Measurement rules (round-1 + round-2 verdict fixes):
+  * Measurement rules (accreted round 1 → 12; each clause names the
+  * artifact failure it prevents):
   *   - materialize the FULL plan through the `noop` sink — a bare
   *     `count()` lets Catalyst prune projections/sorts, timing a plan
   *     the correctness gate never checked;
   *   - one untimed warm-up pass first, so JVM/Spark/codegen startup
   *     isn't billed to whichever query happens to run first;
-  *   - median of 3 timed runs per query, INTERLEAVED as full catalog
-  *     sweeps (run every query once, then repeat) rather than 3
-  *     back-to-back runs: the r2 artifact recorded a single-shot 17s
-  *     GC/JIT hiccup for a 1.4s query, and the r8 artifact showed a
-  *     several-minute session-pressure window inflating one
-  *     alphabetical stretch of back-to-back triples 10-30x — with
-  *     sweeps, each query's 3 samples are minutes apart, so a transient
-  *     window can tax at most one sample and the median sheds it;
-  *   - System.gc() between sweeps: it both stops heap growth from
-  *     biasing later sweeps and lets Spark's ContextCleaner reclaim
-  *     accumulated broadcast/RDD state (~400 query executions share one
-  *     session here);
-  *   - a fixed CPU calibration probe (single-thread and all-thread LCG
-  *     spin) timed before each sweep, reported as calib1_sec /
-  *     calibN_sec: the probe's cost is machine-constant, so a probe
-  *     reading far above its recorded baseline means THE SESSION was
-  *     slow (co-located load, CPU contention), not the engine — the r7
-  *     bench read 1.478x baseline on a commit that changed no plans,
-  *     and without a calibration record that is indistinguishable from
-  *     a real regression;
+  *   - timed runs are INTERLEAVED full-catalog sweeps (run every timed
+  *     query once, then repeat) rather than back-to-back repeats: the
+  *     r2 artifact recorded a single-shot 17 s GC/JIT hiccup for a
+  *     1.4 s query, and the r8 artifact showed a several-minute
+  *     session-pressure window inflating one alphabetical stretch of
+  *     back-to-back triples 10-30x — with sweeps, each query's samples
+  *     are minutes apart, so a transient window can tax at most one
+  *     sample and the cross-sweep lower-median sheds it;
+  *   - TWO timed sweeps, not three (round-12 budget fix): the r8
+  *     insight that mattered was the INTERLEAVING, not the sample
+  *     count — lower-median of 2 = min, which is exactly the "shed the
+  *     noisy sample" estimator the 3-sweep median was approximating.
+  *     Three sweeps of a 200-entry catalog plus per-sweep restart
+  *     overhead stopped fitting the driver's 470 s budget around r10
+  *     and produced four consecutive partial artifacts (r8-r11);
+  *   - ONE session restart, after warm-up, before sweep 1 only
+  *     (round-12; was per-sweep in r11): the restart exists to drop
+  *     the warm-up's dead-but-strongly-held block store (cleaner off,
+  *     see below) so the timed heap is deterministic — that benefit is
+  *     paid for once; repeating it re-paid settle + JIT quiesce per
+  *     sweep (~60-90 s each) for no additional determinism. Between
+  *     sweeps: unpersist + gc + a SHORT quiesce;
+  *   - a SHARDED timed catalog (round-12): the ~100 core production
+  *     entries (listed as "core" in BASELINE_BENCH.json) are timed
+  *     every round; the remaining entries rotate in rotation_k
+  *     deterministic hash groups, one group per round, so every entry
+  *     is re-measured every rotation_k rounds while the per-round
+  *     sweep stays ~135 entries ≈ 70 s warm. Correctness is NOT
+  *     sharded — Verify still gates all entries every round. The
+  *     round index comes from the committed BENCH_r{N}.json files
+  *     (max N + 1): deterministic, no wall clock. New entries absent
+  *     from the baseline are always timed (fresh code gets a number
+  *     the round it lands). SPARK_GRAFT_BENCH_ALL=1 times everything
+  *     (used to re-record the baseline);
+  *   - budget arithmetic, closed by construction (round-12): with the
+  *     470 s default budget, worst-case healthy-session spend is
+  *     warm-up (hard cap 100) + restart/settle/quiesce (≤ 75) +
+  *     calib (~6) + sweep 1 (~70) + inter-sweep (≤ 30) + sweep 2
+  *     (~70) ≈ 350 s. A degraded host (the r11 1.8x bandwidth-starved
+  *     session) inflates sweeps to ~130 s each: the pre-sweep-2
+  *     feasibility check then stops cleanly after ONE complete sweep —
+  *     every timed entry still sampled, partial stays false — instead
+  *     of blowing the budget mid-sweep into an alphabetically-biased
+  *     partial;
+  *   - System.gc() + unpersist between sweeps: stops heap growth from
+  *     biasing sweep 2 and drops sweep 1's localCheckpoint blocks
+  *     where nothing is being timed;
+  *   - fixed CPU calibration probes (single-thread + all-thread LCG)
+  *     and a memory-BANDWIDTH probe before each sweep, reported as
+  *     calib1/calibn/calibm (medians) plus the per-sweep readings
+  *     under "sweep_cals": the probes' cost is machine-constant, so a
+  *     reading far above its baseline identifies a slow SESSION (r7
+  *     read 1.478x on a commit that changed no plans; the r11 session
+  *     read 1.8x on both LCG probes before any repo code ran) — and
+  *     the per-sweep readings let a reader separate session noise
+  *     from code in one glance without cross-referencing logs;
+  *   - single-task stage detector: any timed entry whose execution
+  *     contains a ≥ 3 s stage with tasks = 1 is listed under
+  *     "single_task" — the r10/r11 class of scale defect (AQE or a
+  *     1-file input collapsing a hot stage onto one core) becomes a
+  *     machine-checkable artifact field instead of a log forensic;
   *   - emit the JSON line on stdout AND to bench_out.json, because the
   *     stdout line drowns in sbt log noise ("parsed": null in r01);
   *   - split the total into production vs verification subtotals: the
@@ -133,7 +175,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the JVM-wide generated-class cache defaults to 100 entries; a
-      // ~110-entry catalog swept in interleaved order (r8 fix for
+      // ~200-entry catalog swept in interleaved order (r8 fix for
       // session-noise robustness) evicts EVERY query's classes between
       // its own repeats, so each timed run re-pays single-threaded
       // Janino compilation (~1-2 s flat per query — the r8/r9 "uniform
@@ -150,7 +192,7 @@ object Bench {
       // victims each run, always broadcast-building ones; calibration
       // normal). With tracking off, blocks accumulate (a few GB in a
       // 19 GB store, MEMORY_AND_DISK spills, nothing is lost) and the
-      // explicit between-sweep unpersist drops the checkpoint blocks.
+      // restart after warm-up drops the bulk of them wholesale.
       // Verify/tests keep the default cleaner.
       .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
@@ -170,20 +212,70 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - t0Wall) / 1e9
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "470").toDouble
+    val nSweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt
     // Warm-up runs against the MEASURED dir (round-11 revert of the
     // round-9 sf0.001 shortcut): under AQE, physical plans — and so
     // the generated whole-stage-codegen classes — are NOT
     // data-size-independent (different broadcast/coalesce decisions at
     // 1/100th the bytes → different generated code). An sf0.001
     // warm-up left sweep 1 loading fresh sf0.1 codegen classes into a
-    // saturated C2 queue, so entries ran INTERPRETED for whole stages:
-    // date_functions read 18.5 s (14 s of solid single-task CPU)
-    // against a 0.37 s baseline and a 0.67 s quiet-session median.
-    // The 8-thread concurrent drain keeps the real-dir warm-up inside
-    // its deadline.
+    // saturated C2 queue, so entries ran INTERPRETED for whole stages.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // ----- baseline record (parsed once: ratios + the core shard list).
+    // The baseline file is a flat JSON object; scrape it with regexes
+    // (no JSON library on the allowed deps).
+    val baselinePath = Paths.get("BASELINE_BENCH.json")
+    val baselineText: Option[String] =
+      if (Files.exists(baselinePath)) Some(Files.readString(baselinePath))
+      else None
+    val baseKv: Map[String, Double] = baselineText.map { text =>
+      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val baseCore: Seq[String] = baselineText.flatMap { text =>
+      """"core":\s*\[([^\]]*)\]""".r.findFirstMatchIn(text).map { m =>
+        "\"([a-z0-9_]+)\"".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSeq
+      }
+    }.getOrElse(Seq.empty)
+    val rotationK: Int = baselineText.flatMap { text =>
+      """"rotation_k":\s*([0-9]+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toInt)
+    }.getOrElse(3).max(1)
+
+    // ----- timed-catalog shard (round-12). Round index = max committed
+    // BENCH_r{N}.json + 1 — deterministic, survives re-runs within a
+    // round (same N → same shard → comparable re-runs).
+    import scala.jdk.CollectionConverters._
+    val roundIdx: Int = Files.list(Paths.get(".")).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+        s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+      .maxOption.getOrElse(0) + 1
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    val rotationG = math.floorMod(roundIdx, rotationK)
+    val timedNames: Seq[String] =
+      if (benchAll || baseCore.isEmpty) names
+      else {
+        val core = baseCore.toSet
+        // entries with no baseline record are NEW this round: always
+        // time them, so fresh code gets a number the round it lands
+        val known = baseKv.keySet
+        names.filter { n =>
+          core(n) || !known(n) ||
+            math.floorMod(
+              scala.util.hashing.MurmurHash3.stringHash(n), rotationK) ==
+              rotationG
+        }
+      }
+    System.err.println(s"[bench] round $roundIdx: timing " +
+      s"${timedNames.size}/${names.size} entries (core ${baseCore.size}, " +
+      s"rotation group $rotationG/$rotationK" +
+      (if (benchAll) ", BENCH_ALL" else "") + ")")
+
     // Stage-attribution listener: when a timed query stalls, the log
     // must say WHERE (driver wait vs task CPU vs task count) — the
     // session-pressure windows move between runs and are unreproducible
@@ -191,6 +283,13 @@ object Bench {
     // that hit them.
     val stageLog =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Single-task scale-defect detector: entries recorded here had a
+    // ≥ 3 s stage running as ONE task during their timed run — the
+    // shape that cannot scale out (r10's 466 s CC stage, r11's 1-file
+    // CSV write). Reported as "single_task" in the artifact.
+    @volatile var currentTimed: String = null
+    val singleTask =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def newSession(): SparkSession = {
       val s = buildSession()
       s.sparkContext.setLogLevel("WARN")
@@ -209,6 +308,9 @@ object Bench {
                 f"run=${m.executorRunTime / 1e3}%.1f " +
                 f"gc=${m.jvmGCTime / 1e3}%.1f")
             }
+            val owner = currentTimed
+            if (dur >= 3000 && i.numTasks == 1 && owner != null)
+              singleTask.add(owner)
           }
         })
       s
@@ -236,7 +338,7 @@ object Bench {
     // with other threads' appends and misattribute stages).
     def runOnce(name: String, dir: String, attribute: Boolean,
         deadlineSec: Double = queryDeadlineSec): Double = {
-      if (attribute) stageLog.clear()
+      if (attribute) { stageLog.clear(); currentTimed = name }
       val group = s"bench-$name-${groupSeq.incrementAndGet()}"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       @volatile var killed = false
@@ -253,6 +355,7 @@ object Bench {
       catch { case e: Throwable =>
         killer.cancel()
         spark.sparkContext.clearJobGroup()
+        if (attribute) currentTimed = null
         if (killed) {
           // Only a TIMED run's cancellation is a reportable deadline:
           // the concurrent warm-up runs 8 heavy entries at once, so a
@@ -270,24 +373,17 @@ object Bench {
       killer.cancel()
       spark.sparkContext.clearJobGroup()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (attribute && sec >= 3.0) {
-        import scala.jdk.CollectionConverters._
-        System.err.println(s"[bench] slow $name ${math.rint(sec * 10) / 10} s: " +
-          stageLog.asScala.mkString("; "))
+      if (attribute) {
+        currentTimed = null
+        if (sec >= 3.0) {
+          System.err.println(
+            s"[bench] slow $name ${math.rint(sec * 10) / 10} s: " +
+              stageLog.asScala.mkString("; "))
+        }
       }
       sec
     }
 
-    // Warm-up: fills codegen/catalog caches AND lets C2 compile the
-    // measured dir's generated classes, untimed — CONCURRENT (8
-    // threads draining one queue): warm-up cost is dominated by
-    // per-entry driver work (planning + Janino codegen compilation,
-    // single-threaded per entry), which parallelizes cleanly across
-    // entries; the serial sweep had grown to ~210 s of the
-    // externally-timed-out bench budget at a ~165-entry catalog.
-    // Only the UNTIMED sweep runs concurrently — timed sweeps stay
-    // strictly serial so one query's reading never includes another's
-    // CPU contention.
     // Recorded-cost rank, shared by warm-up (descending: warm the
     // expensive first) and sweep order (ascending: time the cheap
     // first): the MAX time ever recorded per entry across the round
@@ -296,7 +392,6 @@ object Bench {
     // expensive code paths). Unrecorded (new) entries rank by the
     // heavy-prefix heuristic.
     val costRank: String => Double = {
-      import scala.jdk.CollectionConverters._
       val heavyPrefixes = Seq("dedup_", "decontam_", "graph_", "basket_",
         "anomaly_", "sample_cap", "corpus_", "multimodal_", "pipeline_")
       val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
@@ -321,35 +416,31 @@ object Bench {
       // variance (observed 46 s to 321 s for the same catalog — eight
       // job-submitting threads can convoy on the DAGScheduler event
       // loop), and an unlucky warm-up must never eat the sweeps'
-      // budget. Entries left un-warmed pay their first-run cost inside
-      // sweep 1 once; the cross-sweep median sheds it.
+      // budget. Only the TIMED shard is warmed (round-12: warming the
+      // rotation groups that won't be timed this round bought
+      // nothing and cost ~30% of the warm-up budget). Entries left
+      // un-warmed pay their first-run cost inside sweep 1 once; the
+      // cross-sweep lower-median sheds it.
       val warmBudget =
-        sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "120").toDouble
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "100").toDouble
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       // Costliest first, DATA-DRIVEN: when the deadline truncates the
       // warm-up, the un-warmed tail must be the CHEAP entries
       // (first-run codegen ~1 s each, shed by the sweep median), never
       // the iterative / gram-join entries whose cold first run costs
       // 10-60 s inside a timed sweep. A static prefix list proved
-      // luck-dependent (r11: two runs with the same 120 s budget
-      // warmed different subsets; the one that missed
-      // dedup_cluster_cc paid 55 s for it in sweep 1 and the sweep
-      // blew the budget). Instead, rank by the MAX time ever recorded
-      // for the entry across the round artifacts in the repo
-      // (BENCH_r*.json / bench_out.json, scraped with the same regex
-      // as the baseline — stale highs are FINE here: an entry that was
-      // ever slow has expensive code paths worth warming first).
-      // Entries with no record (new this round) fall back to the
-      // heavy-prefix heuristic.
-      names.sortBy(n => -costRank(n)).foreach(queue.add)
+      // luck-dependent (r11: two runs with the same budget warmed
+      // different subsets; the one that missed dedup_cluster_cc paid
+      // 55 s for it in sweep 1 and the sweep blew the budget).
+      timedNames.sortBy(n => -costRank(n)).foreach(queue.add)
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
           // NO unpersist in here: warm-up entries run CONCURRENTLY, and
           // a blanket getPersistentRDDs unpersist from one thread
           // destroys another thread's in-flight localCheckpoint blocks
           // (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Blocks
-          // accumulated by the warm-up are dropped once, serially,
-          // before the first timed sweep.
+          // accumulated by the warm-up are dropped wholesale by the
+          // post-warm-up session restart.
           var n = queue.poll()
           while (n != null &&
               (System.nanoTime() - w0) / 1e9 < warmBudget) {
@@ -362,8 +453,7 @@ object Bench {
             // costliest-first ordering the expensive entries start
             // EARLY and get effectively the full deadline; only
             // stragglers started near the budget edge are clipped, so
-            // the warm-up cannot stretch a 120 s budget to 195 s
-            // (observed on a bandwidth-starved session) while the
+            // the warm-up cannot stretch its budget while the
             // entries that matter still warm fully.
             val remain = warmBudget - (System.nanoTime() - w0) / 1e9
             runOnce(n, warmDir, attribute = false,
@@ -381,8 +471,70 @@ object Bench {
         f"${(System.nanoTime() - w0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s" +
         (if (skipped > 0) s"; $skipped entries un-warmed (deadline)" else ""))
     }
-    // 3 interleaved sweeps: each query's samples land minutes apart, so
-    // a transient contention window taxes at most one of its 3 samples.
+
+    // SESSION RESTART, once (round-11 introduced it per-sweep; round-12
+    // keeps exactly one, after warm-up): `getPersistentRDDs.unpersist`
+    // only drops blocks whose RDDs are still registered — the
+    // localCheckpoint / broadcast blocks of ~200 already-finished
+    // warm-up executions are dead-but-STRONGLY-HELD by the
+    // BlockManager store with the cleaner off, so sweep 1 would start
+    // on a nearly-full old gen and heavy entries GC-thrash (observed:
+    // a stage with executorRun 112 s of which jvmGCTime 100.7 s,
+    // calibration probes all normal). Stopping the context releases
+    // the entire store wholesale; what must survive a restart DOES
+    // survive: JIT-compiled code and the JVM-static generated-class
+    // cache (codegen.cache lives in object CodeGenerator, not the
+    // session). Re-planning per entry costs ~0.1-0.3 s, identical for
+    // every run. The heap at sweep 1's start is thereby deterministic.
+    spark.stop()
+    spark = newSession()
+    System.gc()
+    // Settle pass: the fresh session's first queries absorb its
+    // init + compile storm — the r11 run that restarted and then
+    // timed cheapest-first showed a consecutive stretch of ~dozen
+    // sub-second entries reading 7-14 s each (stage run-time 4x
+    // their CPU: task threads waiting out compiler/init threads),
+    // and the pre-sweep JIT quiesce can't see it because compilation
+    // only STARTS when queries run. Three median-cost entries run
+    // untimed first and eat that storm; the extra warmth they gain is
+    // what warm-up intends for every entry anyway.
+    locally {
+      val settle =
+        timedNames.sortBy(costRank).drop(timedNames.size / 2).take(3)
+      settle.foreach(n =>
+        runOnce(n, sfDir, attribute = false, deadlineSec = 15.0))
+    }
+    // JIT quiesce, ADAPTIVE (round-11): the concurrent warm-up
+    // generates hundreds of whole-stage-codegen classes and queues
+    // them for C2; if sweep 1 starts while 16 compiler threads are
+    // still chewing the queue, entries run partially INTERPRETED on a
+    // compiler-taxed machine (observed: one session's sweep 1 at
+    // 286 s vs another's 114 s, same code, same coverage — slow
+    // entries showing the same stages at ~10x CPU). Wait until the
+    // JVM's total compilation time stops advancing (<400 ms of
+    // compiler work across a 2 s window, 3 windows in a row), capped
+    // — time spent here is untimed and buys back multiples of itself
+    // inside the sweep.
+    def jitQuiesce(capSec: Double): Unit = {
+      Thread.sleep(4000) // GC/unpersist settling
+      val mx = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (mx == null || !mx.isCompilationTimeMonitoringSupported)
+        Thread.sleep(8000)
+      else {
+        val q0 = System.nanoTime()
+        var prev = mx.getTotalCompilationTime
+        var quiet = 0
+        while (quiet < 3 && (System.nanoTime() - q0) / 1e9 < capSec) {
+          Thread.sleep(2000)
+          val cur = mx.getTotalCompilationTime
+          if (cur - prev < 400) quiet += 1 else quiet = 0
+          prev = cur
+        }
+        System.err.println(f"[bench] JIT quiesce wait " +
+          f"${(System.nanoTime() - q0) / 1e9}%.1f s")
+      }
+    }
+
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val sweepCals =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
@@ -391,91 +543,56 @@ object Bench {
     var lastSweepSec = 0.0
     val sweepLoop = new scala.util.control.Breaks
     sweepLoop.breakable {
-      for (s <- 1 to 3) {
+      for (s <- 1 to nSweeps) {
+        if (s == 1) jitQuiesce(60.0)
+        else {
+          // Between sweeps: drop sweep 1's checkpoint blocks (serial
+          // context — safe, unlike during the concurrent warm-up),
+          // collect, and a SHORT quiesce (sweep 1 compiled everything
+          // already; only stragglers remain).
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          jitQuiesce(15.0)
+        }
         // Pre-sweep feasibility: starting a sweep that cannot finish
-        // only produces an alphabetically-biased partial — if the last
-        // completed sweep's cost doesn't fit in the remaining budget,
-        // stop cleanly with the sweeps already collected. The estimate
-        // must include the INTER-SWEEP overhead spent before any query
-        // is timed (12 s drain pause + gc + two calibration probes,
-        // ~15 s) plus sweep-to-sweep variance headroom (r11: sweep 3
-        // was started with 97 s left against a 89.5 s previous sweep
+        // only produces an alphabetically-biased partial — if the next
+        // sweep's predicted cost doesn't fit in the remaining budget,
+        // stop cleanly with the sweeps already collected (r11: sweep 3
+        // was started with 97 s left against an 89.5 s previous sweep
         // and overran the budget mid-sweep — a partial artifact where
         // stopping at 2 clean sweeps was strictly better).
-        if (s > 1 &&
-            elapsedSec + 15.0 + lastSweepSec * 1.2 > budgetSec) {
-          System.err.println(f"[bench] remaining budget " +
-            f"${budgetSec - elapsedSec}%.0f s < overhead + 1.2x last " +
-            f"sweep ($lastSweepSec%.0f s): stopping after ${s - 1} sweeps")
-          sweepLoop.break()
-        }
-        // SESSION RESTART (round-11): `getPersistentRDDs.unpersist`
-        // only drops blocks whose RDDs are still registered — the
-        // localCheckpoint / broadcast blocks of ~200 already-finished
-        // warm-up executions are dead-but-STRONGLY-HELD by the
-        // BlockManager store with the cleaner off, so sweep 1 started
-        // on a nearly-full old gen and heavy entries GC-thrashed
-        // (observed: a stage with executorRun 112 s of which
-        // jvmGCTime 100.7 s, calibration probes all normal). Stopping
-        // the context releases the entire store wholesale; what must
-        // survive a restart DOES survive: JIT-compiled code and the
-        // JVM-static generated-class cache (codegen.cache lives in
-        // object CodeGenerator, not the session). Re-planning per
-        // entry costs ~0.1-0.3 s, identical for every run. The heap at
-        // each timed sweep's start is thereby DETERMINISTIC — the
-        // run-to-run variance of "how full did warm-up leave the old
-        // gen" is what made identical code bench 0.6x one hour and
-        // 1.8x the next.
-        spark.stop()
-        spark = newSession()
-        System.gc()
-        // Settle pass: the fresh session's first queries absorb its
-        // init + compile storm — the r11 run that restarted and then
-        // timed cheapest-first showed a consecutive stretch of ~dozen
-        // sub-second entries reading 7-14 s each (stage run-time 4x
-        // their CPU: task threads waiting out compiler/init threads),
-        // and the pre-sweep JIT quiesce can't see it because
-        // compilation only STARTS when queries run. Three median-cost
-        // entries run untimed first and eat that storm; the extra
-        // warmth they gain is what warm-up intends for every entry
-        // anyway.
-        locally {
-          val settle = names.sortBy(costRank).drop(names.size / 2).take(3)
-          settle.foreach(n =>
-            runOnce(n, sfDir, attribute = false, deadlineSec = 20.0))
-        }
-        // Drain pause, ADAPTIVE (round-11): a fixed 12 s was tuned for
-        // the ContextCleaner RPC storm (now moot — referenceTracking is
-        // off in bench), but the dominant start-of-sweep hazard turned
-        // out to be the C2 COMPILE BACKLOG: the concurrent warm-up
-        // generates hundreds of whole-stage-codegen classes and queues
-        // them for C2; if sweep 1 starts while 16 compiler threads are
-        // still chewing the queue, entries run partially INTERPRETED on
-        // a compiler-taxed machine (observed: one session's sweep 1 at
-        // 286 s vs another's 114 s, same code, same coverage — slow
-        // entries showing the same stages at ~10x CPU). Wait until the
-        // JVM's total compilation time stops advancing (<400 ms of
-        // compiler work across a 2 s window, 3 windows in a row),
-        // capped at 75 s — time spent here is untimed and buys back
-        // multiples of itself inside the sweep.
-        locally {
-          Thread.sleep(4000) // GC/unpersist settling
-          val mx = java.lang.management.ManagementFactory
-            .getCompilationMXBean
-          if (mx == null || !mx.isCompilationTimeMonitoringSupported)
-            Thread.sleep(8000)
-          else {
-            val q0 = System.nanoTime()
-            var prev = mx.getTotalCompilationTime
-            var quiet = 0
-            while (quiet < 3 && (System.nanoTime() - q0) / 1e9 < 75.0) {
-              Thread.sleep(2000)
-              val cur = mx.getTotalCompilationTime
-              if (cur - prev < 400) quiet += 1 else quiet = 0
-              prev = cur
-            }
-            System.err.println(f"[bench] JIT quiesce wait " +
-              f"${(System.nanoTime() - q0) / 1e9}%.1f s before sweep $s")
+        //
+        // The predictor is BASELINE-driven, not last-sweep-driven
+        // (round-12): sweep 1 absorbs the first-run cost of every
+        // entry the warm-up deadline skipped (~1.4 s/entry observed,
+        // much more for heavies), so `1.2 x lastSweepSec` over-
+        // predicts a WARM sweep 2 by 2-3x and cancelled runs that had
+        // ample budget (the full-catalog shakedown: sweep 1 cold
+        // 344 s, warm sweep cost ~110 s, 345 s remaining — stopped).
+        // A warm sweep's best predictor is the baseline's per-entry
+        // sum over the timed set, scaled by how much slower THIS
+        // session runs the fixed CPU probe, with 1.3x headroom. Falls
+        // back to 1.2 x last sweep when the baseline doesn't cover
+        // the timed set (pre-re-record artifacts, BENCH_ALL runs on
+        // a stale baseline).
+        if (s > 1) {
+          val baseSum = timedNames.flatMap(baseKv.get).sum
+          val covered =
+            timedNames.count(baseKv.contains) >= timedNames.size * 0.9
+          val sessionFactor =
+            baseKv.get("calibn_sec").filter(_ > 0)
+              .filter(_ => sweepCals.nonEmpty)
+              .map(b => math.max(0.8, sweepCals.last._2 / b))
+              .getOrElse(1.0)
+          val estNext =
+            if (covered && baseSum > 0) 1.3 * sessionFactor * baseSum
+            else lastSweepSec * 1.2
+          if (elapsedSec + 15.0 + estNext > budgetSec) {
+            System.err.println(f"[bench] remaining budget " +
+              f"${budgetSec - elapsedSec}%.0f s < overhead + predicted " +
+              f"sweep ($estNext%.0f s): stopping after ${s - 1} sweeps")
+            sweepLoop.break()
           }
         }
         val c1 = calibrate(1)
@@ -498,7 +615,7 @@ object Bench {
         // times the identical set either way, and a partial stays
         // marked partial.
         val sweepNames =
-          (if (s == 1) names else names.filterNot(verificationOnly))
+          (if (s == 1) timedNames else timedNames.filterNot(verificationOnly))
             .sortBy(costRank)
         for (n <- sweepNames) {
           if (elapsedSec > budgetSec) {
@@ -511,8 +628,8 @@ object Bench {
             samples.getOrElse(n, Nil)
           // NO per-query unpersist here: spreading the cleaner's RPCs
           // through the sweep cost ~100 s/sweep of untimed gaps; the
-          // between-sweep unpersist + gc + drain pause absorbs the
-          // same work where nothing is being timed.
+          // between-sweep unpersist + gc absorbs the same work where
+          // nothing is being timed.
         }
         sweepsCompleted = s
         lastSweepSec = (System.nanoTime() - sw0) / 1e9
@@ -520,8 +637,9 @@ object Bench {
           f"$lastSweepSec%.1f s; elapsed $elapsedSec%.1f s")
       }
     }
-    // Median over however many samples survived the budget (lower-median
-    // for even counts — the warmed-up reading, biased against noise).
+    // Lower-median over however many samples survived the budget (= min
+    // for the standard 2-sweep run — the warmed-up reading, biased
+    // against one-off noise).
     val results = names.flatMap { n =>
       samples.get(n).map { t =>
         n -> (if (t.contains(-1.0)) -1.0
@@ -548,59 +666,60 @@ object Bench {
     // matches what the baseline recorded: exact sf dir (a substring
     // test would match sf0.12 against the sf0.1 record) and the same
     // core/shuffle-partition count (a local[4] run against a local[32]
-    // record would compare different parallelism). The baseline file is
-    // a flat JSON object; scrape it with regexes (no JSON library on
-    // the allowed deps).
-    val baselinePath = Paths.get("BASELINE_BENCH.json")
+    // record would compare different parallelism).
     val (vsBaseline, vsBaselineCal): (Option[Double], Option[Double]) =
-      if (!Files.exists(baselinePath)) (None, None)
-      else {
-        val text = Files.readString(baselinePath)
-        val baseSf = """"sf":\s*"([^"]+)"""".r
-          .findFirstMatchIn(text).map(_.group(1))
-        val baseCpus = """"cpus":\s*"?([0-9]+)"?""".r
-          .findFirstMatchIn(text).map(_.group(1))
-        if (!baseSf.contains(sfDir) || !baseCpus.contains(cpus)) (None, None)
-        else {
-          val kv = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-          val base = kv.findAllMatchIn(text)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          val shared = results.collect {
-            case (k, v) if v >= 0 && base.contains(k) &&
-              !verificationOnly(k) => (v, base(k)) }
-          val baseSum = shared.map(_._2).sum
-          val raw =
-            if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
-          // Session-speed-normalized ratio: divide out how much slower
-          // this session ran the fixed CPU probe than the baseline
-          // session did. raw answers "is this run slower than the
-          // recorded one"; calibrated answers "did the PLANS get
-          // slower". Both are reported — neither replaces the other.
-          val cal = for {
-            r <- raw
-            b <- base.get("calibn_sec") if b > 0 && calibN > 0
-          } yield r * b / calibN
-          (raw, cal)
-        }
+      baselineText match {
+        case None => (None, None)
+        case Some(text) =>
+          val baseSf = """"sf":\s*"([^"]+)"""".r
+            .findFirstMatchIn(text).map(_.group(1))
+          val baseCpus = """"cpus":\s*"?([0-9]+)"?""".r
+            .findFirstMatchIn(text).map(_.group(1))
+          if (!baseSf.contains(sfDir) || !baseCpus.contains(cpus))
+            (None, None)
+          else {
+            val shared = results.collect {
+              case (k, v) if v >= 0 && baseKv.contains(k) &&
+                !verificationOnly(k) => (v, baseKv(k)) }
+            val baseSum = shared.map(_._2).sum
+            val raw =
+              if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
+            // Session-speed-normalized ratio: divide out how much slower
+            // this session ran the fixed CPU probe than the baseline
+            // session did. raw answers "is this run slower than the
+            // recorded one"; calibrated answers "did the PLANS get
+            // slower". Both are reported — neither replaces the other.
+            val cal = for {
+              r <- raw
+              b <- baseKv.get("calibn_sec") if b > 0 && calibN > 0
+            } yield r * b / calibN
+            (raw, cal)
+          }
       }
     def ratio3(name: String, v: Option[Double]): String =
       v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
     val extra = ratio3("vs_baseline", vsBaseline) +
       ratio3("vs_baseline_cal", vsBaselineCal)
-    val deadlinedJson = {
-      import scala.jdk.CollectionConverters._
-      deadlined.asScala.toSeq.sorted
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
-    }
+    def strArr(xs: Iterable[String]): String =
+      xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sweepCalsJson = sweepCals
+      .map { case (a, b, c) =>
+        s"[${math.rint(a * 1000) / 1000},${math.rint(b * 1000) / 1000}," +
+          s"${math.rint(c * 1000) / 1000}]" }
+      .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""production_sec":$prod,"verification_sec":${total - prod},""" +
         s""""calib1_sec":${math.rint(calib1 * 1000) / 1000},""" +
         s""""calibn_sec":${math.rint(calibN * 1000) / 1000},""" +
         s""""calibm_sec":${math.rint(calibM * 1000) / 1000},""" +
+        s""""sweep_cals":$sweepCalsJson,""" +
         s""""partial":$partial,"sweeps_completed":$sweepsCompleted,""" +
         s""""unwarmed":$unwarmed,""" +
-        s""""deadlined":$deadlinedJson""" +
+        s""""timed":${timedNames.size},"catalog":${names.size},""" +
+        s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +
+        s""""single_task":${strArr(singleTask.asScala)},""" +
+        s""""deadlined":${strArr(deadlined.asScala)}""" +
         s"""$extra,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line)

@@ -463,8 +463,17 @@ object EventQueries {
     * int64 at ~1e11 rows per group, exactly the 100 TB regime.
     *
     * Scale shape: one map-side-partial exchange for the 5-row moment
-    * table, broadcast back over the scan, then top-5-per-group via
-    * rank window on the (tiny) per-type partitions. */
+    * table, broadcast back over the scan, then top-5-per-group as a
+    * SALTED two-phase top-k: a local top-5 per (event_type, salt)
+    * window — explicitly repartitioned so AQE cannot coalesce the
+    * CPU-heavy sort onto one task by its small byte size — then the
+    * global top-5 over the ≤ 5·32 candidates per type. A single
+    * window partitioned by event_type alone has only ~5 key values:
+    * the whole corpus sorts on 5 tasks (observed as a ≥3 s tasks=1
+    * stage at sf0.1 once AQE folded the small-bytes partitions
+    * together) — at 100 TB that shape is a non-starter, while the
+    * salted local phase scales with the cluster. Any global top-5 row
+    * is top-5 within its salt bucket, so the two phases are exact. */
   val anomalyZscoreTopk: CatalogEntry = CatalogEntry(
     "anomaly_zscore_topk",
     """WITH ev AS (
@@ -499,10 +508,18 @@ object EventQueries {
       $"s".cast(dec38) * $"s".cast(dec38)).cast("double")
     val z = (($"n" * $"k" - $"s").cast("double") /
       sqrt(varNum * $"n" / ($"n" - 1))).as("z")
+    val shufN = s.sessionState.conf.numShufflePartitions
+    val localRn = row_number().over(
+      Window.partitionBy($"event_type", $"salt")
+        .orderBy(abs($"z").desc, $"event_id"))
     val rn = row_number().over(
       Window.partitionBy($"event_type").orderBy(abs($"z").desc, $"event_id"))
     ev.join(broadcast(st), "event_type")
       .select($"event_id", $"event_type", $"k", z)
+      .withColumn("salt", pmod(hash($"event_id"), lit(shufN)))
+      .repartition(shufN, $"event_type", $"salt")
+      .withColumn("lrn", localRn)
+      .where($"lrn" <= 5)
       .withColumn("rn", rn)
       .where($"rn" <= 5)
       .select($"event_type", $"event_id", $"k", round($"z", 6).as("z"))

@@ -17,6 +17,17 @@ case class BandedDocTs(band: Int, bval: Long, doc_id: Long, fp: Long,
   * earlier doc within Hamming <= maxHamming) was still in state. */
 case class NearDupHit(id_a: Long, id_b: Long, band: Int, hamming: Int)
 
+/** A vector on the stream, already assigned to its nearest centroid,
+  * with its nano-quantized self-dot (norm²) riding along. */
+case class ClusteredVec(cluster: Int, vec_id: Long, v: Array[Float],
+    nq: Long)
+
+/** A confirmed streaming SEMANTIC near-dup: the two vectors share a
+  * centroid cluster and their exact-integer cosine test cleared the
+  * threshold. `(id_a, id_b)` is orientation-normalized (`id_a` <
+  * `id_b`), so `id_b` is the vector batch SemDeDup would prune. */
+case class SemDupHit(id_a: Long, id_b: Long, cluster: Int)
+
 /** Streaming exact dedup — the streaming face of `ext/Dedup.exact`:
   * suppress re-occurrences of identical content as the corpus streams
   * in, instead of a batch groupBy after the fact.
@@ -138,6 +149,117 @@ object StreamDedup {
             // the same downstream (id_a, id_b) dedup as multi-band hits.
             seen = ((r.doc_id, r.fp) :: seen.filterNot(_._1 == r.doc_id))
               .take(stateDocsPerBand)
+          }
+          state.update(seen)
+          hits.result().iterator
+      }
+  }
+
+  /** Streaming SEMANTIC dedup — the embedding-space face of
+    * [[nearDupBySimhash]] and the streaming face of the batch
+    * `dedup_semantic_embed` entry (SemDeDup shape, arXiv:2303.09540):
+    * as vectors stream in, emit every within-cluster pair whose exact
+    * cosine clears the threshold, so paraphrase-level duplicates are
+    * caught during ingestion instead of by a later batch sweep.
+    *
+    * Same state geometry as the SimHash variant with the centroid
+    * CLUSTER as the band: each arriving vector is assigned row-local
+    * to its nearest centroid (broadcast-small, passed as a plain Seq —
+    * the k·dim floats every executor would get as a broadcast in the
+    * batch plan), state partitions by cluster id, and a new vector
+    * only ever compares against its own cluster's bucket — never the
+    * stream history. That is exactly the batch plan's within-cluster
+    * equi-join, unrolled over time.
+    *
+    * Cross-surface determinism — stream output must equal the batch
+    * entry's pairs BIT-FOR-BIT, so every float touchpoint mirrors the
+    * batch/oracle algebra exactly:
+    *   - assignment distance: Σ round_half_up((aᵢ-cᵢ)²·1e9) as BIGINT
+    *     (Spark SQL `round(x, 0)` is BigDecimal HALF_UP; mirrored here
+    *     via BigDecimal, argmin tie-broken on centroid id);
+    *   - dot/norm sums: Σ rint(aᵢ·bᵢ·1e9) as BIGINT — `Math.rint` is
+    *     HALF_EVEN, the [[graft.functions.VecDotQ9]] kernel's exact
+    *     per-element rule;
+    *   - threshold: cos > pct/100 decided as
+    *     `dotq > 0 ∧ 10000·dotq² > pct²·naq·nbq` in BigInt — the
+    *     batch entry's DECIMAL(38,0) square-elimination, no IEEE
+    *     boundary can flip membership.
+    *
+    * State per cluster is a FIFO of the last `stateDocsPerCluster`
+    * (id, vector, nq) entries — the vector itself must ride in state
+    * (an exact dot needs it; a sketch would re-introduce the false
+    * negatives SemDeDup exists to avoid), so the cap is the knob that
+    * trades recall horizon against store size (dim·4 bytes/entry). A
+    * pair sharing a cluster emits once; re-delivered ids replace
+    * their old entry, identical to the SimHash variant's discipline.
+    *
+    * @param centroids (cluster id, centroid vector) — static,
+    *                  driver-small (k rows), e.g. the batch entry's
+    *                  deterministic seed centroids
+    * @param thresholdPct cosine threshold in percent (40 = the batch
+    *                  entry's 0.4)
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Int, Array[Float])], thresholdPct: Int = 40,
+      stateDocsPerCluster: Int = 4096): Dataset[SemDupHit] = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(thresholdPct > 0 && thresholdPct < 100,
+      s"thresholdPct must be in (0, 100): $thresholdPct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ordered once so the argmin tie-break (d2q, cid) is stable
+    val cents = centroids.sortBy(_._1).toArray
+    def rintQ(a: Float, b: Float): Long =
+      java.lang.Math.rint(a.toDouble * b.toDouble * 1e9).toLong
+    val assigned = df
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var bestCid = cents(0)._1
+        var bestD2 = Long.MaxValue
+        for ((cid, cv) <- cents) {
+          val n = math.min(v.length, cv.length)
+          var d2 = 0L
+          var i = 0
+          while (i < n) {
+            val diff = v(i).toDouble - cv(i).toDouble
+            // Spark SQL round(x, 0) semantics: BigDecimal HALF_UP
+            d2 += java.math.BigDecimal.valueOf(diff * diff * 1e9)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            i += 1
+          }
+          if (d2 < bestD2) { bestD2 = d2; bestCid = cid } // ties: lowest cid
+        }
+        var nq = 0L
+        var i = 0
+        while (i < v.length) { nq += rintQ(v(i), v(i)); i += 1 }
+        ClusteredVec(bestCid, id, v, nq)
+      }
+    val t2 = BigInt(thresholdPct) * thresholdPct
+    assigned
+      .groupByKey(_.cluster)
+      .flatMapGroupsWithState[List[(Long, Array[Float], Long)], SemDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cluster, rows,
+            state: GroupState[List[(Long, Array[Float], Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil) // newest first
+          val hits = List.newBuilder[SemDupHit]
+          for (r <- rows.toSeq.sortBy(_.vec_id)) {
+            for ((sid, sv, snq) <- seen if sid != r.vec_id) {
+              val n = math.min(r.v.length, sv.length)
+              var dotq = 0L
+              var i = 0
+              while (i < n) { dotq += rintQ(r.v(i), sv(i)); i += 1 }
+              if (dotq > 0 &&
+                  BigInt(10000) * dotq * dotq >
+                    t2 * BigInt(snq) * BigInt(r.nq))
+                hits += SemDupHit(math.min(sid, r.vec_id),
+                  math.max(sid, r.vec_id), cluster)
+            }
+            seen = ((r.vec_id, r.v, r.nq) :: seen.filterNot(_._1 == r.vec_id))
+              .take(stateDocsPerCluster)
           }
           state.update(seen)
           hits.result().iterator

@@ -270,4 +270,46 @@ class StreamDedupSpec extends SparkTestBase {
       assert(sha.matches("[0-9a-f]{64}"))
     } finally q.stop()
   }
+
+  test("streaming semantic dedup reproduces the batch SemDeDup prune set " +
+      "bit-for-bit on sf0.001, arrival order shuffled across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // same centroids as the batch entry: the k=8 lowest vec_ids
+    val cents = emb.filter(_._1 < 8)
+      .map { case (id, v) => (id.toInt, v) }.toSeq
+    // batch truth: (pruned vec_id -> cluster) from the catalog entry
+    val batch = graft.SparkEntry.queries("dedup_semantic_embed")(spark, sf)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = StreamDedup.semanticNearDup(
+      source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents)
+      .writeStream.format("memory").queryName("stream_semdedup")
+      .outputMode("append").start()
+    try {
+      // deterministic NON-id arrival order (Knuth-hash shuffle), split
+      // over 3 micro-batches so cross-batch state pairing is exercised
+      val shuffled = emb.sortBy { case (id, _) =>
+        ((id * 2654435761L) % 1009, id) }
+      val third = shuffled.length / 3
+      for (batchRows <- shuffled.grouped(math.max(third, 1))) {
+        source.addData(batchRows.toSeq)
+        q.processAllAvailable()
+      }
+      // survivors must match: the stream's pruned set is every id that
+      // appears as the HIGHER side of a confirmed pair — exactly the
+      // batch entry's prune rule (condemned by any lower-id neighbor)
+      val streamPruned = spark.table("stream_semdedup")
+        .select($"id_b", $"cluster").distinct().collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamPruned == batch,
+        s"stream prune set ${streamPruned.toSeq.sorted} != " +
+          s"batch ${batch.toSeq.sorted}")
+      assert(batch.nonEmpty, "fixture must actually contain semantic dups")
+    } finally q.stop()
+  }
 }
