@@ -176,6 +176,44 @@ class CatalogPlanLintSpec extends SparkTestBase {
     }
   }
 
+  test("single-task scale-defect guards: the hot stages of the entries " +
+      "the r10-r12 benches caught stay parallel") {
+    // The defect class: a CPU-heavy stage collapsing onto ONE task —
+    // AQE byte-coalescing a small-bytes window/join (r10: the 466 s CC
+    // stage; r12: anomaly_zscore_topk's 5-key window), or a 1-file
+    // input making a sink single-task (r11: roundtrip_csv, 65 s). The
+    // bench's "single_task" artifact field detects it at sf0.1 per
+    // round; these asserts pin the two fixed plans so a regression
+    // fails in `sbt test` before burning a bench round.
+    val sf = "/root/testdata/sf0.001"
+
+    // anomaly_zscore_topk: the corpus-sized top-5 window must ride the
+    // explicit salted repartition — partitioned by event_type alone it
+    // has ~5 key values and AQE folds the sort onto one task
+    val azPlan = SparkEntry.catalog("anomaly_zscore_topk").query(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(event_type#\\d+[^)]*salt#".r
+        .findFirstIn(azPlan).isDefined,
+      s"anomaly_zscore_topk: salted (event_type, salt) repartition " +
+        s"missing from the plan:\n$azPlan")
+
+    // roundtrip_csv: `part` is ONE parquet file, so without the
+    // repartition the CSV write — and the inferSchema read-back over
+    // the single file it produces — each run as one task. The entry's
+    // eager write happens inside query(); count its output files.
+    SparkEntry.catalog("roundtrip_csv").query(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val csvDir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+        spark.sparkContext.applicationId)
+    val partFiles = Option(csvDir.listFiles())
+      .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    assert(partFiles >= shufN,
+      s"roundtrip_csv: CSV sink must fan out across the session's " +
+        s"parallelism ($shufN), found $partFiles part files in $csvDir")
+  }
+
   test("filter family reaches the parquet scan: non-empty PushedFilters " +
       "in every filter entry's plan") {
     // structural guard for SURVEY §4's pushdown claim — a reader-option
