@@ -257,6 +257,19 @@ object Bench {
       .maxOption.getOrElse(0) + 1
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val rotationG = math.floorMod(roundIdx, rotationK)
+    // Startup degradation probe (round-12): the r11 session ran BOTH
+    // LCG probes at ~1.8x baseline before any repo code executed — on
+    // such a host two full sweeps of the sharded catalog cannot fit
+    // 470 s no matter how the harness is arranged. Measure the host
+    // FIRST (the probes cost ~1 s total) and, when it reads badly
+    // degraded, drop the rotation slice and time the CORE entries
+    // only: a complete 2-sweep core artifact beats a 1-sweep sharded
+    // one. The startup readings are published as "calib0" so a reader
+    // sees the decision's evidence in the artifact.
+    val calib0 = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
+    val degradeFactor = baseKv.get("calibn_sec").filter(_ > 0)
+      .map(calib0._2 / _).getOrElse(1.0)
+    val degraded = !benchAll && degradeFactor > 1.5
     val timedNames: Seq[String] =
       if (benchAll || baseCore.isEmpty) names
       else {
@@ -266,15 +279,18 @@ object Bench {
         val known = baseKv.keySet
         names.filter { n =>
           core(n) || !known(n) ||
-            math.floorMod(
-              scala.util.hashing.MurmurHash3.stringHash(n), rotationK) ==
-              rotationG
+            (!degraded &&
+              math.floorMod(
+                scala.util.hashing.MurmurHash3.stringHash(n), rotationK) ==
+                rotationG)
         }
       }
-    System.err.println(s"[bench] round $roundIdx: timing " +
-      s"${timedNames.size}/${names.size} entries (core ${baseCore.size}, " +
-      s"rotation group $rotationG/$rotationK" +
-      (if (benchAll) ", BENCH_ALL" else "") + ")")
+    System.err.println(f"[bench] round $roundIdx: timing " +
+      f"${timedNames.size}/${names.size} entries (core ${baseCore.size}, " +
+      f"rotation group $rotationG/$rotationK" +
+      (if (benchAll) ", BENCH_ALL" else "") +
+      (if (degraded) f", DEGRADED host ${degradeFactor}%.2fx: core only"
+       else "") + ")")
 
     // Stage-attribution listener: when a timed query stalls, the log
     // must say WHERE (driver wait vs task CPU vs task count) — the
@@ -714,6 +730,10 @@ object Bench {
         s""""calibn_sec":${math.rint(calibN * 1000) / 1000},""" +
         s""""calibm_sec":${math.rint(calibM * 1000) / 1000},""" +
         s""""sweep_cals":$sweepCalsJson,""" +
+        s""""calib0":[${math.rint(calib0._1 * 1000) / 1000},""" +
+        s"""${math.rint(calib0._2 * 1000) / 1000},""" +
+        s"""${math.rint(calib0._3 * 1000) / 1000}],""" +
+        s""""degraded_shard":$degraded,""" +
         s""""partial":$partial,"sweeps_completed":$sweepsCompleted,""" +
         s""""unwarmed":$unwarmed,""" +
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
