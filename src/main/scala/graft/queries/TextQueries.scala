@@ -2045,6 +2045,136 @@ object TextQueries {
   }
 
 
+  /** LSH recall S-curve census — the RECALL half of the measurement
+    * pair whose PRECISION half is `dedup_candidate_quality`: for a
+    * df-capped universe of ground-truth-ish pairs (docs sharing a
+    * rare 5-token gram), bucket each pair by its EXACT character-
+    * 3-shingle Jaccard and report what fraction the production
+    * MinHash band scheme (k=8 → 4 bands × 2 rows) actually catches,
+    * beside the textbook collision probability 1−(1−s²)⁴ (Broder '97
+    * / Leskovec-Rajaraman-Ullman ch. 3) — the empirical-vs-theory
+    * S-curve that justifies (bands, rows) before anyone trusts the
+    * dedup's recall. The banding replays the PORTABLE md5 kernel
+    * (`minhash_bands_md5`, the twin DuckDB already hash-verifies), so
+    * the oracle recomputes both curves end to end.
+    *
+    * Exactness discipline: Jaccard in integer ppm; the theory curve
+    * cleared of floats entirely — with u = |A∪B| and i = |A∩B|,
+    * 1−(1−(i/u)²)⁴ = (u⁸−(u²−i²)⁴)/u⁸, computed in DECIMAL(38,0) /
+    * HUGEINT (u ≤ ~1.2e3 ⇒ u⁸ ≤ ~4.3e24, and the ×10⁶ ppm scaling
+    * stays under 10³⁸) — no IEEE pow can flip a bucket boundary.
+    *
+    * Scale shape: the pair universe is the same bounded-df posting
+    * expansion as the candidate census (rare-gram equi-join, never
+    * all-pairs; postings structurally capped at maxDf ids); per-doc
+    * shingle sets and band arrays are computed once in a spread scan
+    * and equi-joined to the pairs; everything after is row-local
+    * integer algebra plus an 11-bucket aggregate. At 100 TB the
+    * census runs on a hash-sampled slice of the corpus — recall
+    * curves are estimates by nature — with the plan unchanged. */
+  val dedupLshScurve: CatalogEntry = {
+    val k = 8
+    val mins = (0 until k).map(i =>
+      s"""    min(('0x' || substring(md5(sh || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+      .mkString(",\n")
+    val bandList = (0 until k / 2).map(j =>
+      s"substring(sha256(mh${2 * j}::VARCHAR || '_' || " +
+        s"mh${2 * j + 1}::VARCHAR), 1, 16)").mkString("[", ",\n     ", "]")
+    CatalogEntry(
+      "dedup_lsh_scurve",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |gl AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+         |                   for i in range(1, greatest(len(toks) - 3, 1))])
+         |      AS gs
+         |  FROM t),
+         |g AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
+         |rare AS (SELECT gram FROM g GROUP BY gram
+         |         HAVING count(*) BETWEEN 2 AND 25),
+         |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |      WHERE a.gram IN (SELECT gram FROM rare)),
+         |shl AS (
+         |  SELECT doc_id,
+         |    list_distinct([substring(text, i, 3)
+         |                   for i in range(1, length(text) - 1)]) AS shg
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, unnest(shg) AS sh FROM shl),
+         |h AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM sh GROUP BY doc_id),
+         |bl AS (
+         |  SELECT doc_id,
+         |    $bandList AS bands
+         |  FROM h),
+         |p AS (
+         |  SELECT len(x.shg)::BIGINT AS na, len(y.shg)::BIGINT AS nb,
+         |    len(list_intersect(x.shg, y.shg))::BIGINT AS ni,
+         |    bx.bands AS ba, bb.bands AS bb
+         |  FROM e
+         |  JOIN shl x ON x.doc_id = src JOIN shl y ON y.doc_id = dst
+         |  JOIN bl bx ON bx.doc_id = src JOIN bl bb ON bb.doc_id = dst),
+         |q AS (
+         |  SELECT (1000000 * ni) // (na + nb - ni) AS jac_ppm,
+         |    (CASE WHEN ba[1] = bb[1] OR ba[2] = bb[2] OR ba[3] = bb[3]
+         |               OR ba[4] = bb[4] THEN 1 ELSE 0 END) AS caught,
+         |    ((na + nb - ni) * (na + nb - ni))::HUGEINT AS d2,
+         |    ((na + nb - ni) * (na + nb - ni) - ni * ni)::HUGEINT AS t2
+         |  FROM p),
+         |r AS (
+         |  SELECT (jac_ppm * 10 // 1000000)::BIGINT AS bucket, caught,
+         |    ((1000000::HUGEINT * (d2*d2*d2*d2 - t2*t2*t2*t2))
+         |       // (d2*d2*d2*d2))::BIGINT AS theory_ppm
+         |  FROM q)
+         |SELECT bucket, count(*)::BIGINT AS n_pairs,
+         |  sum(caught)::BIGINT AS n_caught,
+         |  ((1000000 * sum(caught)) // count(*))::BIGINT AS recall_ppm,
+         |  (sum(theory_ppm) // count(*))::BIGINT AS theory_avg_ppm
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+        n = 5, maxDf = 25)
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.spreadScan(docs.where($"text".isNotNull))
+        .select($"doc_id", TextOps.shingles($"text", 3).as("shg"),
+          call_function("minhash_bands_md5", $"text", lit(k), lit(3))
+            .as("bands"))
+      pairs
+        .join(base.select($"doc_id".as("src"), $"shg".as("sa"),
+          $"bands".as("ba")), "src")
+        .join(base.select($"doc_id".as("dst"), $"shg".as("sb"),
+          $"bands".as("bb")), "dst")
+        .select(size($"sa").cast("bigint").as("na"),
+          size($"sb").cast("bigint").as("nb"),
+          size(array_intersect($"sa", $"sb")).cast("bigint").as("ni"),
+          expr("exists(zip_with(ba, bb, (x, y) -> x = y), p -> p)")
+            .as("caught"))
+        .select(expr("(1000000L * ni) div (na + nb - ni)").as("jac_ppm"),
+          $"caught".cast("int").as("caught"),
+          expr("(na + nb - ni) * (na + nb - ni)").as("d2"),
+          expr("(na + nb - ni) * (na + nb - ni) - ni * ni").as("t2"))
+        .select(expr("(jac_ppm * 10) div 1000000").cast("bigint")
+          .as("bucket"), $"caught",
+          expr("(1000000L * (cast(d2 as decimal(38,0)) * d2 * d2 * d2" +
+            " - cast(t2 as decimal(38,0)) * t2 * t2 * t2))" +
+            " div (cast(d2 as decimal(38,0)) * d2 * d2 * d2)")
+            .as("theory_ppm"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"caught").cast("bigint").as("n_caught"),
+          sum($"theory_ppm").as("sum_theory"))
+        .select($"bucket", $"n_pairs",
+          $"n_caught",
+          expr("(1000000L * n_caught) div n_pairs").as("recall_ppm"),
+          expr("sum_theory div n_pairs").as("theory_avg_ppm"))
+        .orderBy($"bucket")
+    }
+  }
+
   /** BPE merge learning — the first 6 merge rounds of byte-pair
     * encoding learned from the corpus, the vocabulary-induction step
     * every tokenizer pipeline runs before `vocab_encode_docs` can
@@ -2200,7 +2330,7 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
-    dedupCandidateQuality, vocabBpeMerges,
+    dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
     tfidfPerDocTopk,
     textWordcount, textStats, langAgg, dedupExact, dedupNgramJaccard,
     textSimhash, dedupMinhashLsh, docWinnowFingerprint, langIdHeuristic,
