@@ -235,23 +235,44 @@ object Dedup {
     * BROADCAST and the corpus is scanned exactly once with no
     * corpus-wide shuffle — per-doc grams explode, survive the broadcast
     * inner join only on a hit (rare in a clean corpus), and only hits
-    * reach the per-doc count exchange. Production would hash grams to
-    * int64 (xxhash64) to shrink the broadcast ~10x; gram TEXT is kept
-    * so a SQL oracle can replay the pipeline verbatim. */
+    * reach the per-doc dedup + count exchanges. Production would hash
+    * grams to int64 (xxhash64) to shrink the broadcast ~10x; gram TEXT
+    * is kept so a SQL oracle can replay the pipeline verbatim.
+    *
+    * Gram construction is INDEX-exploded (explode the cheap start-index
+    * range, then `array_join(slice(toks, i, n))` per output row) rather
+    * than exploding a `tokenNgrams` array column: the optimizer's
+    * InferFiltersFromGenerate guard (`size(gs) > 0`) pushes through the
+    * spread repartition into the SCAN-side filter with the gram
+    * expression substituted, re-inlining the full n-gram array build —
+    * twice — into the single-task scan stage (measured: a 2.4-6.1 s
+    * one-task CPU stage at sf0.1 inside the broadcast build, caught by
+    * the bench's single_task detector in r12). With index explosion
+    * the inferred guard is integer arithmetic on `size(split(text))`,
+    * and the string-building CPU runs post-exchange on the session's
+    * full parallelism. Per-doc gram dedup moves AFTER the broadcast
+    * join, where it touches only the (rare) hits instead of the
+    * corpus. */
   def ngramOverlapCounts(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    // spreadScan: the corpus-side gram explode is the CPU-dense leg
-    val corpusGrams = Tables.spreadScan(docs.where(col(textCol).isNotNull))
-      .select(col(idCol), tokenNgrams(col(textCol), n).as("gs"))
-    // spreadScan on the eval leg too: it is small in BYTES (a filtered
-    // slice of one scan partition) but its 13-gram explode is the same
-    // CPU-dense work — observed as a 3.3 s single-task stage at sf0.1.
-    val evalGrams = Tables.spreadScan(evalDocs.where(col(textCol).isNotNull))
-      .select(explode(tokenNgrams(col(textCol), n)).as("gram"))
-      .distinct()
-    corpusGrams
-      .select(col(idCol), explode(col("gs")).as("gram"))
+    // spreadScan on both legs: the gram-build CPU must not inherit the
+    // scan's byte-sized (possibly single-task) parallelism — the eval
+    // leg is small in BYTES but its gram explode is the same CPU shape
+    def gramRows(df: DataFrame): DataFrame =
+      Tables.spreadScan(df.where(col(textCol).isNotNull))
+        .select(col(idCol), split(col(textCol), " ").as("toks"))
+        .select(col(idCol), col("toks"),
+          explode(when(size(col("toks")) >= n,
+            sequence(lit(1), size(col("toks")) - (n - 1)))
+            .otherwise(array().cast("array<integer>"))).as("i"))
+        .select(col(idCol),
+          array_join(slice(col("toks"), col("i"), lit(n)), " ").as("gram"))
+    val evalGrams = gramRows(evalDocs).select(col("gram")).distinct()
+    gramRows(docs) // per-doc duplicate grams still present — see below
       .join(broadcast(evalGrams), Seq("gram"))
+      // per-doc distinct AFTER the join: only hit rows pay the dedup
+      // exchange, and distinct-after-filter ≡ distinct-before-filter
+      .select(col(idCol), col("gram")).distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit"))
   }

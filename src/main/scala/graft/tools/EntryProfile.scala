@@ -32,6 +32,29 @@ object EntryProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_PROFILE_STAGES=1: print every >= 0.5 s stage of each
+    // timed rep (task count, CPU, GC) — the attribution view for the
+    // bench's "single_task" findings, runnable on one entry in quiet
+    // isolation instead of inside a full sweep.
+    val showStages = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (showStages)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = sc.stageInfo
+            val dur = (for { a <- i.completionTime; b <- i.submissionTime }
+              yield a - b).getOrElse(-1L)
+            if (dur >= 500) {
+              val m = i.taskMetrics
+              stageLog.add(f"  stage ${i.stageId}%5d ${dur / 1000.0}%5.1f s " +
+                f"tasks=${i.numTasks}%-3d cpu=${m.executorCpuTime / 1e9}%5.1f " +
+                f"gc=${m.jvmGCTime / 1e3}%4.1f  ${i.name.takeWhile(_ != '\n')}")
+            }
+          }
+        })
     for (name <- names) {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown entry $name"))
@@ -41,7 +64,18 @@ object EntryProfile {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm: codegen + catalog caches, untimed
-      val ts = Seq.fill(reps)(once()).sorted
+      val ts = (1 to reps).map { _ =>
+        stageLog.clear()
+        val t = once()
+        if (showStages) {
+          import scala.jdk.CollectionConverters._
+          // drain the async listener bus before reading the log
+          Thread.sleep(300)
+          println(f"[profile] $name rep $t%6.3f s stages:")
+          stageLog.asScala.foreach(println)
+        }
+        t
+      }.sorted
       val med = ts((ts.length - 1) / 2)
       println(f"[profile] $name%-28s median $med%6.3f s  " +
         f"min ${ts.head}%6.3f  max ${ts.last}%6.3f  (n=$reps, $sfDir)")

@@ -312,4 +312,55 @@ class StreamDedupSpec extends SparkTestBase {
       assert(batch.nonEmpty, "fixture must actually contain semantic dups")
     } finally q.stop()
   }
+
+  // identical unit vectors: every co-resident pair clears any threshold
+  private val e1 = Array(1.0f, 0.0f)
+  private val oneCluster = Seq(0 -> Array(1.0f, 0.0f))
+
+  test("semantic dedup state is a bounded FIFO: an evicted vector no " +
+      "longer pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = StreamDedup.semanticNearDup(
+      source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      oneCluster, stateDocsPerCluster = 1)
+      .writeStream.format("memory").queryName("semdedup_fifo")
+      .outputMode("append").start()
+    try {
+      source.addData(1L -> e1); q.processAllAvailable()
+      source.addData(2L -> e1); q.processAllAvailable() // pairs with 1, evicts 1
+      source.addData(3L -> e1); q.processAllAvailable() // pairs with 2 only
+      val got = spark.table("semdedup_fifo")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (2L, 3L)),
+        s"cap=1 must drop the (1,3) pair, got $got")
+    } finally q.stop()
+  }
+
+  test("semantic dedup re-delivery replaces the state entry: no " +
+      "self-pairs and FIFO capacity is not consumed") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = StreamDedup.semanticNearDup(
+      source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      oneCluster, stateDocsPerCluster = 2)
+      .writeStream.format("memory").queryName("semdedup_redeliver")
+      .outputMode("append").start()
+    try {
+      source.addData(1L -> e1); q.processAllAvailable()
+      source.addData(1L -> e1); q.processAllAvailable() // replace, no self-pair
+      source.addData(2L -> e1); q.processAllAvailable() // pairs with 1
+      source.addData(3L -> e1); q.processAllAvailable() // pairs with 1 AND 2
+      val got = spark.table("semdedup_redeliver")
+        .select($"id_a", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"re-delivery must not shrink capacity or self-pair, got $got")
+      val dupEmits = spark.table("semdedup_redeliver")
+        .groupBy($"id_a", $"id_b", $"cluster").count()
+        .filter($"count" > 1).count()
+      assert(dupEmits == 0, "no pair emitted more than once")
+    } finally q.stop()
+  }
 }
