@@ -716,6 +716,17 @@ object Bench {
       v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
     val extra = ratio3("vs_baseline", vsBaseline) +
       ratio3("vs_baseline_cal", vsBaselineCal)
+    // Per-entry outliers, pre-digested: entries reading >= 3x their
+    // baseline AND >= 1 s absolute — the rows a cross-round reader
+    // would otherwise have to dig out of the 130+-entry queries map
+    // by hand. Together with calib0/sweep_cals this makes the artifact
+    // answer "was it the session or an entry?" in one glance.
+    val regressions = results.collect {
+      case (k, v) if v >= 1.0 &&
+          baseKv.get(k).exists(b => b > 0 && v / b >= 3.0) =>
+        s"""{"q":"$k","sec":${math.rint(v * 1000) / 1000},""" +
+          s""""base":${baseKv(k)}}"""
+    }
     def strArr(xs: Iterable[String]): String =
       xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sweepCalsJson = sweepCals
@@ -739,6 +750,7 @@ object Bench {
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
         s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +
         s""""single_task":${strArr(singleTask.asScala)},""" +
+        s""""regressions":${regressions.mkString("[", ",", "]")},""" +
         s""""deadlined":${strArr(deadlined.asScala)}""" +
         s"""$extra,"sf":"$sfDir"}"""
     println(line)
