@@ -250,11 +250,14 @@ object Bench {
     // BENCH_r{N}.json + 1 — deterministic, survives re-runs within a
     // round (same N → same shard → comparable re-runs).
     import scala.jdk.CollectionConverters._
-    val roundIdx: Int = Files.list(Paths.get(".")).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-        s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-      .maxOption.getOrElse(0) + 1
+    // SPARK_GRAFT_ROUND overrides the file-derived index — for
+    // exercising a specific rotation group ahead of its round.
+    val roundIdx: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      .getOrElse(Files.list(Paths.get(".")).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+        .maxOption.getOrElse(0) + 1)
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val rotationG = math.floorMod(roundIdx, rotationK)
     // Startup degradation probe (round-12): the r11 session ran BOTH
@@ -266,7 +269,17 @@ object Bench {
     // only: a complete 2-sweep core artifact beats a 1-sweep sharded
     // one. The startup readings are published as "calib0" so a reader
     // sees the decision's evidence in the artifact.
-    val calib0 = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
+    // MIN of two probes 3 s apart: a one-off startup blip (an sbt-host
+    // GC, a compile-daemon tail) inflates one reading and passes; a
+    // real bandwidth-starved window persists for minutes and inflates
+    // both (observed: a genuinely starving host read 2.48x here and
+    // 3.9x by sweep time — the shrink was correct).
+    val calib0 = {
+      val a = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
+      Thread.sleep(3000)
+      val b = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
+      (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3))
+    }
     val degradeFactor = baseKv.get("calibn_sec").filter(_ > 0)
       .map(calib0._2 / _).getOrElse(1.0)
     val degraded = !benchAll && degradeFactor > 1.5
