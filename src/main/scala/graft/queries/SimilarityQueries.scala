@@ -770,8 +770,81 @@ object SimilarityQueries {
         (count(lit(1)) * 10).as("recall_pct"))
   }
 
+  /** IVF recall-vs-nprobe curve — the tuning measurement for the
+    * standard IVF knob, closing the ANN measurement story the same
+    * way [[simRecallAtK]] gates the LSH path and `dedup_lsh_scurve`
+    * curves the MinHash bands: recall@10 against the exact scan for
+    * nprobe ∈ {1, 2, 4} probed clusters, as one hash-gated query. A
+    * coarse quantizer with k clusters can hide a true neighbor in any
+    * cluster the query's probe budget skips; this row set is the
+    * evidence for choosing the budget, and a quantizer/geometry
+    * regression moves the whole curve and fails the hash gate.
+    *
+    * Scale shape: each arm is two already-scale-safe plans (IVF probe
+    * = broadcast centroid dim + nprobe cluster reads; exact = one
+    * corpus pass, the measurement's ground truth) joined on two
+    * 10-row sides. At 100 TB the curve runs over a SAMPLE of query
+    * vectors — recall estimation never needs the corpus twice. */
+  val simIvfRecallCurve: CatalogEntry = {
+    def ivfSql(p: Int): String =
+      s"""WITH cen AS (
+         |  SELECT label, (i.gs - 1) AS pos,
+         |    avg(embedding[i.gs]::DOUBLE)::FLOAT AS m
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS i(gs)
+         |  GROUP BY label, pos),
+         |carr AS (SELECT label, list(m ORDER BY pos) AS centroid
+         |         FROM cen GROUP BY label),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT label AS c_label, qe FROM carr, q
+         |  ORDER BY
+         |    list_sum([centroid[i]::DOUBLE * qe[i]::DOUBLE
+         |              for i in range(1, 65)]) /
+         |    (sqrt(list_sum([centroid[i]::DOUBLE * centroid[i]::DOUBLE
+         |                    for i in range(1, 65)])) *
+         |     sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+         |                    for i in range(1, 65)]))) DESC, label
+         |  LIMIT $p)
+         |SELECT e.vec_id FROM embeddings e JOIN nearest n ON e.label = n.c_label
+         |ORDER BY round(
+         |  list_sum([e.embedding[i]::DOUBLE * n.qe[i]::DOUBLE
+         |            for i in range(1, 65)]) /
+         |  (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+         |                  for i in range(1, 65)])) *
+         |   sqrt(list_sum([n.qe[i]::DOUBLE * n.qe[i]::DOUBLE
+         |                  for i in range(1, 65)]))), 6) DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    def armSql(p: Int): String =
+      s"""SELECT $p::BIGINT AS nprobe, count(*)::BIGINT AS n_hit,
+         |  (count(*) * 10)::BIGINT AS recall_pct
+         |FROM (${ivfSql(p).replace("\n", "\n      ")}) a
+         |JOIN (${simCosineTopk.oracle.get.replace("\n", "\n      ")}) e
+         |  ON a.vec_id = e.vec_id""".stripMargin
+    CatalogEntry(
+      "sim_ivf_recall_curve",
+      Seq(1, 2, 4).map(armSql).mkString(
+        "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY nprobe")) {
+      (s, d) =>
+        import s.implicits._
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val exact = simCosineTopk.query(s, d).select($"vec_id".as("evid"))
+        Seq(1, 2, 4).map { p =>
+          Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+            queryId = 0, k = 10, nProbe = p)
+            .select($"vec_id")
+            .join(exact, $"vec_id" === $"evid")
+            .agg(count(lit(1)).as("n_hit"))
+            .select(lit(p.toLong).as("nprobe"), $"n_hit",
+              ($"n_hit" * 10).as("recall_pct"))
+        }.reduce(_ unionByName _).orderBy($"nprobe")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
+    simIvfRecallCurve,
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
