@@ -245,6 +245,18 @@ object Bench {
       """"rotation_k":\s*([0-9]+)""".r.findFirstMatchIn(text)
         .map(_.group(1).toInt)
     }.getOrElse(3).max(1)
+    // Every baseline-driven DECISION (degradation shrink, sweep-cost
+    // prediction, vs_baseline) requires the run's config to match what
+    // the baseline recorded — calibn measured on different core counts
+    // or per-entry times from a different SF predict nothing. One flag,
+    // checked everywhere baseKv feeds a decision.
+    val baselineConfigMatches: Boolean = baselineText.exists { text =>
+      val baseSf = """"sf":\s*"([^"]+)"""".r
+        .findFirstMatchIn(text).map(_.group(1))
+      val baseCpus = """"cpus":\s*"?([0-9]+)"?""".r
+        .findFirstMatchIn(text).map(_.group(1))
+      baseSf.contains(sfDir) && baseCpus.contains(cpus)
+    }
 
     // ----- timed-catalog shard (round-12). Round index = max committed
     // BENCH_r{N}.json + 1 — deterministic, survives re-runs within a
@@ -280,9 +292,21 @@ object Bench {
       val b = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
       (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3))
     }
-    val degradeFactor = baseKv.get("calibn_sec").filter(_ > 0)
-      .map(calib0._2 / _).getOrElse(1.0)
-    val degraded = !benchAll && degradeFactor > 1.5
+    // Two hazards, two probes: the LCG factor sees CPU contention; the
+    // bandwidth factor sees the starvation mode the LCG is BLIND to
+    // (cache-resident — a starved host has read 0.1-1.9 GB/s with LCG
+    // probes within 15% of baseline). Memory readings are noisier, so
+    // its threshold is wider.
+    val degradeCpu =
+      if (!baselineConfigMatches) 1.0
+      else baseKv.get("calibn_sec").filter(_ > 0)
+        .map(calib0._2 / _).getOrElse(1.0)
+    val degradeMem =
+      if (!baselineConfigMatches) 1.0
+      else baseKv.get("calibm_sec").filter(_ > 0)
+        .map(calib0._3 / _).getOrElse(1.0)
+    val degradeFactor = math.max(degradeCpu, degradeMem / 3.33)
+    val degraded = !benchAll && (degradeCpu > 1.5 || degradeMem > 5.0)
     val timedNames: Seq[String] =
       if (benchAll || baseCore.isEmpty) names
       else {
@@ -316,9 +340,18 @@ object Bench {
     // ≥ 3 s stage running as ONE task during their timed run — the
     // shape that cannot scale out (r10's 466 s CC stage, r11's 1-file
     // CSV write). Reported as "single_task" in the artifact.
-    @volatile var currentTimed: String = null
-    val singleTask =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // Attribution is POST-HOC by wall-clock window, not by reading a
+    // current-entry variable at event time: listener events arrive on
+    // the AsyncEventQueue thread, which can lag the driver past the
+    // end of a run — an event-time lookup can blame the NEXT entry
+    // (or drop the finding) exactly when a heavy final stage is the
+    // thing being reported. The listener records (midpointMs, raw
+    // line); timed runs record their [start, end] windows; the
+    // artifact joins the two at the end, when the bus has drained.
+    val singleTaskEvents =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val timedWindows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
     def newSession(): SparkSession = {
       val s = buildSession()
       s.sparkContext.setLogLevel("WARN")
@@ -337,9 +370,10 @@ object Bench {
                 f"run=${m.executorRunTime / 1e3}%.1f " +
                 f"gc=${m.jvmGCTime / 1e3}%.1f")
             }
-            val owner = currentTimed
-            if (dur >= 3000 && i.numTasks == 1 && owner != null)
-              singleTask.add(owner)
+            if (dur >= 3000 && i.numTasks == 1)
+              i.completionTime.foreach(end =>
+                singleTaskEvents.add((end - dur / 2,
+                  f"stage ${i.stageId} ${dur / 1000.0}%.1f s")))
           }
         })
       s
@@ -367,7 +401,8 @@ object Bench {
     // with other threads' appends and misattribute stages).
     def runOnce(name: String, dir: String, attribute: Boolean,
         deadlineSec: Double = queryDeadlineSec): Double = {
-      if (attribute) { stageLog.clear(); currentTimed = name }
+      if (attribute) stageLog.clear()
+      val wall0 = System.currentTimeMillis()
       val group = s"bench-$name-${groupSeq.incrementAndGet()}"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       @volatile var killed = false
@@ -384,7 +419,8 @@ object Bench {
       catch { case e: Throwable =>
         killer.cancel()
         spark.sparkContext.clearJobGroup()
-        if (attribute) currentTimed = null
+        if (attribute)
+          timedWindows.add((name, wall0, System.currentTimeMillis()))
         if (killed) {
           // Only a TIMED run's cancellation is a reportable deadline:
           // the concurrent warm-up runs 8 heavy entries at once, so a
@@ -403,7 +439,7 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       val sec = (System.nanoTime() - t0) / 1e9
       if (attribute) {
-        currentTimed = null
+        timedWindows.add((name, wall0, System.currentTimeMillis()))
         if (sec >= 3.0) {
           System.err.println(
             s"[bench] slow $name ${math.rint(sec * 10) / 10} s: " +
@@ -573,17 +609,12 @@ object Bench {
     val sweepLoop = new scala.util.control.Breaks
     sweepLoop.breakable {
       for (s <- 1 to nSweeps) {
-        if (s == 1) jitQuiesce(60.0)
-        else {
-          // Between sweeps: drop sweep 1's checkpoint blocks (serial
-          // context — safe, unlike during the concurrent warm-up),
-          // collect, and a SHORT quiesce (sweep 1 compiled everything
-          // already; only stragglers remain).
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          System.gc()
-          jitQuiesce(15.0)
-        }
+        // Pre-sweep feasibility FIRST (round-12 review fix): the
+        // inter-sweep unpersist + gc + quiesce costs ~20-35 s — paying
+        // it for a sweep the check then cancels wastes exactly the
+        // budget the check exists to protect, and the +15 s overhead
+        // term below accounts for the quiesce that follows a GO
+        // decision, not one already spent.
         // Pre-sweep feasibility: starting a sweep that cannot finish
         // only produces an alphabetically-biased partial — if the next
         // sweep's predicted cost doesn't fit in the remaining budget,
@@ -607,7 +638,7 @@ object Bench {
         // a stale baseline).
         if (s > 1) {
           val baseSum = timedNames.flatMap(baseKv.get).sum
-          val covered =
+          val covered = baselineConfigMatches &&
             timedNames.count(baseKv.contains) >= timedNames.size * 0.9
           val sessionFactor =
             baseKv.get("calibn_sec").filter(_ > 0)
@@ -623,6 +654,17 @@ object Bench {
               f"sweep ($estNext%.0f s): stopping after ${s - 1} sweeps")
             sweepLoop.break()
           }
+        }
+        if (s == 1) jitQuiesce(60.0)
+        else {
+          // Between sweeps: drop sweep 1's checkpoint blocks (serial
+          // context — safe, unlike during the concurrent warm-up),
+          // collect, and a SHORT quiesce (sweep 1 compiled everything
+          // already; only stragglers remain).
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          jitQuiesce(15.0)
         }
         val c1 = calibrate(1)
         val cN = calibrate(cpus.toInt)
@@ -699,12 +741,8 @@ object Bench {
     val (vsBaseline, vsBaselineCal): (Option[Double], Option[Double]) =
       baselineText match {
         case None => (None, None)
-        case Some(text) =>
-          val baseSf = """"sf":\s*"([^"]+)"""".r
-            .findFirstMatchIn(text).map(_.group(1))
-          val baseCpus = """"cpus":\s*"?([0-9]+)"?""".r
-            .findFirstMatchIn(text).map(_.group(1))
-          if (!baseSf.contains(sfDir) || !baseCpus.contains(cpus))
+        case Some(_) =>
+          if (!baselineConfigMatches)
             (None, None)
           else {
             val shared = results.collect {
@@ -735,13 +773,26 @@ object Bench {
     // by hand. Together with calib0/sweep_cals this makes the artifact
     // answer "was it the session or an entry?" in one glance.
     val regressions = results.collect {
-      case (k, v) if v >= 1.0 &&
+      case (k, v) if baselineConfigMatches && v >= 1.0 &&
           baseKv.get(k).exists(b => b > 0 && v / b >= 3.0) =>
         s"""{"q":"$k","sec":${math.rint(v * 1000) / 1000},""" +
           s""""base":${baseKv(k)}}"""
     }
     def strArr(xs: Iterable[String]): String =
       xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Post-hoc single-task attribution: give the async listener bus a
+    // moment to drain, then assign each recorded ≥3 s one-task stage
+    // to the timed run whose [start, end] wall-clock window contains
+    // the stage's midpoint. Stages outside every window (warm-up,
+    // settle) are dropped — same scope as before, without the race.
+    Thread.sleep(1000)
+    val singleTask: Set[String] = {
+      val windows = timedWindows.asScala.toSeq
+      singleTaskEvents.asScala.flatMap { case (midMs, _) =>
+        windows.collectFirst {
+          case (n, a, b) if midMs >= a && midMs <= b => n }
+      }.toSet
+    }
     val sweepCalsJson = sweepCals
       .map { case (a, b, c) =>
         s"[${math.rint(a * 1000) / 1000},${math.rint(b * 1000) / 1000}," +
@@ -762,7 +813,7 @@ object Bench {
         s""""unwarmed":$unwarmed,""" +
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
         s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +
-        s""""single_task":${strArr(singleTask.asScala)},""" +
+        s""""single_task":${strArr(singleTask)},""" +
         s""""regressions":${regressions.mkString("[", ",", "]")},""" +
         s""""deadlined":${strArr(deadlined.asScala)}""" +
         s"""$extra,"sf":"$sfDir"}"""

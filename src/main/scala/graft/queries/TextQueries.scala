@@ -2059,10 +2059,17 @@ object TextQueries {
     * the oracle recomputes both curves end to end.
     *
     * Exactness discipline: Jaccard in integer ppm; the theory curve
-    * cleared of floats entirely — with u = |A∪B| and i = |A∩B|,
-    * 1−(1−(i/u)²)⁴ = (u⁸−(u²−i²)⁴)/u⁸, computed in DECIMAL(38,0) /
-    * HUGEINT (u ≤ ~1.2e3 ⇒ u⁸ ≤ ~4.3e24, and the ×10⁶ ppm scaling
-    * stays under 10³⁸) — no IEEE pow can flip a bucket boundary.
+    * cleared of floats entirely AND of magnitude hazards — it is
+    * computed from the MILLI-quantized similarity m = jac_ppm div
+    * 10³ (s ≈ m/10³): 1−(1−s²)⁴ = (10²⁴−(10⁶−m²)⁴)/10²⁴ in
+    * DECIMAL(38,0) / HUGEINT, whose magnitudes (≤ 10³⁰ with the ppm
+    * scaling) are INDEPENDENT of document length — a formula on the
+    * raw set sizes (u⁸·10⁶) silently overflows 38 digits once a doc
+    * pair exceeds ~10⁴ distinct shingles, the same silent-at-test-SF
+    * overflow class the candidate census had. The ≤ 10⁻³ similarity
+    * quantization moves the four-band curve by < 0.5 % of a ppm
+    * point — identical floor rounding in both engines, so no
+    * boundary can flip.
     *
     * Scale shape: the pair universe is the same bounded-df posting
     * expansion as the candidate census (rare-gram equi-join, never
@@ -2120,14 +2127,17 @@ object TextQueries {
          |q AS (
          |  SELECT (1000000 * ni) // (na + nb - ni) AS jac_ppm,
          |    (CASE WHEN ba[1] = bb[1] OR ba[2] = bb[2] OR ba[3] = bb[3]
-         |               OR ba[4] = bb[4] THEN 1 ELSE 0 END) AS caught,
-         |    ((na + nb - ni) * (na + nb - ni))::HUGEINT AS d2,
-         |    ((na + nb - ni) * (na + nb - ni) - ni * ni)::HUGEINT AS t2
+         |               OR ba[4] = bb[4] THEN 1 ELSE 0 END) AS caught
          |  FROM p),
          |r AS (
          |  SELECT (jac_ppm * 10 // 1000000)::BIGINT AS bucket, caught,
-         |    ((1000000::HUGEINT * (d2*d2*d2*d2 - t2*t2*t2*t2))
-         |       // (d2*d2*d2*d2))::BIGINT AS theory_ppm
+         |    ((1000000::HUGEINT *
+         |      (1000000000000000000000000::HUGEINT
+         |       - (1000000 - (jac_ppm // 1000) * (jac_ppm // 1000))::HUGEINT
+         |         * (1000000 - (jac_ppm // 1000) * (jac_ppm // 1000))
+         |         * (1000000 - (jac_ppm // 1000) * (jac_ppm // 1000))
+         |         * (1000000 - (jac_ppm // 1000) * (jac_ppm // 1000))))
+         |     // 1000000000000000000000000::HUGEINT)::BIGINT AS theory_ppm
          |  FROM q)
          |SELECT bucket, count(*)::BIGINT AS n_pairs,
          |  sum(caught)::BIGINT AS n_caught,
@@ -2154,14 +2164,15 @@ object TextQueries {
           expr("exists(zip_with(ba, bb, (x, y) -> x = y), p -> p)")
             .as("caught"))
         .select(expr("(1000000L * ni) div (na + nb - ni)").as("jac_ppm"),
-          $"caught".cast("int").as("caught"),
-          expr("(na + nb - ni) * (na + nb - ni)").as("d2"),
-          expr("(na + nb - ni) * (na + nb - ni) - ni * ni").as("t2"))
+          $"caught".cast("int").as("caught"))
         .select(expr("(jac_ppm * 10) div 1000000").cast("bigint")
           .as("bucket"), $"caught",
-          expr("(1000000L * (cast(d2 as decimal(38,0)) * d2 * d2 * d2" +
-            " - cast(t2 as decimal(38,0)) * t2 * t2 * t2))" +
-            " div (cast(d2 as decimal(38,0)) * d2 * d2 * d2)")
+          expr("1000000L - (jac_ppm div 1000) * (jac_ppm div 1000)")
+            .as("q2"))
+        .select($"bucket", $"caught",
+          expr("(1000000L * (cast(1000000000000000000000000 as decimal(38,0))" +
+            " - cast(q2 as decimal(38,0)) * q2 * q2 * q2))" +
+            " div cast(1000000000000000000000000 as decimal(38,0))")
             .as("theory_ppm"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_pairs"),

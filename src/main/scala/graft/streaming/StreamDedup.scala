@@ -189,9 +189,13 @@ object StreamDedup {
     * (id, vector, nq) entries — the vector itself must ride in state
     * (an exact dot needs it; a sketch would re-introduce the false
     * negatives SemDeDup exists to avoid), so the cap is the knob that
-    * trades recall horizon against store size (dim·4 bytes/entry). A
-    * pair sharing a cluster emits once; re-delivered ids replace
-    * their old entry, identical to the SimHash variant's discipline.
+    * trades recall horizon against store size (dim·4 bytes/entry).
+    * Re-delivered ids replace their old entry (no self-pairs, no
+    * capacity loss), and — exactly like the SimHash variant — a
+    * re-delivery arriving AFTER a peer is in state re-compares
+    * against the bucket and re-emits its (already-seen) pairs once
+    * per arrival, absorbed by the same downstream (id_a, id_b)
+    * dedup the batch-equivalence spec applies.
     *
     * @param centroids (cluster id, centroid vector) — static,
     *                  driver-small (k rows), e.g. the batch entry's

@@ -20,6 +20,13 @@ def main(bench_path, core_path, note):
         sys.exit("refusing: bench run is partial")
     if b.get("sweeps_completed", 0) < 2:
         sys.exit("refusing: need >= 2 completed sweeps")
+    # a routine sharded round passes the two checks above yet covers
+    # only ~2/3 of the catalog; recording it would leave the rotation
+    # entries permanently "new" (always timed) and break the sweep
+    # budget arithmetic — require a BENCH_ALL artifact
+    if b.get("timed") is not None and b.get("timed") != b.get("catalog"):
+        sys.exit(f"refusing: sharded run ({b['timed']}/{b['catalog']} "
+                 f"timed) — re-run with SPARK_GRAFT_BENCH_ALL=1")
     queries = {k: v for k, v in sorted(b["queries"].items()) if v >= 0}
     missing = [c for c in core if c not in queries]
     if missing:
