@@ -471,6 +471,84 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Per-cluster PROTOTYPICALITY outliers — the other half of the
+    * SemDeDup recipe ([[dedupSemanticEmbed]] prunes the redundant
+    * center of each cluster; this flags the UN-prototypical edge): for
+    * each cluster of the [[embedKmeansAssign]] assignment, the 5
+    * members farthest from their centroid, with each member's
+    * distance-to-cluster-mean ratio in exact-integer ppm. Rank-based
+    * (top-k per cluster, ties on vec_id), not threshold-based — a
+    * "prune the farthest p%" selection stays non-empty and
+    * deterministic on any distribution, where a mean-multiple cutoff
+    * silently selects nothing on a uniform corpus.
+    *
+    * Exactness: distances are the assign pipeline's nano-quantized
+    * BIGINT sums; the ratio numerator `10⁶·d²·n` is DECIMAL(38,0)/
+    * HUGEINT-widened before the floor division (BIGINT dies once
+    * n·d² passes ~10¹⁸ — at corpus scale it does).
+    *
+    * Scale shape: one broadcast-centroid assign pass; cluster moments
+    * are a k-row aggregate broadcast back; the per-cluster top-k is a
+    * keyed window over data already partitioned by cluster — with k
+    * in the thousands at 100 TB the window is thousands-way parallel,
+    * and the farthest-5 cut bounds output at 5k rows. */
+  val embedOutlierCentroid: CatalogEntry = CatalogEntry(
+    "embed_outlier_centroid",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id < 8),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum([round(((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * ((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+      |                    * 1e9, 0)::BIGINT
+      |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS d2q
+      |  FROM embeddings e, cent c),
+      |best AS (
+      |  SELECT vec_id, cid, d2q,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+      |  FROM d2),
+      |asg AS (SELECT vec_id, cid AS cluster, d2q FROM best WHERE rn = 1),
+      |st AS (SELECT cluster, count(*)::BIGINT AS cluster_n,
+      |         sum(d2q)::BIGINT AS sum_d2q
+      |       FROM asg GROUP BY cluster),
+      |r AS (
+      |  SELECT a.vec_id, a.cluster, st.cluster_n,
+      |    ((1000000::HUGEINT * a.d2q::HUGEINT * st.cluster_n::HUGEINT)
+      |     // st.sum_d2q::HUGEINT)::BIGINT AS ratio_ppm,
+      |    row_number() OVER (PARTITION BY a.cluster
+      |                       ORDER BY a.d2q DESC, a.vec_id) AS rnk
+      |  FROM asg a JOIN st USING (cluster))
+      |SELECT vec_id, cluster, rnk::INT AS rnk, cluster_n, ratio_ppm
+      |FROM r WHERE rnk <= 5 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cent = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val asg = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid",
+        aggregate(
+          zip_with($"embedding", $"cvec", (a, c) => {
+            val diff = a.cast("double") - c.cast("double")
+            round(diff * diff * lit(1e9), 0).cast("long")
+          }),
+          lit(0L), (acc, t) => acc + t).as("d2q"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2q", $"cid")).as("b"))
+      .select($"vec_id", $"b.cid".as("cluster"), $"b.d2q".as("d2q"))
+    val st = asg.groupBy($"cluster")
+      .agg(count(lit(1)).as("cluster_n"), sum($"d2q").as("sum_d2q"))
+    asg.join(broadcast(st), "cluster")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"d2q".desc, $"vec_id")))
+      .where($"rnk" <= 5)
+      .select($"vec_id", $"cluster", $"rnk",
+        $"cluster_n",
+        expr("cast((1000000L * cast(d2q as decimal(38,0)) * cluster_n)" +
+          " div sum_d2q as bigint)").as("ratio_ppm"))
+      .orderBy($"vec_id")
+  }
+
   val embedKmeansAssign: CatalogEntry = CatalogEntry(
     "embed_kmeans_assign",
     """WITH cent AS (
@@ -848,5 +926,5 @@ object SimilarityQueries {
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
-    embedNormalizeL2)
+    embedNormalizeL2, embedOutlierCentroid)
 }

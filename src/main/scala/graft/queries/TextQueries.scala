@@ -2298,6 +2298,22 @@ object TextQueries {
       |UNION ALL SELECT 5::BIGINT AS round, pr AS pair, cnt FROM m5
       |UNION ALL SELECT 6::BIGINT AS round, pr AS pair, cnt FROM m6) ORDER BY round""".stripMargin) { (s, d) =>
     import s.implicits._
+    val (rounds, _) = bpeLearn(s, d, nRounds = 6)
+    rounds.reduce(_ unionByName _)
+      .select($"round", $"pr".as("pair"), $"cnt")
+      .orderBy($"round")
+  }
+
+  /** Shared BPE learning pipeline (see [[vocabBpeMerges]] for the full
+    * semantics + scale rationale): returns the per-round argmax winner
+    * tables AND the final word → symbol-sequence table after all
+    * merges — the learned tokenizer state [[vocabBpeApply]] encodes
+    * with. Extracted so the apply entry can never drift from the
+    * learner the oracle verifies. */
+  private def bpeLearn(s: org.apache.spark.sql.SparkSession, d: String,
+      nRounds: Int)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
     val words = Tables.documents(s, d)
       .where($"text".isNotNull)
       .select(explode(TextOps.tokens($"text")).as("word"))
@@ -2306,7 +2322,7 @@ object TextQueries {
     var sym = words
       .withColumn("sym", trim(regexp_replace($"word", "(.)", "$1 ")))
       .localCheckpoint()
-    val rounds = (1 to 6).map { r =>
+    val rounds = (1 to nRounds).map { r =>
       val winner = sym
         .select($"freq", split($"sym", " ").as("sy"))
         .select($"freq", explode(when(size($"sy") >= 2, expr(
@@ -2334,9 +2350,302 @@ object TextQueries {
         .localCheckpoint() // vocab-sized; truncates the 6-round lineage
       winner
     }
-    rounds.reduce(_ unionByName _)
-      .select($"round", $"pr".as("pair"), $"cnt")
-      .orderBy($"round")
+    (rounds, sym)
+  }
+
+  /** The s0→s6 merge-application CTE chain shared by the
+    * [[vocabBpeMerges]] and [[vocabBpeApply]] oracles — built by the
+    * same loop for both so the two statements cannot drift. */
+  private def bpeOracleChain(nRounds: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |        WHERE text IS NOT NULL)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS (SELECT word, freq,
+        |        trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM w)""".stripMargin
+    head + (1 to nRounds).map { r =>
+      s""",
+         |p$r AS (
+         |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
+         |                         for i in range(1, len(sy))]) AS pr
+         |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s${r - 1}))
+         |  GROUP BY pr),
+         |m$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+         |s$r AS (SELECT word, freq, trim(replace(replace(
+         |           ' ' || replace(sym, ' ', '  ') || ' ',
+         |           ' ' || replace((SELECT pr FROM m$r), ' ', '  ') || ' ',
+         |           ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' '),
+         |           '  ', ' ')) AS sym FROM s${r - 1})""".stripMargin
+    }.mkString
+  }
+
+  /** BPE ENCODE — apply the [[vocabBpeMerges]]-learned merge table to
+    * the corpus, the tokenize-for-training step that consumes what
+    * the learner produces: per document, word count, post-merge BPE
+    * token count, character mass, and fertility (tokens per char, in
+    * exact-integer ppm) — the number that prices a corpus in context-
+    * window budget and decides whether the learned vocabulary is
+    * paying for itself.
+    *
+    * Scale shape: encoding NEVER re-runs merge scans over the corpus —
+    * the learner's final word → symbol table (vocab-sized) carries
+    * `n_tokens` per word, and encoding is one equi-join of the
+    * exploded corpus word stream against it, then a per-doc partial
+    * aggregate. At 100 TB the vocab side is millions of rows against
+    * a corpus of trillions of words — Spark picks broadcast vs
+    * shuffle join by its statistics; the corpus side shuffles only
+    * (doc_id, counts). Every word is in-vocab by construction (the
+    * vocab was learned from this corpus), so the inner join is
+    * lossless — a production encoder over NEW text adds an OOV
+    * fallback row. */
+  val vocabBpeApply: CatalogEntry = CatalogEntry(
+    "vocab_bpe_apply",
+    bpeOracleChain(6) +
+      """,
+        |enc AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS ntok
+        |        FROM s6),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |       FROM documents WHERE text IS NOT NULL),
+        |j AS (SELECT doc_id, dw.word, ntok, length(dw.word)::BIGINT AS nch
+        |      FROM dw JOIN enc USING (word) WHERE word <> '')
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |  sum(ntok)::BIGINT AS n_tokens, sum(nch)::BIGINT AS n_chars,
+        |  ((1000000 * sum(ntok)) // sum(nch))::BIGINT AS tokens_per_char_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (_, sym6) = bpeLearn(s, d, nRounds = 6)
+    val enc = sym6.select($"word",
+      size(split($"sym", " ")).cast("long").as("ntok"))
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("word"))
+      .where($"word" =!= "")
+      .join(enc, "word")
+      .select($"doc_id", $"ntok", length($"word").cast("long").as("nch"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"),
+        sum($"nch").as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens", $"n_chars",
+        expr("(1000000L * n_tokens) div n_chars").as("tokens_per_char_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus n-gram diversity census — distinct-trigram fraction per
+    * source, the standard self-repetition / template-content signal
+    * (the corpus-level face of `doc_repetition_stats`: a source whose
+    * diversity_ppm collapses is boilerplate-stamping the same
+    * trigrams, and mixture weights should know). Counts are
+    * NON-distinct per document (unlike the dedup gram machinery): the
+    * denominator is total trigram occurrences, so a source repeating
+    * one page 1000× scores low even though its distinct set is tiny.
+    *
+    * Scale shape: two-level aggregate — (source, gram) census with
+    * map-side partial aggregation (the gram stream never reaches the
+    * driver), then a per-source rollup of a few-dozen-row table. The
+    * only corpus-sized exchange carries partially-combined (source,
+    * gram) cells; diversity is exact-integer ppm. */
+  val corpusNgramDiversity: CatalogEntry = CatalogEntry(
+    "corpus_ngram_diversity",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT source,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT source, gram, count(*)::BIGINT AS cnt
+      |      FROM g GROUP BY source, gram)
+      |SELECT source, sum(cnt)::BIGINT AS n_grams,
+      |  count(*)::BIGINT AS n_distinct,
+      |  ((1000000 * count(*)) // sum(cnt))::BIGINT AS diversity_ppm,
+      |  max(cnt)::BIGINT AS top_gram_n
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy($"source", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max($"cnt").as("top_gram_n"))
+      .select($"source", $"n_grams", $"n_distinct",
+        expr("(1000000L * n_distinct) div n_grams").as("diversity_ppm"),
+        $"top_gram_n")
+      .orderBy($"source")
+  }
+
+  /** Asymmetric CONTAINMENT census over the rare-gram candidate
+    * stream — Broder's second resemblance measure: `|A∩B| / min(|A|,
+    * |B|)` scores a document quoted or embedded inside a larger one
+    * near 1.0 where symmetric Jaccard (divided by the UNION) dilutes
+    * it toward |A|/|B| and the near-dup threshold misses it. Emits
+    * every candidate pair at containment ≥ 0.5 with both measures, so
+    * the gap column IS the quote/subset signal. Candidates come from
+    * the production blocker ([[Dedup.sharedGramPairs]], df-capped,
+    * never all-pairs); the verify stage is the `dedup_candidate_
+    * quality` shape — two id-keyed hash joins, one row-local
+    * `array_intersect` per pair computed once into a column,
+    * all-BIGINT ppm arithmetic (sizes promoted before multiplying —
+    * the 32-bit-wrap class the candidate census hit). */
+  val dedupContainment: CatalogEntry = CatalogEntry(
+    "dedup_containment",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |gl AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+      |                   for i in range(1, greatest(len(toks) - 3, 1))])
+      |      AS gs
+      |  FROM t),
+      |g AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
+      |rare AS (SELECT gram FROM g GROUP BY gram
+      |         HAVING count(*) BETWEEN 2 AND 25),
+      |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      WHERE a.gram IN (SELECT gram FROM rare)),
+      |j AS (
+      |  SELECT src, dst, len(x.gs)::BIGINT AS na, len(y.gs)::BIGINT AS nb,
+      |    len(list_intersect(x.gs, y.gs))::BIGINT AS ni
+      |  FROM e JOIN gl x ON x.doc_id = src JOIN gl y ON y.doc_id = dst)
+      |SELECT src, dst, na, nb, ni,
+      |  ((1000000 * ni) // least(na, nb))::BIGINT AS cont_ppm,
+      |  ((1000000 * ni) // (na + nb - ni))::BIGINT AS jac_ppm
+      |FROM j WHERE (1000000 * ni) // least(na, nb) >= 500000
+      |ORDER BY src, dst""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+      n = 5, maxDf = 25)
+    val gl = Tables.spreadScan(docs.where($"text".isNotNull))
+      .select($"doc_id", Dedup.tokenNgrams($"text", 5).as("gs"))
+    pairs
+      .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
+      .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
+      .select($"src", $"dst",
+        size($"ga").cast("bigint").as("na"),
+        size($"gb").cast("bigint").as("nb"),
+        size(array_intersect($"ga", $"gb")).cast("bigint").as("ni"))
+      .where(expr("(1000000L * ni) div least(na, nb)") >= 500000L)
+      .select($"src", $"dst", $"na", $"nb", $"ni",
+        expr("(1000000L * ni) div least(na, nb)").as("cont_ppm"),
+        expr("(1000000L * ni) div (na + nb - ni)").as("jac_ppm"))
+      .orderBy($"src", $"dst")
+  }
+
+  /** Incremental ingest dedup — dedup a NEW batch against the
+    * EXISTING corpus, the shape every production pipeline actually
+    * runs (a fresh crawl lands against petabytes already curated; a
+    * corpus-wide re-dedup is the thing you cannot afford). Two
+    * layers, verdict per new document: exact (content digest seen in
+    * the reference corpus) then near-dup (rare-gram-blocked candidate
+    * pairs vs the reference side only, confirmed by exact 5-gram
+    * Jaccard ≥ 0.3). The split here is a deterministic id fixture
+    * (`doc_id % 3`) standing in for yesterday's-corpus vs today's-
+    * batch; production passes two real tables.
+    *
+    * Scale shape: the exact layer joins fixed-width digests, never
+    * text, LEFT SEMI against the reference digest set. The near
+    * layer's gram df-cap is computed over the UNION corpus (a gram
+    * hot in the reference must block pairs for the new side too), the
+    * rare set broadcast-semi-joins the gram stream, and candidate
+    * fanout per gram is bounded by the df cap exactly as in
+    * [[Dedup.sharedGramPairs]] — the new×ref join never sees an
+    * uncapped hot key. Output is new-batch-sized (one verdict row per
+    * new doc). */
+  val dedupIncrementalRef: CatalogEntry = CatalogEntry(
+    "dedup_incremental_ref",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |nd AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+      |rd AS (SELECT * FROM d WHERE doc_id % 3 != 0),
+      |ex AS (SELECT DISTINCT nd.doc_id FROM nd
+      |       JOIN rd ON md5(nd.text) = md5(rd.text)),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+      |gl AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+      |                   for i in range(1, greatest(len(toks) - 3, 1))])
+      |      AS gs
+      |  FROM t),
+      |g AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
+      |rare AS (SELECT gram FROM g GROUP BY gram
+      |         HAVING count(*) BETWEEN 2 AND 25),
+      |e AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS rid
+      |      FROM g a JOIN g b ON a.gram = b.gram
+      |      WHERE a.gram IN (SELECT gram FROM rare)
+      |        AND a.doc_id % 3 = 0 AND b.doc_id % 3 != 0),
+      |j AS (
+      |  SELECT nid, len(x.gs)::BIGINT AS na, len(y.gs)::BIGINT AS nb,
+      |    len(list_intersect(x.gs, y.gs))::BIGINT AS ni
+      |  FROM e JOIN gl x ON x.doc_id = nid JOIN gl y ON y.doc_id = rid),
+      |c AS (SELECT nid,
+      |        max((1000000 * ni) // (na + nb - ni))::BIGINT AS best_jac_ppm,
+      |        count(*)::BIGINT AS n_candidates
+      |      FROM j GROUP BY nid)
+      |SELECT nd.doc_id,
+      |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN c.best_jac_ppm >= 300000 THEN 'near_dup'
+      |       ELSE 'kept' END AS verdict,
+      |  coalesce(c.best_jac_ppm, 0)::BIGINT AS best_jac_ppm,
+      |  coalesce(c.n_candidates, 0)::BIGINT AS n_candidates
+      |FROM nd LEFT JOIN ex ON nd.doc_id = ex.doc_id
+      |LEFT JOIN c ON nd.doc_id = c.nid
+      |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val shufN = s.sessionState.conf.numShufflePartitions
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val newIds = docs.where($"doc_id" % 3 === 0)
+    val refIds = docs.where($"doc_id" % 3 =!= 0)
+    // exact layer: fixed-width digests only — text never shuffles
+    val exact = newIds.select($"doc_id", md5($"text").as("dg"))
+      .join(refIds.select(md5($"text").as("dg")).distinct(),
+        Seq("dg"), "left_semi")
+      .select($"doc_id", lit(true).as("is_exact"))
+    // near layer: df over the UNION corpus, then new×ref on rare grams
+    val g = Tables.spreadScan(docs)
+      .select($"doc_id", explode(Dedup.tokenNgrams($"text", 5)).as("gram"))
+    val rare = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .where($"df".between(2, 25)).select($"gram")
+    val gr = g.join(rare, Seq("gram"), "left_semi")
+    val pairs = gr.where($"doc_id" % 3 === 0)
+      .select($"gram", $"doc_id".as("nid"))
+      .join(gr.where($"doc_id" % 3 =!= 0)
+        .select($"gram", $"doc_id".as("rid")), "gram")
+      .select($"nid", $"rid")
+      // explicit partition count: candidate rows are tiny in bytes but
+      // each feeds an array_intersect downstream — AQE byte-coalescing
+      // would fold the CPU onto one core (the sharedGramPairs lesson)
+      .repartition(shufN, $"nid", $"rid")
+      .distinct()
+    val gl = Tables.spreadScan(docs)
+      .select($"doc_id", Dedup.tokenNgrams($"text", 5).as("gs"))
+    val cand = pairs
+      .join(gl.select($"doc_id".as("nid"), $"gs".as("ga")), "nid")
+      .join(gl.select($"doc_id".as("rid"), $"gs".as("gb")), "rid")
+      .select($"nid",
+        size($"ga").cast("bigint").as("na"),
+        size($"gb").cast("bigint").as("nb"),
+        size(array_intersect($"ga", $"gb")).cast("bigint").as("ni"))
+      .select($"nid", expr("(1000000L * ni) div (na + nb - ni)").as("jac"))
+      .groupBy($"nid")
+      .agg(max($"jac").as("best_jac_ppm"),
+        count(lit(1)).as("n_candidates"))
+    newIds.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(cand.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_exact", "exact_dup")
+          .when($"best_jac_ppm" >= 300000L, "near_dup")
+          .otherwise("kept").as("verdict"),
+        coalesce($"best_jac_ppm", lit(0L)).as("best_jac_ppm"),
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"))
+      .orderBy($"doc_id")
   }
 
   def entries: Seq[CatalogEntry] = Seq(
@@ -2354,5 +2663,6 @@ object TextQueries {
     heavyHittersExact, dedupClusterCcStar, packSequencesGreedy,
     qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk,
     dedupSetsimJoin, dedupGraphTriangles, dedupClusterCanonical,
-    corpusKlDrift)
+    corpusKlDrift, corpusNgramDiversity, dedupContainment,
+    dedupIncrementalRef, vocabBpeApply)
 }

@@ -43,6 +43,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "dedup_semantic_embed",  // same k=8 centroid assign feeds the prune
     "embed_kmeans_update",   // same coarse-assign shape as above
+    "embed_outlier_centroid", // same coarse-assign shape as above
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
