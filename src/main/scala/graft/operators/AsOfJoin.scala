@@ -124,4 +124,56 @@ object AsOfJoin {
       probeKey, buildKey, negP, negB, payload, negTie)
       .drop(negP)
   }
+
+  /** NEAREST as-of join — pandas `merge_asof(direction='nearest')`:
+    * for every probe row, the build row whose timestamp is CLOSEST in
+    * either direction within the key. Composed from the two one-sided
+    * passes ([[leftAsOf]] backward, [[leftAsOfForward]] forward) with
+    * a row-local winner pick on exact integer-microsecond distances —
+    * equal distance resolves BACKWARD (the at-or-before row), so the
+    * inclusive-match rule of the one-sided joins is preserved: a
+    * build row at exactly the probe ts is distance 0 both ways and
+    * the backward side returns it.
+    *
+    * Plan shape: two key-partitioned union+window passes (one per
+    * direction — the sort orders differ, so the exchange cannot be
+    * shared) and a null-safe struct compare, never an inequality
+    * join; both passes inherit the one-shuffle-per-direction scale
+    * story of [[leftAsOf]]. The matched build ts must be judged, so
+    * it rides the payload internally and is dropped on the way out
+    * unless requested. */
+  def leftAsOfNearest(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      probeTs: String, buildTs: String,
+      payload: Seq[String], buildTie: String): DataFrame = {
+    val wantTs = payload.contains(buildTs)
+    val pay = if (wantTs) payload else payload :+ buildTs
+    val bwd = pay.foldLeft(
+      leftAsOf(probe, build, probeKey, buildKey, probeTs, buildTs,
+        pay, buildTie)) { (df, c) =>
+      df.withColumnRenamed(s"asof_$c", s"__bwd_$c")
+    }
+    val both = leftAsOfForward(bwd, build, probeKey, buildKey,
+      probeTs, buildTs, pay, buildTie)
+    val dBwd = unix_micros(col(probeTs)) -
+      unix_micros(col(s"__bwd_$buildTs"))
+    val dFwd = unix_micros(col(s"asof_$buildTs")) -
+      unix_micros(col(probeTs))
+    // the decision is PINNED into a column before the per-payload
+    // fold: the fold's first iteration overwrites `asof_<buildTs>`,
+    // so re-evaluating the distance compare inside later iterations
+    // would judge the winner against itself and hand the remaining
+    // payload columns to the losing side
+    val both2 = both.withColumn("__use_bwd",
+      col(s"__bwd_$buildTs").isNotNull &&
+        (col(s"asof_$buildTs").isNull || dBwd <= dFwd))
+    val picked = pay.foldLeft(both2) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(col("__use_bwd"), col(s"__bwd_$c"))
+          .otherwise(col(s"asof_$c")))
+    }
+    val cleaned = pay.foldLeft(picked.drop("__use_bwd"))(
+      (df, c) => df.drop(s"__bwd_$c"))
+    if (wantTs) cleaned else cleaned.drop(s"asof_$buildTs")
+  }
 }

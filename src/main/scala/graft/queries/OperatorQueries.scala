@@ -293,6 +293,72 @@ object OperatorQueries {
       .orderBy($"event_id")
   }
 
+  /** NEAREST as-of join — every event gets the same user's CLOSEST
+    * purchase in either time direction (equal distance resolves to
+    * the at-or-before row). DuckDB has no nearest ASOF, so the oracle
+    * composes its native backward ASOF with the negated-micros
+    * forward ASOF (the `asof_join_forward` device) and replays the
+    * identical integer-microsecond winner pick — two independent
+    * one-sided engines agreeing on the composition is exactly what
+    * gates [[graft.operators.AsOfJoin.leftAsOfNearest]]'s row-local
+    * distance arithmetic. */
+  val asofJoinNearest: CatalogEntry = CatalogEntry(
+    "asof_join_nearest",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, ts::TIMESTAMP AS tsx,
+       |    -epoch_us(ts::TIMESTAMP) AS nts
+       |  FROM events),
+       |pb AS (
+       |  SELECT user_id, ts::TIMESTAMP AS pts, event_id AS pid,
+       |    value AS pval
+       |  FROM events WHERE event_type = 'purchase'),
+       |pf AS (
+       |  SELECT user_id, -epoch_us(ts::TIMESTAMP) AS nts,
+       |    ts::TIMESTAMP AS pts, event_id AS pid, value AS pval
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       |  SELECT e.event_id, pb.pid AS b_pid, pb.pts AS b_pts,
+       |    pb.pval AS b_pval
+       |  FROM e ASOF LEFT JOIN pb
+       |    ON e.user_id = pb.user_id AND e.tsx >= pb.pts),
+       |f AS (
+       |  SELECT e.event_id, pf.pid AS f_pid, pf.pts AS f_pts,
+       |    pf.pval AS f_pval
+       |  FROM e ASOF LEFT JOIN pf
+       |    ON e.user_id = pf.user_id AND e.nts >= pf.nts),
+       |w AS (
+       |  SELECT e.event_id, e.user_id, e.tsx,
+       |    (b_pts IS NOT NULL AND (f_pts IS NULL OR
+       |       epoch_us(e.tsx) - epoch_us(b_pts)
+       |         <= epoch_us(f_pts) - epoch_us(e.tsx))) AS use_b,
+       |    b_pid, b_pts, b_pval, f_pid, f_pts, f_pval
+       |  FROM e JOIN b USING (event_id) JOIN f USING (event_id))
+       |SELECT event_id, user_id, strftime(tsx, '$dfmt') AS ts_s,
+       |  CASE WHEN use_b THEN b_pid ELSE f_pid END
+       |    AS nearest_purchase_id,
+       |  strftime(CASE WHEN use_b THEN b_pts ELSE f_pts END, '$dfmt')
+       |    AS nearest_purchase_ts_s,
+       |  CASE WHEN use_b THEN b_pval ELSE f_pval END
+       |    AS nearest_purchase_value
+       |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.leftAsOfNearest(
+      probe = ev.select($"event_id", $"user_id", $"ts"),
+      build = purchases,
+      probeKey = "user_id", buildKey = "user_id",
+      probeTs = "ts", buildTs = "ts",
+      payload = Seq("ts", "event_id", "value"), buildTie = "event_id")
+      .select($"event_id", $"user_id",
+        date_format($"ts", fmt).as("ts_s"),
+        $"asof_event_id".as("nearest_purchase_id"),
+        date_format($"asof_ts", fmt).as("nearest_purchase_ts_s"),
+        $"asof_value".as("nearest_purchase_value"))
+      .orderBy($"event_id")
+  }
+
   /** The AGGREGATE NAVIGATOR end-to-end: a (lang, source)-keyed
     * (cnt, sum, min, max) summary of `documents` is materialized (the
     * layout `streaming/IncrementalAgg` maintains per micro-batch),
@@ -519,5 +585,6 @@ object OperatorQueries {
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
     zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward,
+    asofJoinNearest,
     summaryRewriteAgg, basketLift, pagerankCoPurchase, kcoreCoPurchase)
 }

@@ -160,6 +160,70 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(fast == naive)
   }
 
+  test("nearest: closest build row either direction; equal distance " +
+      "resolves backward; one-sided cases degrade to that side") {
+    val b = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 101L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val p = Seq(
+      (1L, 1L, ts("2024-01-01 10:30:00")), // 30m back vs 90m fwd -> 100
+      (2L, 1L, ts("2024-01-01 11:40:00")), // 100m back vs 20m fwd -> 101
+      (3L, 1L, ts("2024-01-01 11:00:00")), // exact tie -> backward 100
+      (4L, 1L, ts("2024-01-01 09:00:00")), // before all -> forward 100
+      (5L, 1L, ts("2024-01-01 13:00:00")), // after all -> backward 101
+      (6L, 2L, ts("2024-01-01 13:00:00"))) // unseen key -> null
+      .toDF("pid", "user_id", "ts")
+    val out = AsOfJoin.leftAsOfNearest(p, b, "user_id", "user_id",
+      "ts", "ts", Seq("event_id", "value"), "event_id")
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None
+                         else Some((r.getLong(3), r.getDouble(4))))
+      }.toMap
+    assert(out == Map(
+      1L -> Some((100L, 1.0)), 2L -> Some((101L, 2.0)),
+      3L -> Some((100L, 1.0)), 4L -> Some((100L, 1.0)),
+      5L -> Some((101L, 2.0)), 6L -> None), s"got $out")
+  }
+
+  test("nearest equivalence with the naive both-direction argmin on " +
+      "random data, and all payload columns come from the one winner") {
+    val rnd = new scala.util.Random(47)
+    def t(h: Int) = new Timestamp(1704067200000L + h * 3600000L)
+    val b = Seq.fill(60)((rnd.nextInt(5).toLong, t(rnd.nextInt(100)),
+      rnd.nextLong().abs, rnd.nextDouble()))
+      .toDF("user_id", "ts", "event_id", "value")
+    val p = Seq.tabulate(80)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(100))))
+      .toDF("pid", "user_id", "ts")
+    val fast = AsOfJoin.leftAsOfNearest(p, b, "user_id", "user_id",
+      "ts", "ts", Seq("event_id", "value"), "event_id")
+      .select($"pid", $"asof_event_id", $"asof_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    // naive: all same-key pairs, rank by (|Δt|, direction: backward
+    // first, then the side's own tie rule on event_id — larger id for
+    // backward, smaller for forward: encode as signed tie key)
+    val naive = p.as("p").join(b.as("b"),
+        col("p.user_id") === col("b.user_id"), "left")
+      .select($"pid", col("b.event_id").as("bid"),
+        col("b.value").as("bval"),
+        abs(unix_micros(col("p.ts")) - unix_micros(col("b.ts")))
+          .as("dist"),
+        when(unix_micros(col("b.ts")) <= unix_micros(col("p.ts")), 0)
+          .otherwise(1).as("dir"),
+        when(unix_micros(col("b.ts")) <= unix_micros(col("p.ts")),
+          -col("b.event_id")).otherwise(col("b.event_id")).as("tie"))
+      .groupBy($"pid")
+      .agg(min(struct($"dist", $"dir", $"tie", $"bid", $"bval")).as("m"))
+      .select($"pid", $"m.bid", $"m.bval").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(fast == naive)
+  }
+
   test("equivalence with the naive range-join + argmax on random data") {
     val rnd = new scala.util.Random(13)
     def t(h: Int) = new Timestamp(1704067200000L + h * 3600000L)
