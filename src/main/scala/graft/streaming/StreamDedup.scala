@@ -353,4 +353,79 @@ object StreamDedup {
           }
       }
   }
+
+  /** Streaming INCREMENTAL dedup — the streaming face of the batch
+    * `dedup_incremental_ref` entry: as a new-crawl batch streams in,
+    * emit a HIT row for every arriving document that matches the
+    * static reference corpus, exactly (content digest, `layer =
+    * 'exact'`) or nearly (rare-n-gram-blocked candidate confirmed by
+    * exact n-gram Jaccard ≥ the ppm threshold, `layer = 'near'`). The
+    * hit feed is the append-natural form of the batch census: a doc
+    * with an 'exact' hit is the batch's `exact_dup`, a doc with only
+    * 'near' hits its `near_dup`, and a doc with no hit after the
+    * watermark closes is `kept` — precedence is the consumer's
+    * one-line fold, so no streaming aggregate state is needed.
+    *
+    * Two deliberate deltas from the batch entry, both documented
+    * consequences of stream-time knowledge: (1) the gram df-cap is
+    * computed over the REFERENCE side only (the stream's own gram
+    * frequencies are unknowable at arrival time; a ref-hot gram is
+    * still capped, which is what bounds the join fanout); (2) a pair
+    * sharing several rare grams is collapsed by
+    * `dropDuplicatesWithinWatermark(doc_id, ref_id)` — watermark-
+    * bounded (doc, ref) id-pair state, the same discipline as
+    * [[contaminatedByNgrams]], so re-arrivals inside the horizon
+    * don't re-confirm the same pair.
+    *
+    * Scale shape: digests and the df-capped gram index are static-side
+    * tables broadcast into each micro-batch (at 100 TB the ref gram
+    * index is disk-backed and the join flips to shuffle — the plan,
+    * not the semantics, changes); the confirm joins the candidate's
+    * ref gram set by id and intersects row-local. State is id pairs
+    * only — never text, never gram sets. */
+  def incrementalHitsAgainstRef(df: DataFrame, refDocs: DataFrame,
+      tsCol: String, idCol: String, textCol: String,
+      n: Int = 5, maxDf: Int = 25, jacPpmThreshold: Long = 300000,
+      delay: String = "10 minutes"): DataFrame = {
+    val refClean = refDocs.where(col(textCol).isNotNull)
+    val refDigests = refClean
+      .groupBy(md5(col(textCol)).as("dg"))
+      .agg(min(col(idCol).cast("long")).as("ref_id"))
+    val refGs = refClean.select(col(idCol).cast("long").as("ref_id"),
+      graft.ext.Dedup.tokenNgrams(col(textCol), n).as("ref_gs"))
+    val rareRef = refGs
+      .select(explode(col("ref_gs")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(1, maxDf))
+      .select(col("gram"))
+    val refIndex = refGs
+      .select(col("ref_id"), explode(col("ref_gs")).as("gram"))
+      .join(rareRef, Seq("gram"), "left_semi")
+    val stream = df.where(col(textCol).isNotNull)
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("dg"),
+        graft.ext.Dedup.tokenNgrams(col(textCol), n).as("gs"))
+    val exactHits = stream
+      .join(broadcast(refDigests), Seq("dg"))
+      .select(col(tsCol), col("doc_id"), col("ref_id"),
+        lit("exact").as("layer"), lit(1000000L).as("jac_ppm"))
+    val nearHits = stream
+      .select(col(tsCol), col("doc_id"), col("gs"),
+        explode(col("gs")).as("gram"))
+      .join(broadcast(refIndex), Seq("gram"))
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+      .join(refGs, Seq("ref_id"))
+      .select(col(tsCol), col("doc_id"), col("ref_id"),
+        size(array_intersect(col("gs"), col("ref_gs")))
+          .cast("bigint").as("ni"),
+        size(col("gs")).cast("bigint").as("na"),
+        size(col("ref_gs")).cast("bigint").as("nb"))
+      .select(col(tsCol), col("doc_id"), col("ref_id"),
+        expr("(1000000L * ni) div (na + nb - ni)").as("jac_ppm"))
+      .where(col("jac_ppm") >= jacPpmThreshold)
+      .select(col(tsCol), col("doc_id"), col("ref_id"),
+        lit("near").as("layer"), col("jac_ppm"))
+    exactHits.unionByName(nearHits)
+  }
 }
