@@ -44,6 +44,70 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training — for each query
+    * vector, the top-3 highest-cosine vectors carrying a DIFFERENT
+    * label: the near-miss impostors that make the strongest negatives
+    * when training embedding models (random negatives are trivially
+    * separable; the hard ones sit next to the query). Ranks on the
+    * ROUNDED cosine with a vec_id tie-break (the `retrieval_hybrid_
+    * rrf` discipline — a cross-engine ulp cannot flip a rank).
+    *
+    * Scale shape: queries broadcast, cosine row-local in one corpus
+    * pass, and the per-query top-k is TWO-PHASE — a salted
+    * `(q, neg_id % 16)` pre-prune bounds every window partition at
+    * 3·16 rows before the exact per-query rank (the
+    * `sample_cap_per_source` device): a handful of query keys must
+    * never pull the corpus-sized rank onto a handful of cores (the
+    * r10 `anomaly_zscore_topk` single-task lesson). In production the
+    * query side is a training batch (thousands of rows) and the same
+    * plan holds. */
+  val simHardNegatives: CatalogEntry = CatalogEntry(
+    "sim_hard_negatives",
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |s AS (
+      |  SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
+      |    round(
+      |      list_sum([e.embedding[i]::DOUBLE * qe[i]::DOUBLE
+      |                for i in range(1, len(e.embedding) + 1)]) /
+      |      (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+      |                      for i in range(1, len(e.embedding) + 1)])) *
+      |       sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+      |                      for i in range(1, len(qe) + 1)]))), 6) AS cos_r
+      |  FROM embeddings e, q WHERE e.label != q.q_label),
+      |r AS (
+      |  SELECT q_id, neg_id, neg_label, cos_r,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY cos_r DESC, neg_id) AS rnk
+      |  FROM s)
+      |SELECT q_id, rnk::INT AS rnk, neg_id, neg_label, cos_r
+      |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .where($"label" =!= $"q_label")
+      .select($"q_id", $"vec_id".as("neg_id"), $"label".as("neg_label"),
+        round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_r"))
+    val pre = scored
+      .withColumn("salt", pmod($"neg_id", lit(16)))
+      .withColumn("rs", row_number().over(
+        Window.partitionBy($"q_id", $"salt")
+          .orderBy($"cos_r".desc, $"neg_id")))
+      .where($"rs" <= 3).drop("rs", "salt")
+    pre
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neg_id"))
+        .cast("int"))
+      .where($"rnk" <= 3)
+      .select($"q_id", $"rnk", $"neg_id", $"neg_label", $"cos_r")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Exact double value of the float-quantized plane element, so the
     * oracle multiplies by bit-identical constants (emitting the raw
     * double would diverge: Spark quantizes planes to float to match
@@ -926,5 +990,5 @@ object SimilarityQueries {
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
-    embedNormalizeL2, embedOutlierCentroid)
+    embedNormalizeL2, embedOutlierCentroid, simHardNegatives)
 }

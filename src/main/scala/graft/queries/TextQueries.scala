@@ -1291,6 +1291,87 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Bigram-LM cross-entropy scoring — [[docLmScore]]'s conditional
+    * upgrade: score each document under a self-trained BIGRAM model
+    * with add-one (Laplace) smoothing, P(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁·)+V). The unigram score rewards any common-word soup; the
+    * bigram score additionally punishes implausible SEQUENCES of
+    * common words — the word-salad/SEO-spam signature a unigram model
+    * is blind to. Same exactness discipline: log-probs are `ln` of
+    * exact-integer ratios, nano-quantized per bigram BEFORE the
+    * per-doc sum (order-free BIGINT), ppl exponentiates the rounded
+    * average. Docs with fewer than two tokens have no bigram chain
+    * and are absent from the output by construction.
+    *
+    * Scale shape: the context denominator c(w₁·) is reduced FROM the
+    * bigram census (sum over the right word) — no second corpus
+    * count; V is one distinct-count pass; the scoring join streams
+    * the corpus bigram fan-out against the bigram-vocabulary table
+    * (shuffle join once the vocabulary outgrows broadcast — the join
+    * key is the bigram, so skew follows gram frequency and the
+    * standard salting applies); the per-doc aggregate is the only
+    * corpus-keyed shuffle. */
+  val docLmBigramScore: CatalogEntry = CatalogEntry(
+    "doc_lm_bigram_score",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([toks[i] || ' ' || toks[i+1]
+      |            for i in range(1, len(toks))]) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |c12 AS (SELECT bigram, count(*)::BIGINT AS n12 FROM bg GROUP BY bigram),
+      |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+      |         sum(n12)::BIGINT AS n1
+      |       FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT token)::BIGINT AS vs FROM (
+      |        SELECT unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE text IS NOT NULL AND length(text) > 0)),
+      |lp AS (
+      |  SELECT bigram,
+      |    round(ln((n12 + 1)::DOUBLE / (n1 + vs)::DOUBLE) * 1e9, 0)::BIGINT
+      |      AS lp_q
+      |  FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = c1.w1, v),
+      |scored AS (SELECT doc_id, lp_q FROM bg JOIN lp USING (bigram))
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  round(-(sum(lp_q)::DOUBLE / 1e9) / count(*), 6) AS avg_nll,
+      |  round(exp(round(-(sum(lp_q)::DOUBLE / 1e9) / count(*), 6)), 4) AS ppl
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .where(size($"toks") >= 2)
+    val bg = t.select($"doc_id", explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .as("bigram"))
+    val c12 = bg.groupBy($"bigram").agg(count(lit(1)).as("n12"))
+    val c1 = c12
+      .groupBy(split($"bigram", " ").getItem(0).as("w1"))
+      .agg(sum($"n12").as("n1"))
+    val v = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .agg(count_distinct($"token").as("vs"))
+    val lp = c12
+      .withColumn("w1", split($"bigram", " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .select($"bigram",
+        round(log(($"n12" + 1).cast("double") / ($"n1" + $"vs").cast("double"))
+          * lit(1e9), 0).cast("long").as("lp_q"))
+    val avgNll =
+      round(-(sum($"lp_q").cast("double") / lit(1e9)) / count(lit(1)), 6)
+    bg.join(lp, Seq("bigram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avgNll.as("avg_nll"),
+        round(exp(avgNll), 4).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
   /** GREEDY SEQUENCE PACKING — the "fill the context window" step
     * between a curated corpus and a training run: documents are packed
     * in doc_id order into bins of at most 60 tokens; a document that
@@ -2664,5 +2745,5 @@ object TextQueries {
     qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk,
     dedupSetsimJoin, dedupGraphTriangles, dedupClusterCanonical,
     corpusKlDrift, corpusNgramDiversity, dedupContainment,
-    dedupIncrementalRef, vocabBpeApply)
+    dedupIncrementalRef, vocabBpeApply, docLmBigramScore)
 }

@@ -44,6 +44,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "dedup_semantic_embed",  // same k=8 centroid assign feeds the prune
     "embed_kmeans_update",   // same coarse-assign shape as above
     "embed_outlier_centroid", // same coarse-assign shape as above
+    "sim_hard_negatives",    // corpus x broadcast 5 query rows
+    "doc_lm_bigram_score",   // broadcast 1-row vocabulary-size scalar
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
