@@ -108,6 +108,112 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+       |           for i in range(1, len($a) + 1)]) /
+       |  (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+       |                  for i in range(1, len($a) + 1)])) *
+       |   sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+       |                  for i in range(1, len($b) + 1)]))))""".stripMargin
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell-Goldstein '98) —
+    * the diversified top-k every retrieval-augmented pipeline wants
+    * when the plain top-k is five paraphrases of one document: greedy
+    * selection of 5 from the exact top-10 shortlist maximizing
+    * `λ·rel − (1−λ)·max-sim-to-already-selected` with λ = 0.7. All
+    * scores are micro-quantized BIGINTs (`round(cos·10⁶)`), so the
+    * greedy argmax — `7·rel₆ − 3·maxsim₆` over integers with a vec_id
+    * tie — is decided by integer compares no cross-engine ulp can
+    * flip; the oracle replays the identical unrolled rounds as
+    * chained CTEs.
+    *
+    * Scale shape: MMR's O(k²) greedy is ALWAYS run on a shortlist,
+    * and the shortlist build is the scale path — TakeOrdered top-10
+    * here, any ANN entry (`sim_ann_lsh` / `sim_ivf`) at 100 TB. The
+    * iterative part touches 10 rows × 5 rounds of vocab-sized plans
+    * (lineage truncated per round, the BPE-learner device); in
+    * production with a query BATCH the same rounds run per query key
+    * in parallel. */
+  val retrievalMmrDiversify: CatalogEntry = {
+    val head =
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |base AS (
+         |  SELECT vec_id, embedding,
+         |    round(${cosSql("embedding", "qe")} * 1e6, 0)::BIGINT AS rel6
+         |  FROM embeddings, q WHERE vec_id != 0),
+         |sl AS (SELECT vec_id, embedding, rel6 FROM base
+         |       ORDER BY rel6 DESC, vec_id LIMIT 10),
+         |p AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    round(${cosSql("a.embedding", "b.embedding")} * 1e6, 0)::BIGINT
+         |      AS sim6
+         |  FROM sl a JOIN sl b ON a.vec_id != b.vec_id),
+         |m1 AS (SELECT vec_id FROM sl ORDER BY rel6 DESC, vec_id LIMIT 1)""".stripMargin
+    val sql = {
+      var sel = "SELECT vec_id FROM m1"
+      val rounds = (2 to 5).map { r =>
+        val cte =
+          s""",
+             |m$r AS (SELECT s.vec_id FROM sl s WHERE s.vec_id NOT IN ($sel)
+             |  ORDER BY 7 * s.rel6 - 3 * (SELECT max(p.sim6) FROM p
+             |      WHERE p.i = s.vec_id AND p.j IN ($sel)) DESC,
+             |    s.vec_id LIMIT 1)""".stripMargin
+        sel += s" UNION ALL SELECT vec_id FROM m$r"
+        cte
+      }.mkString
+      head + rounds +
+        """
+          |SELECT rnk, vec_id, rel_ppm FROM (
+          |  SELECT 1 AS rnk, vec_id FROM m1
+          |  UNION ALL SELECT 2, vec_id FROM m2
+          |  UNION ALL SELECT 3, vec_id FROM m3
+          |  UNION ALL SELECT 4, vec_id FROM m4
+          |  UNION ALL SELECT 5, vec_id FROM m5) r
+          |JOIN (SELECT vec_id, rel6 AS rel_ppm FROM sl) s USING (vec_id)
+          |ORDER BY rnk""".stripMargin
+    }
+    CatalogEntry("retrieval_mmr_diversify", sql) { (s, d) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      val sl = emb.where($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"embedding",
+          round(Similarity.cosineNative($"embedding", $"qe") * lit(1e6), 0)
+            .cast("long").as("rel6"))
+        .orderBy($"rel6".desc, $"vec_id").limit(10)
+        .localCheckpoint()
+      val pairs = sl.select($"vec_id".as("i"), $"embedding".as("ea"))
+        .crossJoin(broadcast(sl.select($"vec_id".as("j"), $"embedding".as("eb"))))
+        .where($"i" =!= $"j")
+        .select($"i", $"j",
+          round(Similarity.cosineNative($"ea", $"eb") * lit(1e6), 0)
+            .cast("long").as("sim6"))
+        .localCheckpoint()
+      var selected = sl.orderBy($"rel6".desc, $"vec_id").limit(1)
+        .select($"vec_id", lit(1).as("rnk")).localCheckpoint()
+      for (r <- 2 to 5) {
+        val maxsim = pairs
+          .join(selected.select($"vec_id".as("j")), "j")
+          .groupBy($"i").agg(max($"sim6").as("ms"))
+          .withColumnRenamed("i", "vec_id")
+        val next = sl
+          .join(selected.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .join(maxsim, Seq("vec_id"))
+          .select($"vec_id",
+            (lit(7L) * $"rel6" - lit(3L) * $"ms").as("score"))
+          .orderBy($"score".desc, $"vec_id").limit(1)
+          .select($"vec_id", lit(r).as("rnk"))
+        selected = selected.unionByName(next).localCheckpoint()
+      }
+      selected.join(sl, "vec_id")
+        .select($"rnk".cast("int").as("rnk"), $"vec_id",
+          $"rel6".as("rel_ppm"))
+        .orderBy($"rnk")
+    }
+  }
+
   /** Exact double value of the float-quantized plane element, so the
     * oracle multiplies by bit-identical constants (emitting the raw
     * double would diverge: Spark quantizes planes to float to match
@@ -990,5 +1096,6 @@ object SimilarityQueries {
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
-    embedNormalizeL2, embedOutlierCentroid, simHardNegatives)
+    embedNormalizeL2, embedOutlierCentroid, simHardNegatives,
+    retrievalMmrDiversify)
 }

@@ -46,6 +46,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "embed_outlier_centroid", // same coarse-assign shape as above
     "sim_hard_negatives",    // corpus x broadcast 5 query rows
     "doc_lm_bigram_score",   // broadcast 1-row vocabulary-size scalar
+    "retrieval_mmr_diversify", // 10-row shortlist x broadcast query/pairs
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
