@@ -48,8 +48,14 @@ object AsOfJoin {
 
     val buildSide = build
       // null keys can never equi-match; dropping them here also keeps
-      // them from co-grouping with null-key probe rows in the window
-      .filter(col(buildKey).isNotNull)
+      // them from co-grouping with null-key probe rows in the window.
+      // Null TIMESTAMPS can never satisfy the as-of inequality either
+      // (SQL: ts >= NULL is unknown) — but without this filter a
+      // null-ts build row sorts nulls-first in the window and its
+      // non-null payload struct is inherited by EVERY probe in the
+      // key as a phantom "earliest" match, where DuckDB ASOF and
+      // pandas merge_asof return no match.
+      .filter(col(buildKey).isNotNull && col(buildTs).isNotNull)
       .withColumn("__k", col(buildKey))
       .withColumn("__ts", col(buildTs))
       .withColumn("__probe", lit(0))

@@ -63,18 +63,12 @@ object SimilarityQueries {
     * plan holds. */
   val simHardNegatives: CatalogEntry = CatalogEntry(
     "sim_hard_negatives",
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id AS q_id, label AS q_label, embedding AS qe
       |  FROM embeddings WHERE vec_id < 5),
       |s AS (
       |  SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
-      |    round(
-      |      list_sum([e.embedding[i]::DOUBLE * qe[i]::DOUBLE
-      |                for i in range(1, len(e.embedding) + 1)]) /
-      |      (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-      |                      for i in range(1, len(e.embedding) + 1)])) *
-      |       sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
-      |                      for i in range(1, len(qe) + 1)]))), 6) AS cos_r
+      |    round(${cosSql("e.embedding", "qe")}, 6) AS cos_r
       |  FROM embeddings e, q WHERE e.label != q.q_label),
       |r AS (
       |  SELECT q_id, neg_id, neg_label, cos_r,
@@ -685,7 +679,7 @@ object SimilarityQueries {
       |r AS (
       |  SELECT a.vec_id, a.cluster, st.cluster_n,
       |    ((1000000::HUGEINT * a.d2q::HUGEINT * st.cluster_n::HUGEINT)
-      |     // st.sum_d2q::HUGEINT)::BIGINT AS ratio_ppm,
+      |     // greatest(st.sum_d2q, 1)::HUGEINT)::BIGINT AS ratio_ppm,
       |    row_number() OVER (PARTITION BY a.cluster
       |                       ORDER BY a.d2q DESC, a.vec_id) AS rnk
       |  FROM asg a JOIN st USING (cluster))
@@ -714,8 +708,13 @@ object SimilarityQueries {
       .where($"rnk" <= 5)
       .select($"vec_id", $"cluster", $"rnk",
         $"cluster_n",
+        // greatest(.., 1): a degenerate cluster whose members all sit
+        // ON the centroid has sum_d2q = 0 — every ratio is then 0
+        // (deterministic rank on (d2q, vec_id) still selects), instead
+        // of a division-by-zero that kills the whole query
         expr("cast((1000000L * cast(d2q as decimal(38,0)) * cluster_n)" +
-          " div sum_d2q as bigint)").as("ratio_ppm"))
+          " div greatest(cast(sum_d2q as decimal(38,0)), 1) as bigint)")
+          .as("ratio_ppm"))
       .orderBy($"vec_id")
   }
 

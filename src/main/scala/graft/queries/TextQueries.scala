@@ -2293,91 +2293,15 @@ object TextQueries {
     * At 100 TB only the word count grows. */
   val vocabBpeMerges: CatalogEntry = CatalogEntry(
     "vocab_bpe_merges",
-    """WITH w AS (
-      |  SELECT word, count(*)::BIGINT AS freq
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
-      |        WHERE text IS NOT NULL)
-      |  WHERE word <> '' GROUP BY word),
-      |s0 AS (SELECT word, freq,
-      |        trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM w),
-      |p1 AS (
-      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
-      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
-      |                         for i in range(1, len(sy))]) AS pr
-      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s0))
-      |  GROUP BY pr),
-      |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr LIMIT 1),
-      |s1 AS (SELECT word, freq, trim(replace(replace(
-      |           ' ' || replace(sym, ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m1), ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m1), ' ', '') || ' '),
-      |           '  ', ' ')) AS sym FROM s0),
-      |p2 AS (
-      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
-      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
-      |                         for i in range(1, len(sy))]) AS pr
-      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s1))
-      |  GROUP BY pr),
-      |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr LIMIT 1),
-      |s2 AS (SELECT word, freq, trim(replace(replace(
-      |           ' ' || replace(sym, ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m2), ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m2), ' ', '') || ' '),
-      |           '  ', ' ')) AS sym FROM s1),
-      |p3 AS (
-      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
-      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
-      |                         for i in range(1, len(sy))]) AS pr
-      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s2))
-      |  GROUP BY pr),
-      |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1),
-      |s3 AS (SELECT word, freq, trim(replace(replace(
-      |           ' ' || replace(sym, ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m3), ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m3), ' ', '') || ' '),
-      |           '  ', ' ')) AS sym FROM s2),
-      |p4 AS (
-      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
-      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
-      |                         for i in range(1, len(sy))]) AS pr
-      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s3))
-      |  GROUP BY pr),
-      |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr LIMIT 1),
-      |s4 AS (SELECT word, freq, trim(replace(replace(
-      |           ' ' || replace(sym, ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m4), ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m4), ' ', '') || ' '),
-      |           '  ', ' ')) AS sym FROM s3),
-      |p5 AS (
-      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
-      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
-      |                         for i in range(1, len(sy))]) AS pr
-      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s4))
-      |  GROUP BY pr),
-      |m5 AS (SELECT pr, cnt FROM p5 ORDER BY cnt DESC, pr LIMIT 1),
-      |s5 AS (SELECT word, freq, trim(replace(replace(
-      |           ' ' || replace(sym, ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m5), ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m5), ' ', '') || ' '),
-      |           '  ', ' ')) AS sym FROM s4),
-      |p6 AS (
-      |  SELECT pr, sum(freq)::BIGINT AS cnt FROM (
-      |    SELECT freq, unnest([sy[i] || ' ' || sy[i+1]
-      |                         for i in range(1, len(sy))]) AS pr
-      |    FROM (SELECT freq, string_split(sym, ' ') AS sy FROM s5))
-      |  GROUP BY pr),
-      |m6 AS (SELECT pr, cnt FROM p6 ORDER BY cnt DESC, pr LIMIT 1),
-      |s6 AS (SELECT word, freq, trim(replace(replace(
-      |           ' ' || replace(sym, ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m6), ' ', '  ') || ' ',
-      |           ' ' || replace((SELECT pr FROM m6), ' ', '') || ' '),
-      |           '  ', ' ')) AS sym FROM s5)
-      |SELECT * FROM (SELECT 1::BIGINT AS round, pr AS pair, cnt FROM m1
-      |UNION ALL SELECT 2::BIGINT AS round, pr AS pair, cnt FROM m2
-      |UNION ALL SELECT 3::BIGINT AS round, pr AS pair, cnt FROM m3
-      |UNION ALL SELECT 4::BIGINT AS round, pr AS pair, cnt FROM m4
-      |UNION ALL SELECT 5::BIGINT AS round, pr AS pair, cnt FROM m5
-      |UNION ALL SELECT 6::BIGINT AS round, pr AS pair, cnt FROM m6) ORDER BY round""".stripMargin) { (s, d) =>
+    bpeOracleChain(6) +
+      """
+        |SELECT * FROM (SELECT 1::BIGINT AS round, pr AS pair, cnt FROM m1
+        |UNION ALL SELECT 2::BIGINT AS round, pr AS pair, cnt FROM m2
+        |UNION ALL SELECT 3::BIGINT AS round, pr AS pair, cnt FROM m3
+        |UNION ALL SELECT 4::BIGINT AS round, pr AS pair, cnt FROM m4
+        |UNION ALL SELECT 5::BIGINT AS round, pr AS pair, cnt FROM m5
+        |UNION ALL SELECT 6::BIGINT AS round, pr AS pair, cnt FROM m6)
+        |ORDER BY round""".stripMargin) { (s, d) =>
     import s.implicits._
     val (rounds, _) = bpeLearn(s, d, nRounds = 6)
     rounds.reduce(_ unionByName _)
@@ -2679,7 +2603,6 @@ object TextQueries {
       |LEFT JOIN c ON nd.doc_id = c.nid
       |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val shufN = s.sessionState.conf.numShufflePartitions
     val docs = Tables.documents(s, d).where($"text".isNotNull)
     val newIds = docs.where($"doc_id" % 3 === 0)
     val refIds = docs.where($"doc_id" % 3 =!= 0)
@@ -2688,22 +2611,16 @@ object TextQueries {
       .join(refIds.select(md5($"text").as("dg")).distinct(),
         Seq("dg"), "left_semi")
       .select($"doc_id", lit(true).as("is_exact"))
-    // near layer: df over the UNION corpus, then new×ref on rare grams
-    val g = Tables.spreadScan(docs)
-      .select($"doc_id", explode(Dedup.tokenNgrams($"text", 5)).as("gram"))
-    val rare = g.groupBy($"gram").agg(count(lit(1)).as("df"))
-      .where($"df".between(2, 25)).select($"gram")
-    val gr = g.join(rare, Seq("gram"), "left_semi")
-    val pairs = gr.where($"doc_id" % 3 === 0)
-      .select($"gram", $"doc_id".as("nid"))
-      .join(gr.where($"doc_id" % 3 =!= 0)
-        .select($"gram", $"doc_id".as("rid")), "gram")
-      .select($"nid", $"rid")
-      // explicit partition count: candidate rows are tiny in bytes but
-      // each feeds an array_intersect downstream — AQE byte-coalescing
-      // would fold the CPU onto one core (the sharedGramPairs lesson)
-      .repartition(shufN, $"nid", $"rid")
-      .distinct()
+    // near layer: the production blocker over the UNION corpus (its
+    // df cap, bounded postings, and explicit partitioning are the
+    // maintained-once machinery), kept only where the pair crosses
+    // the new/ref boundary and oriented (new, ref)
+    val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+      n = 5, maxDf = 25)
+      .where(($"src" % 3 === 0) =!= ($"dst" % 3 === 0))
+      .select(
+        when($"src" % 3 === 0, $"src").otherwise($"dst").as("nid"),
+        when($"src" % 3 === 0, $"dst").otherwise($"src").as("rid"))
     val gl = Tables.spreadScan(docs)
       .select($"doc_id", Dedup.tokenNgrams($"text", 5).as("gs"))
     val cand = pairs

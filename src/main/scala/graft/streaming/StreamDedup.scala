@@ -408,6 +408,10 @@ object StreamDedup {
         graft.ext.Dedup.tokenNgrams(col(textCol), n).as("gs"))
     val exactHits = stream
       .join(broadcast(refDigests), Seq("dg"))
+      .select(col(tsCol), col("doc_id"), col("ref_id"))
+      // same exactly-once-per-pair discipline as the near layer: an
+      // in-horizon re-arrival must not re-emit the digest hit either
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
       .select(col(tsCol), col("doc_id"), col("ref_id"),
         lit("exact").as("layer"), lit(1000000L).as("jac_ppm"))
     val nearHits = stream

@@ -186,6 +186,33 @@ class AsOfJoinSpec extends SparkTestBase {
       5L -> Some((101L, 2.0)), 6L -> None), s"got $out")
   }
 
+  test("a null build timestamp never matches: dropped in all variants " +
+      "instead of becoming a phantom earliest row") {
+    // SQL semantics: ts >= NULL is unknown — DuckDB ASOF / pandas
+    // merge_asof return no match. Unfiltered, the null ts sorts
+    // nulls-first in the window and its non-null payload struct is
+    // inherited by every probe in the key.
+    val b = Seq(
+      (1L, null.asInstanceOf[Timestamp], 7L, 1.0),
+      (2L, null.asInstanceOf[Timestamp], 8L, 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 9L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val p = Seq(
+      (1L, 1L, ts("2024-01-01 12:00:00")), // only a null-ts build row
+      (2L, 2L, ts("2024-01-01 12:00:00"))) // real row must still match
+      .toDF("pid", "user_id", "ts")
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select($"pid", $"asof_event_id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val bwd = ids(AsOfJoin.leftAsOf(p, b, "user_id", "user_id",
+      "ts", "ts", Seq("event_id"), "event_id"))
+    val near = ids(AsOfJoin.leftAsOfNearest(p, b, "user_id", "user_id",
+      "ts", "ts", Seq("event_id"), "event_id"))
+    assert(bwd == Map(1L -> None, 2L -> Some(9L)), s"backward: $bwd")
+    assert(near == Map(1L -> None, 2L -> Some(9L)), s"nearest: $near")
+  }
+
   test("nearest equivalence with the naive both-direction argmin on " +
       "random data, and all payload columns come from the one winner") {
     val rnd = new scala.util.Random(47)

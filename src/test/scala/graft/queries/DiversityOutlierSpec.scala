@@ -52,6 +52,24 @@ class DiversityOutlierSpec extends SparkTestBase {
     }
   }
 
+  test("outlier ratio survives a degenerate all-on-centroid cluster " +
+      "(sum of distances zero) instead of dividing by zero") {
+    val d = Files.createTempDirectory("outlier-degen").toString
+    val s = spark
+    import s.implicits._
+    // corpus = exactly the 8 seed centroids: every cluster's only
+    // member IS its centroid, so every d2q and every sum_d2q is 0
+    (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f), i)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = SparkEntry.queries("embed_outlier_centroid")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(rows.length == 8 && rows.forall(_._3 == 0L),
+      s"8 single-member clusters, all ratios 0, got ${rows.toSeq}")
+  }
+
   test("bpe apply: per-doc word/char masses match an independent " +
       "recompute and token counts sit between them (sf0.001)") {
     val s = spark

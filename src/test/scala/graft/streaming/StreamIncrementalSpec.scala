@@ -89,15 +89,20 @@ class StreamIncrementalSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("stream_incremental_rearr")
       .outputMode("append").start()
     try {
-      source.addData((ts("2024-01-01 10:00:00"), 3L, t2near))
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 3L, t2near),
+        (ts("2024-01-01 10:00:02"), 0L, t1))
       q.processAllAvailable()
-      source.addData((ts("2024-01-01 10:00:30"), 3L, t2near))
+      source.addData(
+        (ts("2024-01-01 10:00:30"), 3L, t2near),
+        (ts("2024-01-01 10:00:32"), 0L, t1))
       q.processAllAvailable()
-      val near = spark.table("stream_incremental_rearr")
-        .where($"layer" === "near")
-        .select($"doc_id", $"ref_id").as[(Long, Long)].collect().toSeq
-      assert(near == Seq((3L, 4L)),
-        s"(3, 4) confirmed exactly once, got $near")
+      val hits = spark.table("stream_incremental_rearr")
+        .select($"layer", $"doc_id", $"ref_id")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(hits.count(h => h._1 == "near" && h._2 == 3L) == 1 &&
+        hits.count(h => h._1 == "exact" && h._2 == 0L) == 1,
+        s"each layer's pair confirmed exactly once, got $hits")
     } finally q.stop()
   }
 }
