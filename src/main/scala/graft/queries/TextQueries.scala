@@ -2646,6 +2646,48 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-source duplication census — the source-trust dashboard row:
+    * for every source, how many of its documents are byte-duplicates
+    * (within the source: `n_docs − n_unique`; in exact ppm) and how
+    * many carry content that ALSO appears under another source (the
+    * cross-source syndication/scraper signal that drives mixture
+    * down-weighting before any dedup even runs). Digests only:
+    * md5(text) is computed scan-local, so both aggregates shuffle
+    * 16-byte keys, never documents; the per-digest source-spread table
+    * is digest-keyed (bounded by corpus cardinality) and joins back to
+    * the digest stream on its own key. */
+  val dedupRateBySource: CatalogEntry = CatalogEntry(
+    "dedup_rate_by_source",
+    """WITH g AS (SELECT source, md5(text) AS dg FROM documents
+      |           WHERE text IS NOT NULL),
+      |d AS (SELECT dg, count(DISTINCT source)::BIGINT AS ns
+      |      FROM g GROUP BY dg)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  count(DISTINCT g.dg)::BIGINT AS n_unique,
+      |  (count(*) - count(DISTINCT g.dg))::BIGINT AS n_dup_docs,
+      |  ((1000000 * (count(*) - count(DISTINCT g.dg)))
+      |   // count(*))::BIGINT AS dup_ppm,
+      |  sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_cross_source
+      |FROM g JOIN d USING (dg)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val g = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"source", md5($"text").as("dg"))
+    val spread = g.groupBy($"dg")
+      .agg(count_distinct($"source").as("ns"))
+    g.join(spread, "dg")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"dg").as("n_unique"),
+        sum(when($"ns" >= 2, 1L).otherwise(0L)).as("n_cross_source"))
+      .select($"source", $"n_docs", $"n_unique",
+        ($"n_docs" - $"n_unique").as("n_dup_docs"),
+        expr("(1000000L * (n_docs - n_unique)) div n_docs").as("dup_ppm"),
+        $"n_cross_source")
+      .orderBy($"source")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
     dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
@@ -2662,5 +2704,6 @@ object TextQueries {
     qualityClassifierScore, textEntropy, vocabEncodeDocs, bm25Topk,
     dedupSetsimJoin, dedupGraphTriangles, dedupClusterCanonical,
     corpusKlDrift, corpusNgramDiversity, dedupContainment,
-    dedupIncrementalRef, vocabBpeApply, docLmBigramScore)
+    dedupIncrementalRef, vocabBpeApply, docLmBigramScore,
+    dedupRateBySource)
 }
