@@ -208,6 +208,86 @@ object SimilarityQueries {
     }
   }
 
+  /** Top principal direction of the embedding space via MATRIX-FREE
+    * power iteration — the diagnostic that catches anisotropy collapse
+    * (a corpus whose embeddings squeeze onto one axis ruins every
+    * cosine) and the first step of any PCA-whitening pass. Four
+    * unrolled rounds of v ← Σₓ x·(x·v), renormalized each round; the
+    * covariance matrix is never materialized — each round is ONE
+    * corpus pass (row-local dot against the broadcast direction, then
+    * a 64-cell partial aggregate), which is the only formulation that
+    * exists at 100 TB.
+    *
+    * Cross-engine exactness at every step (the kmeans/EMA discipline):
+    * the direction lives as micro-quantized BIGINTs; per-row dot
+    * products are nano-quantized before summing (order-free), the
+    * per-dimension accumulations are integer sums widened
+    * DECIMAL(38,0)/HUGEINT (int64 dies at ~10¹² rows), the norm is
+    * one IEEE sqrt of an exact integer Σw², and the renormalized
+    * direction re-quantizes to micro units — both engines walk the
+    * identical integer lattice, so the hash gate covers all four
+    * rounds. Deterministic uniform seed (all dims 0.125: exactly unit
+    * norm); sign follows the seed. */
+  val embedPcaPowerIter: CatalogEntry = {
+    val head =
+      """WITH v1 AS (SELECT (i.gs - 1)::INT AS pos, 125000::BIGINT AS v_micro
+        |          FROM unnest(generate_series(1, 64)) AS i(gs))""".stripMargin
+    val chain = (1 to 4).map { r =>
+      s""",
+         |va$r AS (SELECT list(v_micro / 1e6 ORDER BY pos) AS v FROM v$r),
+         |s$r AS (
+         |  SELECT e.vec_id,
+         |    list_sum([round(e.embedding[i]::DOUBLE * (va.v)[i] * 1e9, 0)::BIGINT
+         |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS sq
+         |  FROM embeddings e, va$r va),
+         |w$r AS (
+         |  SELECT (i.gs - 1)::INT AS pos,
+         |    sum(round(e.embedding[i.gs]::DOUBLE * (s.sq / 1e9) * 1e6,
+         |              0)::BIGINT)::HUGEINT AS w
+         |  FROM embeddings e JOIN s$r s USING (vec_id),
+         |       unnest(generate_series(1, 64)) AS i(gs)
+         |  GROUP BY pos),
+         |n$r AS (SELECT sum(w * w)::HUGEINT AS n2 FROM w$r),
+         |v${r + 1} AS (
+         |  SELECT pos,
+         |    round((w::DOUBLE) / sqrt(n2::DOUBLE) * 1e6, 0)::BIGINT AS v_micro
+         |  FROM w$r, n$r)""".stripMargin
+    }.mkString
+    CatalogEntry("embed_pca_power_iter",
+      head + chain + "\nSELECT pos, v_micro FROM v5 ORDER BY pos") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      var v = s.range(64)
+        .select($"id".cast("int").as("pos"), lit(125000L).as("v_micro"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val va = v
+          .select(struct($"pos", ($"v_micro" / lit(1e6)).as("vd")).as("pv"))
+          .agg(transform(array_sort(collect_list($"pv")),
+            p => p.getField("vd")).as("v"))
+        val w = emb.crossJoin(broadcast(va))
+          .withColumn("sq", aggregate(
+            zip_with($"embedding", $"v", (x, vi) =>
+              round(x.cast("double") * vi * lit(1e9), 0).cast("long")),
+            lit(0L), (acc, t) => acc + t))
+          .select(($"sq" / lit(1e9)).as("sd"),
+            posexplode($"embedding").as(Seq("pos", "x")))
+          .select($"pos",
+            round($"x".cast("double") * $"sd" * lit(1e6), 0)
+              .cast("long").as("c"))
+          .groupBy($"pos")
+          .agg(sum($"c".cast("decimal(38,0)")).as("w"))
+        val n2 = w.agg(sum($"w" * $"w").as("n2"))
+        v = w.crossJoin(broadcast(n2))
+          .select($"pos",
+            round($"w".cast("double") / sqrt($"n2".cast("double"))
+              * lit(1e6), 0).cast("long").as("v_micro"))
+          .localCheckpoint()
+      }
+      v.orderBy($"pos")
+    }
+  }
+
   /** Exact double value of the float-quantized plane element, so the
     * oracle multiplies by bit-identical constants (emitting the raw
     * double would diverge: Spark quantizes planes to float to match
@@ -1096,5 +1176,5 @@ object SimilarityQueries {
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
     embedNormalizeL2, embedOutlierCentroid, simHardNegatives,
-    retrievalMmrDiversify)
+    retrievalMmrDiversify, embedPcaPowerIter)
 }

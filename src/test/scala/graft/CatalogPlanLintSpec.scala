@@ -47,6 +47,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_hard_negatives",    // corpus x broadcast 5 query rows
     "doc_lm_bigram_score",   // broadcast 1-row vocabulary-size scalar
     "retrieval_mmr_diversify", // 10-row shortlist x broadcast query/pairs
+    "embed_pca_power_iter",  // corpus x broadcast 1-row direction/norm
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
