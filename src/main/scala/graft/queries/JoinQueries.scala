@@ -602,11 +602,65 @@ object JoinQueries {
       .orderBy($"s_name", $"s_suppkey")
   }
 
+  /** BUCKETED CO-LOCATED JOIN — the shuffle-free fact⋈fact join the
+    * scaladoc above promises: both sides written as bucketed tables
+    * (8 buckets on the order key, sorted within buckets), then joined
+    * — Spark matches the two bucket specs and plans the sort-merge
+    * join with ZERO exchanges on either side ([[graft.
+    * BucketedJoinSpec]] asserts it). This is THE 100 TB pattern for a
+    * join repeated every pipeline run (fact tables bucketed once at
+    * ingest, every downstream orderkey join shuffle-free forever); the
+    * one-time bucketed write is the entry's honest build cost.
+    *
+    * Output is the per-priority revenue census with exact-integer
+    * money: price and discount quantize INDEPENDENTLY to their native
+    * 2-decimal lattices (cents / percent — never a halfway case, so
+    * the per-row round is engine-stable), revenue = cents·(100−pct)
+    * summed as order-free BIGINTs in 10⁻⁴-dollar units — this
+    * aggregate spans the whole join, where q1-style double sums would
+    * be partial-agg order-dependent. Oracle reads the raw parquet:
+    * green means bucketing changed the PLAN, not the answer. */
+  val joinBucketColocate: CatalogEntry = CatalogEntry(
+    "join_bucket_colocate",
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+      |  count(*)::BIGINT AS n_items,
+      |  sum(round(l_extendedprice * 100, 0)::BIGINT
+      |      * (100 - round(l_discount * 100, 0)::BIGINT))
+      |    ::BIGINT AS revenue_c4
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$app"
+    val (tblO, tblL) = (s"graft_bko_$app", s"graft_bkl_$app")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable(tblO)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable(tblL)
+    s.table(tblO)
+      .join(s.table(tblL), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count_distinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(round($"l_extendedprice" * lit(100), 0).cast("long")
+          * (lit(100L) - round($"l_discount" * lit(100), 0).cast("long")))
+          .as("revenue_c4"))
+      .orderBy($"o_orderpriority")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     joinBroadcastDim, joinLargeAgg, joinSemi, joinAnti,
     setUnion, setIntersect, setExcept,
     aggDistinctCount, aggApproxDistinct, aggRollup, dimLiteralJoin,
     joinFullOuter, sqlExistsSubquery, fuzzyJoinLevenshtein,
     fuzzyCorrectJaroWinkler, q22GlobalSales, q21WaitingSupplier,
-    q2MinCostSupplier, q20ExcessShare)
+    q2MinCostSupplier, q20ExcessShare, joinBucketColocate)
 }

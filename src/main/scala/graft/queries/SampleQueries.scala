@@ -435,9 +435,88 @@ object SampleQueries {
       .limit(1000)
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw-pool document by how target-like its unigram profile is
+    * — the per-doc sum of log(p_target(w)/p_raw(w)) under add-one-
+    * smoothed unigram models trained on the two pools (target =
+    * `src0`, raw = every other source; both smoothed over the JOINT
+    * vocabulary so the ratio is defined for every token). The weights
+    * feed importance resampling: rank/sample raw docs by `lr_sum_nano`
+    * to skew a web-scale crawl toward the curated target domain.
+    *
+    * Cross-engine exactness (the [[graft.queries.TextQueries]] LM
+    * discipline): both models' log-probs are `ln` of ratios of EXACT
+    * integer counts — identical IEEE inputs, identical doubles — and
+    * each token's log-RATIO is nano-quantized to BIGINT before the
+    * per-doc sum, so the sum is order-free; `lr_avg` divides the exact
+    * sum by the exact token count and rounds once.
+    *
+    * Scale shape: ONE corpus token exchange builds both pools' censuses
+    * (conditional partial aggs over the same groupBy — the target/raw
+    * split never re-scans); totals and vocabulary size reduce FROM the
+    * census; the log-ratio table is vocab-sized (broadcast while it
+    * fits, else an equi-join on token with frequency-skew salting);
+    * the per-doc aggregate is the only corpus-keyed shuffle. */
+  val sampleDsirWeights: CatalogEntry = CatalogEntry(
+    "sample_dsir_weights",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |census AS (
+      |  SELECT token,
+      |    count(*) FILTER (WHERE source = 'src0')::BIGINT AS n_t,
+      |    count(*) FILTER (WHERE source <> 'src0')::BIGINT AS n_r
+      |  FROM tok GROUP BY token),
+      |tot AS (
+      |  SELECT sum(n_t)::BIGINT AS tt, sum(n_r)::BIGINT AS tr,
+      |    count(*)::BIGINT AS vs
+      |  FROM census),
+      |lq AS (
+      |  SELECT token,
+      |    round((ln((n_t + 1)::DOUBLE / (tt + vs)::DOUBLE)
+      |         - ln((n_r + 1)::DOUBLE / (tr + vs)::DOUBLE)) * 1e9, 0)::BIGINT
+      |      AS lq
+      |  FROM census, tot),
+      |scored AS (
+      |  SELECT t.doc_id, t.source, lq.lq
+      |  FROM tok t JOIN lq USING (token) WHERE t.source <> 'src0')
+      |SELECT doc_id, source, count(*)::BIGINT AS n_tokens,
+      |  sum(lq)::BIGINT AS lr_sum_nano,
+      |  round((sum(lq)::DOUBLE / 1e9) / count(*), 6) AS lr_avg
+      |FROM scored GROUP BY doc_id, source ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      import graft.ext.TextOps
+      val tok = Tables.documents(s, d)
+        .where($"text".isNotNull && length($"text") > 0)
+        .select($"doc_id", $"source",
+          explode(TextOps.tokens($"text")).as("token"))
+      val census = tok.groupBy($"token").agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("n_t"),
+        sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("n_r"))
+      val tot = census.agg(sum($"n_t").as("tt"), sum($"n_r").as("tr"),
+        count(lit(1)).as("vs"))
+      val lq = census.crossJoin(broadcast(tot))
+        .select($"token",
+          round((log(($"n_t" + 1).cast("double") /
+              ($"tt" + $"vs").cast("double")) -
+            log(($"n_r" + 1).cast("double") /
+              ($"tr" + $"vs").cast("double"))) * lit(1e9), 0)
+            .cast("long").as("lq"))
+      tok.where($"source" =!= "src0")
+        .join(lq, Seq("token"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"lq").as("lr_sum_nano"),
+          round((sum($"lq").cast("double") / lit(1e9)) / count(lit(1)), 6)
+            .as("lr_avg"))
+        .orderBy($"doc_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
     sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
     splitTrainValTest, sampleWeightedEs, curriculumInterleave,
-    splitLeakageSafe)
+    splitLeakageSafe, sampleDsirWeights)
 }

@@ -228,7 +228,9 @@ object SimilarityQueries {
     * identical integer lattice, so the hash gate covers all four
     * rounds. Deterministic uniform seed (all dims 0.125: exactly unit
     * norm); sign follows the seed. */
-  val embedPcaPowerIter: CatalogEntry = {
+  /** Shared oracle prefix for the PCA-direction family: WITH-chain of
+    * the four power-iteration rounds, ending at `v5` (pos, v_micro). */
+  private val pcaOracleChain: String = {
     val head =
       """WITH v1 AS (SELECT (i.gs - 1)::INT AS pos, 125000::BIGINT AS v_micro
         |          FROM unnest(generate_series(1, 64)) AS i(gs))""".stripMargin
@@ -253,39 +255,111 @@ object SimilarityQueries {
          |    round((w::DOUBLE) / sqrt(n2::DOUBLE) * 1e6, 0)::BIGINT AS v_micro
          |  FROM w$r, n$r)""".stripMargin
     }.mkString
-    CatalogEntry("embed_pca_power_iter",
-      head + chain + "\nSELECT pos, v_micro FROM v5 ORDER BY pos") { (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      var v = s.range(64)
-        .select($"id".cast("int").as("pos"), lit(125000L).as("v_micro"))
+    head + chain
+  }
+
+  /** Spark side of the same four rounds: the converged micro-quantized
+    * direction as (pos, v_micro), localCheckpointed. Any consumer must
+    * walk the identical integer lattice as [[pcaOracleChain]]'s `v5`. */
+  private def pcaDirection(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    var v = s.range(64)
+      .select($"id".cast("int").as("pos"), lit(125000L).as("v_micro"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val va = v
+        .select(struct($"pos", ($"v_micro" / lit(1e6)).as("vd")).as("pv"))
+        .agg(transform(array_sort(collect_list($"pv")),
+          p => p.getField("vd")).as("v"))
+      val w = emb.crossJoin(broadcast(va))
+        .withColumn("sq", aggregate(
+          zip_with($"embedding", $"v", (x, vi) =>
+            round(x.cast("double") * vi * lit(1e9), 0).cast("long")),
+          lit(0L), (acc, t) => acc + t))
+        .select(($"sq" / lit(1e9)).as("sd"),
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"pos",
+          round($"x".cast("double") * $"sd" * lit(1e6), 0)
+            .cast("long").as("c"))
+        .groupBy($"pos")
+        .agg(sum($"c".cast("decimal(38,0)")).as("w"))
+      val n2 = w.agg(sum($"w" * $"w").as("n2"))
+      v = w.crossJoin(broadcast(n2))
+        .select($"pos",
+          round($"w".cast("double") / sqrt($"n2".cast("double"))
+            * lit(1e6), 0).cast("long").as("v_micro"))
         .localCheckpoint()
-      for (_ <- 1 to 4) {
-        val va = v
-          .select(struct($"pos", ($"v_micro" / lit(1e6)).as("vd")).as("pv"))
-          .agg(transform(array_sort(collect_list($"pv")),
-            p => p.getField("vd")).as("v"))
-        val w = emb.crossJoin(broadcast(va))
-          .withColumn("sq", aggregate(
-            zip_with($"embedding", $"v", (x, vi) =>
-              round(x.cast("double") * vi * lit(1e9), 0).cast("long")),
-            lit(0L), (acc, t) => acc + t))
-          .select(($"sq" / lit(1e9)).as("sd"),
-            posexplode($"embedding").as(Seq("pos", "x")))
-          .select($"pos",
-            round($"x".cast("double") * $"sd" * lit(1e6), 0)
-              .cast("long").as("c"))
-          .groupBy($"pos")
-          .agg(sum($"c".cast("decimal(38,0)")).as("w"))
-        val n2 = w.agg(sum($"w" * $"w").as("n2"))
-        v = w.crossJoin(broadcast(n2))
-          .select($"pos",
-            round($"w".cast("double") / sqrt($"n2".cast("double"))
-              * lit(1e6), 0).cast("long").as("v_micro"))
-          .localCheckpoint()
-      }
-      v.orderBy($"pos")
     }
+    v
+  }
+
+  val embedPcaPowerIter: CatalogEntry =
+    CatalogEntry("embed_pca_power_iter",
+      pcaOracleChain + "\nSELECT pos, v_micro FROM v5 ORDER BY pos") {
+      (s, d) =>
+        import s.implicits._
+        pcaDirection(s, d).orderBy($"pos")
+    }
+
+  /** ALL-BUT-THE-TOP residual census (Mu & Viswanath, ICLR 2018): for
+    * every vector, its alignment with the corpus' top principal
+    * direction — `dot_nano` (the nano-quantized projection x·v) and
+    * `cos2_ppm` (the fraction of the vector's energy the top direction
+    * explains). The per-vector numbers ARE the whitening transform's
+    * inputs (x' = x − (x·v)v) and their corpus distribution is the
+    * anisotropy diagnostic: a healthy embedding space keeps cos² low
+    * and flat; a collapsed one concentrates energy on v.
+    *
+    * Scale shape: consumes [[pcaDirection]] (four corpus passes), then
+    * ONE more pass — dot and norm² are row-local folds against the
+    * broadcast direction; no shuffle beyond the output sort. Exactness:
+    * `dot_nano` is the order-free integer dot sum (no transformation
+    * emitted at all), and cos²_ppm is a pure integer ratio
+    * (10⁶·sq²) div (10⁹·nx) in DECIMAL(38,0)/HUGEINT — sq² ≤ ~10²⁰
+    * overflows int64 but not 38 digits; no float rounding anywhere, so
+    * the hash gate is exact by construction. */
+  val embedAbttResidual: CatalogEntry = CatalogEntry(
+    "embed_abtt_residual",
+    pcaOracleChain +
+      """,
+        |vaf AS (SELECT list(v_micro / 1e6 ORDER BY pos) AS v FROM v5),
+        |fin AS (
+        |  SELECT e.vec_id,
+        |    list_sum([round(e.embedding[i]::DOUBLE * (va.v)[i] * 1e9, 0)::BIGINT
+        |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS sq,
+        |    list_sum([round(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+        |                    * 1e9, 0)::BIGINT
+        |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS nx
+        |  FROM embeddings e, vaf va)
+        |SELECT vec_id, sq AS dot_nano,
+        |  ((1000000::HUGEINT * sq::HUGEINT * sq::HUGEINT)
+        |   // (1000000000::HUGEINT * nx::HUGEINT))::BIGINT AS cos2_ppm
+        |FROM fin ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val va = pcaDirection(s, d)
+      .select(struct($"pos", ($"v_micro" / lit(1e6)).as("vd")).as("pv"))
+      .agg(transform(array_sort(collect_list($"pv")),
+        p => p.getField("vd")).as("v"))
+    emb.crossJoin(broadcast(va))
+      .select($"vec_id",
+        aggregate(
+          zip_with($"embedding", $"v", (x, vi) =>
+            round(x.cast("double") * vi * lit(1e9), 0).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("sq"),
+        aggregate(
+          transform($"embedding", x =>
+            round(x.cast("double") * x.cast("double") * lit(1e9), 0)
+              .cast("long")),
+          lit(0L), (acc, t) => acc + t).as("nx"))
+      .select($"vec_id", $"sq".as("dot_nano"),
+        expr("cast((cast(1000000 as decimal(38,0)) * cast(sq as decimal(38,0))" +
+          " * cast(sq as decimal(38,0))) div" +
+          " (cast(1000000000 as decimal(38,0)) * cast(nx as decimal(38,0)))" +
+          " as long)").as("cos2_ppm"))
+      .orderBy($"vec_id")
   }
 
   /** Exact double value of the float-quantized plane element, so the
@@ -581,6 +655,107 @@ object SimilarityQueries {
         round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(10)
+  }
+
+  /** PRODUCT QUANTIZATION encode + asymmetric-distance search (Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011) — the third ANN family beside LSH ([[simAnnLsh]]) and IVF
+    * ([[simIvf]]), and the one that wins on MEMORY: 64 float dims
+    * compress to 4 sub-codes. M=4 subspaces of 16 dims, K=4 seed
+    * centroids per subspace (the first 4 corpus vectors' sub-slices —
+    * the [[embedKmeansAssign]] deterministic-seed discipline; a real
+    * deployment would Lloyd-refine them with [[embedKmeansUpdate]]'s
+    * machinery). Encode = per-(vector, subspace) argmin of the
+    * quantized L2²; search = ADC: one 16-cell query→centroid distance
+    * table, each vector's distance the SUM of its codes' table cells —
+    * the scan never touches the original floats.
+    *
+    * Exactness: sub-distances are per-element nano-quantized BIGINTs
+    * (order-free sums), argmin ties break on cid, `adc_nano` is an
+    * exact integer sum of table cells, and the top-10 orders on
+    * (adc_nano, vec_id) — no float ever reaches the output. Scale
+    * shape: the codebook and the ADC table are broadcast (16 rows);
+    * encode is a row-local ×4 fan-out plus a (vec_id, m)-keyed argmin
+    * with map-side combine; the per-vector ADC sum is the only
+    * corpus-keyed shuffle and the top-10 is TakeOrderedAndProject. At
+    * 100 TB the codes are what you'd persist; the ADC scan reads 4
+    * ints per vector. */
+  val simPqAdc: CatalogEntry = CatalogEntry(
+    "sim_pq_adc",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 4),
+      |cb AS (
+      |  SELECT (m.gs - 1)::INT AS m, cid::INT AS cid,
+      |    embedding[(m.gs - 1) * 16 + 1 : m.gs * 16] AS csub
+      |  FROM cent, unnest(generate_series(1, 4)) AS m(gs)),
+      |sub AS (
+      |  SELECT e.vec_id, (m.gs - 1)::INT AS m,
+      |    e.embedding[(m.gs - 1) * 16 + 1 : m.gs * 16] AS sub
+      |  FROM embeddings e, unnest(generate_series(1, 4)) AS m(gs)),
+      |d AS (
+      |  SELECT s.vec_id, s.m, c.cid,
+      |    list_sum([round((s.sub[i]::DOUBLE - c.csub[i]::DOUBLE)
+      |                    * (s.sub[i]::DOUBLE - c.csub[i]::DOUBLE) * 1e9,
+      |                    0)::BIGINT
+      |              for i in range(1, len(s.sub) + 1)])::BIGINT AS d2q
+      |  FROM sub s JOIN cb c USING (m)),
+      |codes AS (
+      |  SELECT vec_id, m, cid,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2q, cid) AS rn
+      |  FROM d),
+      |qsub AS (SELECT m, sub AS qs FROM sub WHERE vec_id = 0),
+      |dt AS (
+      |  SELECT c.m, c.cid,
+      |    list_sum([round((q.qs[i]::DOUBLE - c.csub[i]::DOUBLE)
+      |                    * (q.qs[i]::DOUBLE - c.csub[i]::DOUBLE) * 1e9,
+      |                    0)::BIGINT
+      |              for i in range(1, len(c.csub) + 1)])::BIGINT AS dtq
+      |  FROM cb c JOIN qsub q USING (m))
+      |SELECT k.vec_id,
+      |  sum(CASE WHEN k.m = 0 THEN k.cid END)::INT AS code0,
+      |  sum(CASE WHEN k.m = 1 THEN k.cid END)::INT AS code1,
+      |  sum(CASE WHEN k.m = 2 THEN k.cid END)::INT AS code2,
+      |  sum(CASE WHEN k.m = 3 THEN k.cid END)::INT AS code3,
+      |  sum(dt.dtq)::BIGINT AS adc_nano
+      |FROM codes k JOIN dt ON k.m = dt.m AND k.cid = dt.cid
+      |WHERE k.rn = 1
+      |GROUP BY k.vec_id ORDER BY adc_nano, k.vec_id LIMIT 10""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      def subSlices(c: Column): Column = array((0 until 4).map(m =>
+        struct(lit(m).as("m"), slice(c, m * 16 + 1, 16).as("sub"))): _*)
+      val sub = emb
+        .select($"vec_id", explode(subSlices($"embedding")).as("ms"))
+        .select($"vec_id", $"ms.m".as("m"), $"ms.sub".as("sub"))
+      val cb = emb.where($"vec_id" < 4)
+        .select($"vec_id".cast("int").as("cid"),
+          explode(subSlices($"embedding")).as("ms"))
+        .select($"ms.m".as("m"), $"cid", $"ms.sub".as("csub"))
+      def qdist(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          round(diff * diff * lit(1e9), 0).cast("long")
+        }),
+        lit(0L), (acc, t) => acc + t)
+      val codes = sub.join(broadcast(cb), "m")
+        .select($"vec_id", $"m", $"cid", qdist($"sub", $"csub").as("d2q"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d2q", $"cid")).as("b"))
+        .select($"vec_id", $"m", $"b.cid".as("cid"))
+      val qsub = sub.where($"vec_id" === 0).select($"m", $"sub".as("qs"))
+      val dt = cb.join(broadcast(qsub), "m")
+        .select($"m", $"cid", qdist($"qs", $"csub").as("dtq"))
+      codes.join(broadcast(dt), Seq("m", "cid"))
+        .groupBy($"vec_id")
+        .agg(
+          sum(when($"m" === 0, $"cid")).cast("int").as("code0"),
+          sum(when($"m" === 1, $"cid")).cast("int").as("code1"),
+          sum(when($"m" === 2, $"cid")).cast("int").as("code2"),
+          sum(when($"m" === 3, $"cid")).cast("int").as("code3"),
+          sum($"dtq").as("adc_nano"))
+        .orderBy($"adc_nano", $"vec_id")
+        .limit(10)
   }
 
   /** Per-label centroid components — the k-means/IVF "train the coarse
@@ -1176,5 +1351,6 @@ object SimilarityQueries {
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
     embedNormalizeL2, embedOutlierCentroid, simHardNegatives,
-    retrievalMmrDiversify, embedPcaPowerIter)
+    retrievalMmrDiversify, embedPcaPowerIter, embedAbttResidual,
+    simPqAdc)
 }

@@ -48,6 +48,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "doc_lm_bigram_score",   // broadcast 1-row vocabulary-size scalar
     "retrieval_mmr_diversify", // 10-row shortlist x broadcast query/pairs
     "embed_pca_power_iter",  // corpus x broadcast 1-row direction/norm
+    "embed_abtt_residual",   // corpus x broadcast 1-row direction
+    "sample_dsir_weights",   // vocab x broadcast 1-row totals scalar
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
