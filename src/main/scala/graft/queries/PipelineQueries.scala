@@ -223,6 +223,62 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** Small-file COMPACTION PLAN — the bin-packing step every 100 TB
+    * table needs (the "OPTIMIZE" of Delta/Iceberg lineage): an
+    * ingest that commits a file per micro-batch per source leaves
+    * thousands of kilobyte files whose per-file open/footer cost
+    * dominates the scan; the compactor reads the file-level manifest
+    * and assigns files to ~target-size output groups. The file table
+    * here is derived deterministically from the corpus (one "file"
+    * per 50-doc-id stripe per source, bytes = chars + 64/doc record
+    * overhead — the shape a micro-batch writer produces); the plan
+    * is sequential fill in file order: group = exclusive-prefix-sum
+    * div 64 KiB — the same size-ordered sequential packing production
+    * compactors use, and exactly reproducible (pure BIGINT prefix
+    * sums, no float).
+    *
+    * Scale shape: the window runs over FILE METADATA partitioned by
+    * `source` (the partition dir) — manifest-scale (millions of rows
+    * at 100 TB), never corpus-scale, and each partition's file list
+    * is independent; the corpus-sized work is the one census
+    * aggregate building the file table, a single partial-agg
+    * exchange on (source, stripe). */
+  val shardCompactionPlan: CatalogEntry = CatalogEntry(
+    "shard_compaction_plan",
+    """WITH files AS (
+      |  SELECT source, doc_id // 50 AS file_id,
+      |    count(*)::BIGINT AS n_docs,
+      |    (sum(n_chars) + 64 * count(*))::BIGINT AS bytes
+      |  FROM documents GROUP BY source, doc_id // 50),
+      |planned AS (
+      |  SELECT source, file_id, n_docs, bytes,
+      |    ((sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+      |        ROWS UNBOUNDED PRECEDING) - bytes) // 65536)::BIGINT AS grp
+      |  FROM files)
+      |SELECT source, grp, count(*)::INT AS n_files,
+      |  sum(n_docs)::BIGINT AS n_docs, sum(bytes)::BIGINT AS bytes,
+      |  min(file_id)::BIGINT AS first_file,
+      |  max(file_id)::BIGINT AS last_file
+      |FROM planned GROUP BY source, grp
+      |ORDER BY source, grp""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val files = graft.Tables.documents(s, d)
+      .groupBy($"source", expr("doc_id div 50").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"n_chars") + lit(64L) * count(lit(1))).as("bytes"))
+    val cum = Window.partitionBy($"source").orderBy($"file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("csum", sum($"bytes").over(cum))
+      .withColumn("grp", expr("(csum - bytes) div 65536"))
+      .groupBy($"source", $"grp")
+      .agg(count(lit(1)).cast("int").as("n_files"),
+        sum($"n_docs").as("n_docs"), sum($"bytes").as("bytes"),
+        min($"file_id").as("first_file"), max($"file_id").as("last_file"))
+      .orderBy($"source", $"grp")
+  }
+
   def entries: Seq[CatalogEntry] =
-    Seq(pipelineE2e, corpusCurationE2e, shardManifest)
+    Seq(pipelineE2e, corpusCurationE2e, shardManifest, shardCompactionPlan)
 }

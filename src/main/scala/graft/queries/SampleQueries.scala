@@ -514,9 +514,108 @@ object SampleQueries {
         .orderBy($"doc_id")
   }
 
+  /** IPF / RAKING of the (source × lang) mixture — iterative
+    * proportional fitting (Deming & Stephan 1940; "raking" in the
+    * survey-sampling literature): find per-cell sampling weights whose
+    * SOURCE margins are uniform (no domain dominates) while the LANG
+    * margins follow a √n temperature target (the multilingual
+    * up-weighting of the XLM-R lineage) — the two-constraint version
+    * of [[sampleTemperatureMix]], which can balance only one margin at
+    * a time. Two full IPF iterations (4 unrolled margin scalings:
+    * source, lang, source, lang), which is within ~1% of the fixpoint
+    * on this census.
+    *
+    * Cross-engine exactness: weights live on an integer lattice
+    * (10⁻⁶-doc units); every scaling step is `(w · target) div
+    * margin-sum` with the product in DECIMAL(38,0)/HUGEINT (w·target
+    * tops ~10²⁰), every margin-sum an exact BIGINT window sum, and the
+    * lang targets come from `round(sqrt(n)·1e9)` (hardware sqrt of an
+    * exact integer is correctly rounded — the temperature-mix
+    * discipline). Both engines walk the identical lattice; zero float
+    * reaches the output.
+    *
+    * Scale shape: the ONLY corpus-sized work is the (source, lang)
+    * census — one partial-agg exchange; the IPF rounds run on the
+    * cells table (|sources|·|langs| rows — broadcast-scale metadata),
+    * windows partitioned by source / lang over those same few rows,
+    * and the 1-row mass/target scalars join as broadcasts. At 100 TB
+    * the cell table is still kilobytes: raking cost is independent of
+    * corpus size by construction. */
+  val sampleIpfRaking: CatalogEntry = CatalogEntry(
+    "sample_ipf_raking",
+    """WITH cells AS (
+      |  SELECT source, lang, count(*)::BIGINT AS n
+      |  FROM documents GROUP BY source, lang),
+      |m AS (SELECT sum(n)::BIGINT * 1000000 AS mass,
+      |             count(DISTINCT source)::BIGINT AS ns FROM cells),
+      |lt AS (SELECT lang, round(sqrt(sum(n)::DOUBLE) * 1e9, 0)::BIGINT AS q
+      |       FROM cells GROUP BY lang),
+      |ls AS (SELECT sum(q)::BIGINT AS qs FROM lt),
+      |tgt_l AS (SELECT lang, ((q::HUGEINT * (SELECT mass FROM m))
+      |                        // (SELECT qs FROM ls))::BIGINT AS cl FROM lt),
+      |tgt_s AS (SELECT ((SELECT mass FROM m) // ns)::BIGINT AS ts FROM m),
+      |w0 AS (SELECT source, lang, n, n * 1000000 AS w FROM cells),
+      |r1 AS (SELECT source, lang, n,
+      |         ((w::HUGEINT * (SELECT ts FROM tgt_s))
+      |          // sum(w) OVER (PARTITION BY source))::BIGINT AS w
+      |       FROM w0),
+      |r2 AS (SELECT r1.source, r1.lang, r1.n,
+      |         ((r1.w::HUGEINT * t.cl)
+      |          // sum(r1.w) OVER (PARTITION BY r1.lang))::BIGINT AS w
+      |       FROM r1 JOIN tgt_l t ON r1.lang = t.lang),
+      |r3 AS (SELECT source, lang, n,
+      |         ((w::HUGEINT * (SELECT ts FROM tgt_s))
+      |          // sum(w) OVER (PARTITION BY source))::BIGINT AS w
+      |       FROM r2),
+      |r4 AS (SELECT r3.source, r3.lang, r3.n,
+      |         ((r3.w::HUGEINT * t.cl)
+      |          // sum(r3.w) OVER (PARTITION BY r3.lang))::BIGINT AS w
+      |       FROM r3 JOIN tgt_l t ON r3.lang = t.lang)
+      |SELECT source, lang, n, w AS weight_u,
+      |  (w // greatest(n, 1))::BIGINT AS per_doc_u
+      |FROM r4 ORDER BY source, lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val m = cells.agg((sum($"n") * lit(1000000L)).as("mass"),
+      countDistinct($"source").as("ns"))
+    val lt = cells.groupBy($"lang")
+      .agg(round(sqrt(sum($"n").cast("double")) * lit(1e9), 0)
+        .cast("long").as("q"))
+    val ls = lt.agg(sum($"q").as("qs"))
+    val tgtL = lt.crossJoin(broadcast(m.select($"mass")))
+      .crossJoin(broadcast(ls))
+      .select($"lang",
+        expr("cast((cast(q as decimal(38,0)) * cast(mass as decimal(38,0)))" +
+          " div cast(qs as decimal(38,0)) as bigint)").as("cl"))
+    val tgtS = m.select(expr("mass div ns").cast("long").as("ts"))
+    val wSrc = Window.partitionBy($"source")
+    val wLang = Window.partitionBy($"lang")
+    def scaleSrc(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rs", sum($"w").over(wSrc))
+      .withColumn("w",
+        expr("cast((cast(w as decimal(38,0)) * cast(ts as decimal(38,0)))" +
+          " div cast(rs as decimal(38,0)) as bigint)"))
+      .drop("rs")
+    def scaleLang(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ks", sum($"w").over(wLang))
+      .withColumn("w",
+        expr("cast((cast(w as decimal(38,0)) * cast(cl as decimal(38,0)))" +
+          " div cast(ks as decimal(38,0)) as bigint)"))
+      .drop("ks")
+    val w0 = cells
+      .withColumn("w", $"n" * lit(1000000L))
+      .crossJoin(broadcast(tgtS))
+      .join(broadcast(tgtL), Seq("lang"))
+    val r4 = scaleLang(scaleSrc(scaleLang(scaleSrc(w0))))
+    r4.select($"source", $"lang", $"n", $"w".as("weight_u"),
+        expr("w div greatest(n, 1)").cast("long").as("per_doc_u"))
+      .orderBy($"source", $"lang")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
     sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
     splitTrainValTest, sampleWeightedEs, curriculumInterleave,
-    splitLeakageSafe, sampleDsirWeights)
+    splitLeakageSafe, sampleDsirWeights, sampleIpfRaking)
 }

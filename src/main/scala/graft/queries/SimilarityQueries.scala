@@ -1344,9 +1344,100 @@ object SimilarityQueries {
     }
   }
 
+  /** NDCG@10 of the IVF nprobe=1 arm against the exact ranking — the
+    * ORDER-aware companion to [[simRecallAtK]]: recall treats a true
+    * neighbor retrieved at rank 10 the same as at rank 1, NDCG
+    * discounts it logarithmically, which is what a retrieval consumer
+    * (RAG context packing, rerank budgets) actually experiences.
+    * Graded relevance is position-derived (rel = 11 − exact_rank, 0
+    * outside the exact top-10 — the standard implicit-judgment
+    * setup), discount weights w_i = round(10⁹·ln2/ln(i+1)) are
+    * integers from `ln` of exact integers, each DCG term is an
+    * integer product, and NDCG is one positive integer division to
+    * ppm — the hash gate covers the whole metric.
+    *
+    * Scale shape: both arms are existing scale-safe plans (broadcast
+    * centroids / one corpus pass) cut to 10 rows before the metric;
+    * the metric itself is 10-row arithmetic. At 100 TB the same
+    * composition runs per query over a query SAMPLE, exactly like the
+    * recall entries. */
+  val simNdcgEval: CatalogEntry = {
+    val exact = simCosineTopk.oracle.get.replace("\n", "\n      ")
+    val sql =
+      s"""WITH gold AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id)::BIGINT
+         |      AS grnk
+         |  FROM ($exact)),
+         |cen AS (
+         |  SELECT label, (i.gs - 1) AS pos,
+         |    avg(embedding[i.gs]::DOUBLE)::FLOAT AS m
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS i(gs)
+         |  GROUP BY label, pos),
+         |carr AS (SELECT label, list(m ORDER BY pos) AS centroid
+         |         FROM cen GROUP BY label),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT label AS c_label, qe FROM carr, qv
+         |  ORDER BY ${cosSql("centroid", "qe")} DESC, label
+         |  LIMIT 1),
+         |cand0 AS (
+         |  SELECT e.vec_id,
+         |    round(${cosSql("e.embedding", "n.qe")}, 6) AS cos_sim
+         |  FROM embeddings e JOIN nearest n ON e.label = n.c_label
+         |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10),
+         |cand AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id)::BIGINT
+         |      AS crnk
+         |  FROM cand0),
+         |w AS (
+         |  SELECT vec_id, crnk,
+         |    round(1e9 * 0.6931471805599453 / ln((crnk + 1)::DOUBLE), 0)
+         |      ::BIGINT AS wq
+         |  FROM cand),
+         |d AS (
+         |  SELECT sum((CASE WHEN g.grnk IS NULL THEN 0
+         |              ELSE 11 - g.grnk END) * w.wq)::BIGINT AS dcg_nano
+         |  FROM w LEFT JOIN gold g USING (vec_id)),
+         |i AS (
+         |  SELECT sum((11 - grnk) *
+         |    round(1e9 * 0.6931471805599453 / ln((grnk + 1)::DOUBLE), 0)
+         |      ::BIGINT)::BIGINT AS idcg_nano
+         |  FROM gold)
+         |SELECT dcg_nano, idcg_nano,
+         |  ((1000000::BIGINT * dcg_nano) // idcg_nano)::BIGINT AS ndcg_ppm
+         |FROM d, i""".stripMargin
+    CatalogEntry("sim_ndcg_eval", sql) { (s, d) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val rankW = Window.orderBy($"cos_sim".desc, $"vec_id")
+      val gold = simCosineTopk.query(s, d)
+        .withColumn("grnk", row_number().over(rankW).cast("long"))
+        .select($"vec_id", $"grnk")
+      val wq = (c: org.apache.spark.sql.Column) =>
+        round(lit(1e9) * lit(0.6931471805599453) /
+          log((c + 1).cast("double")), 0).cast("long")
+      val cand = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+        queryId = 0, k = 10, nProbe = 1)
+        .withColumn("crnk", row_number().over(rankW).cast("long"))
+        .select($"vec_id".as("cvid"), wq($"crnk").as("wq"))
+      val dcg = cand.join(gold, $"cvid" === $"vec_id", "left")
+        .agg(sum(coalesce(lit(11L) - $"grnk", lit(0L)) * $"wq")
+          .as("dcg_nano"))
+      val idcg = gold
+        .agg(sum((lit(11L) - $"grnk") * wq($"grnk")).as("idcg_nano"))
+      dcg.crossJoin(broadcast(idcg))
+        .select($"dcg_nano", $"idcg_nano",
+          expr("(1000000L * dcg_nano) div idcg_nano").as("ndcg_ppm"))
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
-    simIvfRecallCurve,
+    simIvfRecallCurve, simNdcgEval,
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,

@@ -2438,6 +2438,108 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** BPE FERTILITY BY LANGUAGE — tokens-per-word under the learned
+    * merge table, per language: the tokenizer-equity census (Petrov et
+    * al., "Language Model Tokenizers Introduce Unfairness Between
+    * Languages", NeurIPS'23 — a language whose fertility runs 2× pays
+    * 2× context budget and 2× compute per sentence). Consumes
+    * [[bpeLearn]]'s final word → symbol table exactly like
+    * [[vocabBpeApply]] (same chain, same oracle prefix — the two
+    * cannot drift), then rolls the per-word token counts up by
+    * language instead of by document; all ratios exact-integer ppm.
+    *
+    * Scale shape: identical to the apply entry — vocab-sized encode
+    * table joined once against the exploded word stream, per-lang
+    * rollup of a langs-sized table; the lang column rides the
+    * document row, no second corpus scan. */
+  val vocabFertilityByLang: CatalogEntry = CatalogEntry(
+    "vocab_fertility_by_lang",
+    bpeOracleChain(6) +
+      """,
+        |enc AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS ntok
+        |        FROM s6),
+        |dw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |       FROM documents WHERE text IS NOT NULL),
+        |j AS (SELECT dw.lang, ntok, length(dw.word)::BIGINT AS nch
+        |      FROM dw JOIN enc USING (word) WHERE word <> '')
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  sum(ntok)::BIGINT AS n_tokens, sum(nch)::BIGINT AS n_chars,
+        |  ((1000000 * sum(ntok)) // count(*))::BIGINT AS tokens_per_word_ppm,
+        |  ((1000000 * sum(nch)) // sum(ntok))::BIGINT AS chars_per_token_ppm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (_, sym6) = bpeLearn(s, d, nRounds = 6)
+    val enc = sym6.select($"word",
+      size(split($"sym", " ")).cast("long").as("ntok"))
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", explode(TextOps.tokens($"text")).as("word"))
+      .where($"word" =!= "")
+      .join(enc, "word")
+      .select($"lang", $"ntok", length($"word").cast("long").as("nch"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"),
+        sum($"nch").as("n_chars"))
+      .select($"lang", $"n_words", $"n_tokens", $"n_chars",
+        expr("(1000000L * n_tokens) div n_words").as("tokens_per_word_ppm"),
+        expr("(1000000L * n_chars) div n_tokens").as("chars_per_token_ppm"))
+      .orderBy($"lang")
+  }
+
+  /** INVERSE-SIMPSON effective gram types per source — the
+    * concentration-robust companion to [[corpusNgramDiversity]]: the
+    * distinct/total ratio treats a million singletons plus one
+    * million-count gram the same as a uniform census, while
+    * N_eff = (Σn)²/Σn² (Hill number of order 2) collapses exactly
+    * when probability mass concentrates — the statistic that catches
+    * a source whose long tail LOOKS diverse while 90% of its text is
+    * one template. Pure integer algebra end to end: Σn and Σn² are
+    * exact sums (n² in DECIMAL(38,0)/HUGEINT — a 10¹² -occurrence
+    * gram squares past int64), N_eff and the concentration ppm are
+    * single integer divisions.
+    *
+    * Scale shape: same two-level aggregate as the diversity census —
+    * map-side-combined (source, gram) cells are the only corpus-sized
+    * exchange; the Simpson rollup runs on the per-source table. */
+  val corpusSimpsonDiversity: CatalogEntry = CatalogEntry(
+    "corpus_simpson_diversity",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT source,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT source, gram, count(*)::BIGINT AS n
+      |      FROM g GROUP BY source, gram),
+      |s AS (SELECT source, sum(n)::BIGINT AS nt, count(*)::BIGINT AS nd,
+      |        sum(n::HUGEINT * n)::HUGEINT AS n2 FROM c GROUP BY source)
+      |SELECT source, nt AS n_grams, nd AS n_distinct,
+      |  ((nt::HUGEINT * nt) // n2)::BIGINT AS eff_types,
+      |  ((1000000::HUGEINT * n2) // (nt::HUGEINT * nt))::BIGINT AS conc_ppm
+      |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy($"source", $"gram")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum($"n").as("nt"), count(lit(1)).as("nd"),
+        sum(($"n".cast("decimal(19,0)") * $"n".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("n2"))
+      .select($"source", $"nt".as("n_grams"), $"nd".as("n_distinct"),
+        expr("cast((cast(nt as decimal(38,0)) * cast(nt as decimal(38,0)))" +
+          " div n2 as bigint)").as("eff_types"),
+        expr("cast((cast(1000000 as decimal(38,0)) * n2) div" +
+          " (cast(nt as decimal(38,0)) * cast(nt as decimal(38,0)))" +
+          " as bigint)").as("conc_ppm"))
+      .orderBy($"source")
+  }
+
   /** Corpus n-gram diversity census — distinct-trigram fraction per
     * source, the standard self-repetition / template-content signal
     * (the corpus-level face of `doc_repetition_stats`: a source whose
@@ -2688,7 +2790,260 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al., "CCNet: Extracting
+    * high-quality monolingual datasets from web crawl data", LREC'20):
+    * per language, split the corpus into head / middle / tail terciles
+    * by LM perplexity — the quality stratification that downstream
+    * mixture builders sample from (head-heavy for quality, tail kept
+    * for diversity). The LM is [[docLmScore]]'s self-trained unigram
+    * with the same exactness discipline (nano-quantized log-probs,
+    * order-free BIGINT doc sums, `ln` of exact-integer ratios).
+    *
+    * The tercile cutpoints come from a fixed-width HISTOGRAM (milli-nat
+    * bins of avg NLL), not a corpus-wide sort — CCNet's own approach,
+    * and the only shape that survives 100 TB: the histogram is
+    * (langs × ~few-thousand bins) small, its per-lang cumulative
+    * window is metadata-scale, and the cutpoints broadcast back so
+    * bucket assignment is scan-local. A per-lang `ntile` over raw
+    * docs would sort each language's entire corpus on one task chain.
+    * Cutpoint rule is integral (3·cum ≥ k·n on BIGINT counts), so
+    * bucket membership is bit-stable across engines. */
+  val qualityPplBuckets: CatalogEntry = CatalogEntry(
+    "quality_ppl_buckets",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |vocab AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+      |tot AS (SELECT sum(n)::BIGINT AS t FROM vocab),
+      |lp AS (SELECT token,
+      |         round(ln(n::DOUBLE / t::DOUBLE) * 1e9, 0)::BIGINT AS lp_q
+      |       FROM vocab, tot),
+      |scored AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    round(-(sum(lp_q)::DOUBLE / 1e9) / count(*), 6) AS avg_nll
+      |  FROM (SELECT tok.doc_id, lp.lp_q FROM tok JOIN lp USING (token))
+      |  GROUP BY doc_id),
+      |binned AS (
+      |  SELECT s.doc_id, d.lang, s.n_tokens,
+      |    round(s.avg_nll * 1e3, 0)::BIGINT AS nll_u
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |hist AS (SELECT lang, nll_u, count(*)::BIGINT AS c
+      |         FROM binned GROUP BY lang, nll_u),
+      |cum AS (
+      |  SELECT lang, nll_u, c,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY nll_u
+      |                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cc,
+      |    sum(c) OVER (PARTITION BY lang)::BIGINT AS nl
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT lang,
+      |    min(CASE WHEN cc * 3 >= nl THEN nll_u END)::BIGINT AS cut1,
+      |    min(CASE WHEN cc * 3 >= 2 * nl THEN nll_u END)::BIGINT AS cut2
+      |  FROM cum GROUP BY lang),
+      |bucketed AS (
+      |  SELECT b.lang,
+      |    CASE WHEN b.nll_u <= c.cut1 THEN 'head'
+      |         WHEN b.nll_u <= c.cut2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket,
+      |    b.n_tokens, b.nll_u
+      |  FROM binned b JOIN cuts c USING (lang))
+      |SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+      |  sum(n_tokens)::BIGINT AS total_tokens,
+      |  min(nll_u)::BIGINT AS min_nll_u, max(nll_u)::BIGINT AS max_nll_u
+      |FROM bucketed GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum($"n").as("t"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select($"token",
+        round(log($"n".cast("double") / $"t".cast("double")) * lit(1e9), 0)
+          .cast("long").as("lp_q"))
+    val avgNll =
+      round(-(sum($"lp_q").cast("double") / lit(1e9)) / count(lit(1)), 6)
+    val scored = tok.join(lp, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avgNll.as("avg_nll"))
+    val binned = scored
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        round($"avg_nll" * lit(1e3), 0).cast("long").as("nll_u"))
+    val hist = binned.groupBy($"lang", $"nll_u").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"lang").orderBy($"nll_u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"lang")
+    val cuts = hist
+      .withColumn("cc", sum($"c").over(wCum))
+      .withColumn("nl", sum($"c").over(wAll))
+      .groupBy($"lang")
+      .agg(min(when($"cc" * 3 >= $"nl", $"nll_u")).as("cut1"),
+        min(when($"cc" * 3 >= $"nl" * 2, $"nll_u")).as("cut2"))
+    binned.join(broadcast(cuts), Seq("lang"))
+      .select($"lang",
+        when($"nll_u" <= $"cut1", "head")
+          .when($"nll_u" <= $"cut2", "middle")
+          .otherwise("tail").as("bucket"),
+        $"n_tokens", $"nll_u")
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"),
+        min($"nll_u").as("min_nll_u"), max($"nll_u").as("max_nll_u"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  /** ZIPF-LAW FIT over the token frequency census — the corpus-health
+    * diagnostic (a natural-language corpus fits slope ≈ −1 in
+    * log-rank/log-frequency space; boilerplate flattens the head,
+    * template spam fattens specific ranks). Fit is ordinary least
+    * squares over the TOP-1000 tokens only — the standard truncation,
+    * and the scale decision: the top-k census is `TakeOrdered` (never
+    * a global sort), the 1000-row ranking window and the regression
+    * run on a driver-negligible table while the corpus-sized work is
+    * exactly one vocab census exchange.
+    *
+    * Cross-engine exactness: x = round(ln(rank)·1e9), y =
+    * round(ln(count)·1e9) are BIGINTs (`ln` of exact integers);
+    * Σx, Σy, Σxy, Σx² accumulate in DECIMAL(38,0)/HUGEINT (Σxy tops
+    * 10²³ — int64 dies); slope and intercept are INTEGER divisions of
+    * exact moments arranged positive-over-positive (slope negated
+    * into the numerator) so `div`/`//` truncation semantics agree —
+    * zero float arithmetic touches the output. */
+  val corpusZipfFit: CatalogEntry = CatalogEntry(
+    "corpus_zipf_fit",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |vocab AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+      |top AS (SELECT token, n FROM vocab ORDER BY n DESC, token LIMIT 1000),
+      |ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rk
+      |  FROM top),
+      |pts AS (
+      |  SELECT round(ln(rk::DOUBLE) * 1e9, 0)::BIGINT AS x,
+      |         round(ln(n::DOUBLE) * 1e9, 0)::BIGINT AS y
+      |  FROM ranked),
+      |s AS (SELECT count(*)::HUGEINT AS m, sum(x)::HUGEINT AS sx,
+      |             sum(y)::HUGEINT AS sy,
+      |             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+      |             sum(x::HUGEINT * x)::HUGEINT AS sxx FROM pts)
+      |SELECT m::BIGINT AS n_tokens_fit,
+      |  (-((1000000::HUGEINT * (sx * sy - m * sxy))
+      |     // (m * sxx - sx * sx)))::BIGINT AS slope_ppm,
+      |  (((sy * sxx - sx * sxy) // (m * sxx - sx * sx)) // 1000)::BIGINT
+      |    AS intercept_micro
+      |FROM s""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select(explode(TextOps.tokens($"text")).as("token"))
+    val top = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(1000)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
+    val pts = ranked.select(
+      round(log($"rk".cast("double")) * lit(1e9), 0).cast("long").as("x"),
+      round(log($"n".cast("double")) * lit(1e9), 0).cast("long").as("y"))
+    pts.agg(
+      count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum($"x".cast("decimal(38,0)")).as("sx"),
+      sum($"y".cast("decimal(38,0)")).as("sy"),
+      sum(($"x".cast("decimal(19,0)") * $"y".cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("sxy"),
+      sum(($"x".cast("decimal(19,0)") * $"x".cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("sxx"))
+      .select(
+        $"m".cast("long").as("n_tokens_fit"),
+        (-expr("(cast(1000000 as decimal(38,0)) * (sx * sy - m * sxy))" +
+          " div (m * sxx - sx * sx)")).cast("long").as("slope_ppm"),
+        expr("((sy * sxx - sx * sxy) div (m * sxx - sx * sx)) div 1000")
+          .cast("long").as("intercept_micro"))
+  }
+
+  /** HEAPS'-LAW FIT — the companion corpus-health diagnostic to
+    * [[corpusZipfFit]]: vocabulary growth V(N) ≈ k·N^β as the corpus
+    * is consumed in doc-id order (natural text: β ≈ 0.5-0.8; a
+    * template-stamped corpus saturates early and β collapses — the
+    * "new data stopped adding new content" alarm for crawl curation).
+    * Measured over the word 3-GRAM vocabulary (the unigram vocab of
+    * any bounded-topic corpus saturates in pages, proving nothing).
+    *
+    * The growth curve costs ONE corpus pass: V(N) = |{grams with
+    * min(doc_id) < N}|, so the gram census with its min-first-doc IS
+    * the curve — no per-prefix rescan (the naive formulation scans
+    * the corpus once per checkpoint). Checkpoints are the 8 octile
+    * prefixes N_k = n·k div 8 (data-derived, integer-exact); the
+    * conditional census is the vocab table against 8 broadcast rows;
+    * the OLS fit reuses the [[corpusZipfFit]] integer-moment
+    * discipline (DECIMAL(38,0)/HUGEINT moments, positive integer
+    * divisions — zero float in the output). */
+  val corpusHeapsFit: CatalogEntry = CatalogEntry(
+    "corpus_heaps_fit",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |fs AS (SELECT gram, min(doc_id)::BIGINT AS fd FROM g GROUP BY gram),
+      |nd AS (SELECT (max(doc_id) + 1)::BIGINT AS n FROM documents),
+      |cps AS (SELECT ((n * k.gs) // 8)::BIGINT AS cp
+      |        FROM nd, unnest(generate_series(1, 8)) AS k(gs)),
+      |growth AS (
+      |  SELECT cp, count(*) FILTER (WHERE fd < cp)::BIGINT AS v
+      |  FROM fs, cps GROUP BY cp),
+      |pts AS (SELECT round(ln(cp::DOUBLE) * 1e9, 0)::BIGINT AS x,
+      |               round(ln(v::DOUBLE) * 1e9, 0)::BIGINT AS y
+      |        FROM growth WHERE v > 0),
+      |s AS (SELECT count(*)::HUGEINT AS m, sum(x)::HUGEINT AS sx,
+      |             sum(y)::HUGEINT AS sy,
+      |             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+      |             sum(x::HUGEINT * x)::HUGEINT AS sxx FROM pts)
+      |SELECT m::BIGINT AS n_points,
+      |  ((1000000::HUGEINT * (m * sxy - sx * sy))
+      |   // (m * sxx - sx * sx))::BIGINT AS beta_ppm,
+      |  (((sy * sxx - sx * sxy) // (m * sxx - sx * sx)) // 1000)::BIGINT
+      |    AS lnk_micro
+      |FROM s""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val fs = docs.where($"text".isNotNull)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy($"gram").agg(min($"doc_id").as("fd"))
+    val cps = docs.agg((max($"doc_id") + 1).as("n"))
+      .select(explode(sequence(lit(1), lit(8))).as("k"), $"n")
+      .select(expr("(n * k) div 8").cast("long").as("cp"))
+    val pts = fs.crossJoin(broadcast(cps))
+      .groupBy($"cp")
+      .agg(sum(when($"fd" < $"cp", 1L).otherwise(0L)).as("v"))
+      .where($"v" > 0)
+      .select(
+        round(log($"cp".cast("double")) * lit(1e9), 0).cast("long").as("x"),
+        round(log($"v".cast("double")) * lit(1e9), 0).cast("long").as("y"))
+    pts.agg(
+      count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum($"x".cast("decimal(38,0)")).as("sx"),
+      sum($"y".cast("decimal(38,0)")).as("sy"),
+      sum(($"x".cast("decimal(19,0)") * $"y".cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("sxy"),
+      sum(($"x".cast("decimal(19,0)") * $"x".cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("sxx"))
+      .select(
+        $"m".cast("long").as("n_points"),
+        expr("(cast(1000000 as decimal(38,0)) * (m * sxy - sx * sy))" +
+          " div (m * sxx - sx * sx)").cast("long").as("beta_ppm"),
+        expr("((sy * sxx - sx * sxy) div (m * sxx - sx * sx)) div 1000")
+          .cast("long").as("lnk_micro"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
     dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
     tfidfPerDocTopk,
@@ -2705,5 +3060,5 @@ object TextQueries {
     dedupSetsimJoin, dedupGraphTriangles, dedupClusterCanonical,
     corpusKlDrift, corpusNgramDiversity, dedupContainment,
     dedupIncrementalRef, vocabBpeApply, docLmBigramScore,
-    dedupRateBySource)
+    dedupRateBySource, vocabFertilityByLang, corpusSimpsonDiversity)
 }

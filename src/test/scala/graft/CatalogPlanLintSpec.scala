@@ -50,6 +50,10 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "embed_pca_power_iter",  // corpus x broadcast 1-row direction/norm
     "embed_abtt_residual",   // corpus x broadcast 1-row direction
     "sample_dsir_weights",   // vocab x broadcast 1-row totals scalar
+    "sample_ipf_raking",     // cells x broadcast 1-row mass/target scalars
+    "quality_ppl_buckets",   // broadcast 1-row corpus token total
+    "corpus_heaps_fit",      // gram vocab x broadcast 8 checkpoint rows
+    "sim_ndcg_eval",         // composes sim_cosine_topk + IVF 1-query cross
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
