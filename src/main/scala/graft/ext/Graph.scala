@@ -386,4 +386,63 @@ object Graph {
       .select(col("src").as("id"), col("deg"))
       .crossJoin(broadcast(converged))
   }
+
+  /** Synchronous LABEL PROPAGATION (Raghavan, Albert & Kumara 2007) —
+    * community detection, the fourth member of the graph family
+    * (components find CONNECTIVITY, k-core finds DENSITY, PageRank
+    * finds CENTRALITY; LPA finds the mesoscale grouping mixture
+    * curation wants when one crawl domain is several communities).
+    * Every node starts in its own community; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties to the
+    * smallest label — the frequency argmax is what separates this
+    * from [[connectedComponents]]' min-propagation (min-label floods
+    * a whole component; the argmax stops at community boundaries
+    * where internal edges outnumber bridges).
+    *
+    * Determinism: synchronous updates with a fixed round budget and
+    * an integer (count DESC, label ASC) argmax — classic LPA's random
+    * tie-breaks and vertex orderings are exactly what a reproducible
+    * pipeline cannot have, and a bounded synchronous sweep is the
+    * standard batch compromise (oscillation on bipartite structures
+    * is bounded by the budget and replayed identically by the
+    * oracle).
+    *
+    * Scale shape: per round ONE join of the checkpointed symmetric
+    * edge list against the label table and a two-level aggregate —
+    * (dst, lbl) counts then per-dst argmax, both riding ONE explicit
+    * dst exchange (the second groupBy reuses the first's
+    * partitioning); every exchange pinned to an explicit partition
+    * count (the kilobyte-table AQE-coalescing pathology of the CC
+    * rounds); lineage truncated per round. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .repartition(shufN, col("src"))
+      .localCheckpoint() // consumed every round
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .repartition(shufN, col("id"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels, col("src") === col("id"))
+        .repartition(shufN, col("dst"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+        .select(col("dst").as("id"), col("b.lbl").as("lbl"))
+        .repartition(shufN, col("id"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

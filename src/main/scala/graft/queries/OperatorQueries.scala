@@ -582,9 +582,62 @@ object OperatorQueries {
     }
   }
 
+  /** Label-propagation communities over the sparsified co-purchase
+    * graph ([[graft.ext.Graph.labelPropagate]]) — the fourth graph
+    * operator beside components / k-core / PageRank: 4 synchronous
+    * rounds of most-frequent-neighbor-label with (count DESC, label)
+    * integer tie-break on the same ≥2-shared-orders edge set as
+    * `graph_kcore_copurchase`. Top-20 communities under a total
+    * order; the oracle replays the IDENTICAL unrolled rounds as
+    * chained MATERIALIZED CTEs. */
+  val lpaCoPurchase: CatalogEntry = {
+    val roundCtes = (1 to 4).map { r =>
+      s"""c$r AS (SELECT e.dst AS id, p.lbl, count(*)::BIGINT AS cnt
+         |  FROM eu e JOIN lab${r - 1} p ON p.id = e.src
+         |  GROUP BY e.dst, p.lbl),
+         |lab$r AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      row_number() OVER (PARTITION BY id
+         |                         ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    CatalogEntry(
+      "graph_lpa_communities",
+      s"""WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS pk FROM lineitem),
+        |eu AS MATERIALIZED (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM baskets a JOIN baskets b ON a.ord = b.ord AND a.pk <> b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |lab0 AS (SELECT DISTINCT src AS id, src AS lbl FROM eu),
+        |$roundCtes
+        |SELECT lbl AS community, count(*)::BIGINT AS n_members,
+        |  min(id)::BIGINT AS min_member, max(id)::BIGINT AS max_member
+        |FROM lab4 GROUP BY lbl
+        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val baskets = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
+      val edges = baskets.as("a")
+        .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
+        .groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where($"n_ab" >= 2)
+        .select($"src", $"dst")
+      graft.ext.Graph.labelPropagate(edges, "src", "dst", rounds = 4)
+        .groupBy($"lbl".as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"id").as("min_member"), max($"id").as("max_member"))
+        .orderBy($"n_members".desc, $"community")
+        .limit(20)
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     asofJoin, aggSaltedSkew, rangeJoinWindowAgg, resampleFfill,
     zorderKeyCluster, joinSaltedSkew, asofJoinTolerance, asofJoinForward,
     asofJoinNearest,
-    summaryRewriteAgg, basketLift, pagerankCoPurchase, kcoreCoPurchase)
+    summaryRewriteAgg, basketLift, pagerankCoPurchase, kcoreCoPurchase,
+    lpaCoPurchase)
 }

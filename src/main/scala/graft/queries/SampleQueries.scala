@@ -613,9 +613,101 @@ object SampleQueries {
       .orderBy($"source", $"lang")
   }
 
+  /** GREEDY K-CENTER CORESET (farthest-first traversal, Gonzalez '85;
+    * the k-Center-Greedy of Sener & Savarese ICLR'18 active-learning
+    * coresets): select 5 embedding-space centers where each pick is
+    * the vector FARTHEST from everything already selected — the
+    * maximally-diverse subset selection that anchors data-pruning and
+    * annotation-budget pipelines (the opposite pole from
+    * `embed_outlier_centroid`'s prune-the-edge rule: here the edge is
+    * exactly what gets KEPT). The greedy gives the classic 2-approx
+    * of the optimal k-center cover, and the selection trace emits
+    * each pick's distance-to-cover — the coverage-radius curve that
+    * says when more centers stop paying.
+    *
+    * Exactness: distances are the kmeans-assign lattice (per-dim
+    * squared diffs nano-quantized before the order-free BIGINT sum);
+    * every argmax is (d² DESC, vec_id) over integers — no IEEE
+    * boundary picks a different center. Oracle replays the identical
+    * unrolled rounds as chained CTEs.
+    *
+    * Scale shape: each round is ONE corpus pass against the ≤5-row
+    * broadcast selected set (row-local codegen'd distance, min over
+    * ≤5 values per row) + a TakeOrdered(1) argmax — no shuffle
+    * beyond the 1-row reduction; per-round lineage truncated. At
+    * 100 TB the k·n work is the known cost of k-center greedy — for
+    * large k the standard move is the same pass over an
+    * `embedding_centroids` summary instead of raw vectors. */
+  val sampleKcenterCoreset: CatalogEntry = {
+    val d2Sql = (a: String, b: String) =>
+      s"""list_sum([round((($a[i]::DOUBLE) - ($b[i]::DOUBLE))
+         |                * (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * 1e9,
+         |                0)::BIGINT
+         |          for i in range(1, len($a) + 1)])::BIGINT""".stripMargin
+    val rounds = (1 to 4).map { r =>
+      s""",
+         |d$r AS (
+         |  SELECT e.vec_id, min(${d2Sql("e.embedding", "s.v")}) AS dmin
+         |  FROM embeddings e, sel${r - 1} s
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY e.vec_id),
+         |m$r AS (SELECT vec_id, dmin FROM d$r
+         |        ORDER BY dmin DESC, vec_id LIMIT 1),
+         |sel$r AS (
+         |  SELECT rnk, vec_id, v FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT $r::INT AS rnk, m.vec_id, e.embedding AS v
+         |  FROM m$r m JOIN embeddings e USING (vec_id))""".stripMargin
+    }.mkString
+    val sql =
+      s"""WITH sel0 AS (
+         |  SELECT 0::INT AS rnk, vec_id, embedding AS v
+         |  FROM embeddings WHERE vec_id = 0)$rounds
+         |SELECT rnk, vec_id, d2q_sel FROM (
+         |  SELECT 0::INT AS rnk, (SELECT vec_id FROM sel0) AS vec_id,
+         |    0::BIGINT AS d2q_sel
+         |  UNION ALL SELECT 1, vec_id, dmin FROM m1
+         |  UNION ALL SELECT 2, vec_id, dmin FROM m2
+         |  UNION ALL SELECT 3, vec_id, dmin FROM m3
+         |  UNION ALL SELECT 4, vec_id, dmin FROM m4)
+         |ORDER BY rnk""".stripMargin
+    CatalogEntry("sample_kcenter_coreset", sql) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      val embT = graft.Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding")
+      val d2q = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          round(diff * diff * lit(1e9), 0).cast("long")
+        }),
+        lit(0L), (acc, t) => acc + t)
+      var sel = embT.where($"vec_id" === 0)
+        .select(lit(0).as("rnk"), $"vec_id", $"embedding".as("v"),
+          lit(0L).as("d2q_sel"))
+        .localCheckpoint()
+      for (r <- 1 to 4) {
+        val next = embT
+          .join(sel.select($"vec_id".as("sid")), $"vec_id" === $"sid",
+            "left_anti")
+          .crossJoin(broadcast(sel.select($"v".as("sv"))))
+          .select($"vec_id", $"embedding", d2q($"embedding", $"sv").as("d2"))
+          .groupBy($"vec_id").agg(min($"d2").as("dmin"))
+          .orderBy($"dmin".desc, $"vec_id").limit(1)
+          .join(embT, "vec_id")
+          .select(lit(r).as("rnk"), $"vec_id", $"embedding".as("v"),
+            $"dmin".as("d2q_sel"))
+        sel = sel.unionByName(next).localCheckpoint()
+      }
+      sel.select($"rnk".cast("int").as("rnk"), $"vec_id", $"d2q_sel")
+        .orderBy($"rnk")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     sampleHashDeterministic, sampleStratifiedHash, sampleCapPerSource,
     sampleTemperatureMix, sampleRepeatEpochs, paretoFrontierSelect,
     splitTrainValTest, sampleWeightedEs, curriculumInterleave,
-    splitLeakageSafe, sampleDsirWeights, sampleIpfRaking)
+    splitLeakageSafe, sampleDsirWeights, sampleIpfRaking,
+    sampleKcenterCoreset)
 }

@@ -1435,9 +1435,80 @@ object SimilarityQueries {
     }
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space arm of the
+    * decontam family (`decontam_ngram_overlap` / `_bloom_prefilter` /
+    * `_substring_exact` catch verbatim leakage; a PARAPHRASED eval
+    * item shares no 13-gram and sails through all three): flag every
+    * training vector whose cosine to ANY held-out eval vector exceeds
+    * 0.4 — the eval-vs-train twin of [[dedupSemanticEmbed]]'s
+    * in-corpus prune, and the check modern model cards report
+    * alongside n-gram decontamination. Eval membership is a
+    * deterministic ~1% id-hash slice (`vec_id % 97 = 3`), so the
+    * split is reproducible and engine-independent.
+    *
+    * Exactness: the [[dedupSemanticEmbed]] float-free threshold —
+    * nano-quantized dot/norm sums from the codegen'd
+    * [[graft.functions.VecDotQ9]] kernel, `cos > 0.4` squared to
+    * `dotq > 0 AND 100·dotq² > 16·naq·nbq` in DECIMAL(38,0)/HUGEINT
+    * (the in-corpus prune's identical threshold algebra); no
+    * IEEE boundary can flip a contamination verdict.
+    *
+    * Scale shape: the eval suite is SMALL by nature (thousands of
+    * rows) — broadcast it, one row-local codegen pass over the
+    * training corpus, per-vector aggregate of hits only. At 100 TB
+    * with a big eval battery the same pairing LSH-buckets first
+    * (`sim_bucketed_pairs`), threshold algebra unchanged. */
+  val decontamSemanticEmbed: CatalogEntry = CatalogEntry(
+    "decontam_semantic_embed",
+    """WITH ev AS (
+      |  SELECT vec_id AS eid, embedding AS evec,
+      |    list_sum([roundbankers((embedding[i]::DOUBLE) *
+      |                (embedding[i]::DOUBLE) * 1e9, 0)::BIGINT
+      |              for i in range(1, len(embedding) + 1)])::BIGINT AS nbq
+      |  FROM embeddings WHERE vec_id % 97 = 3),
+      |tr AS (
+      |  SELECT vec_id, embedding AS v,
+      |    list_sum([roundbankers((embedding[i]::DOUBLE) *
+      |                (embedding[i]::DOUBLE) * 1e9, 0)::BIGINT
+      |              for i in range(1, len(embedding) + 1)])::BIGINT AS naq
+      |  FROM embeddings WHERE vec_id % 97 <> 3),
+      |p AS (
+      |  SELECT t.vec_id, e.eid,
+      |    list_sum([roundbankers((t.v[i]::DOUBLE) * (e.evec[i]::DOUBLE)
+      |                * 1e9, 0)::BIGINT
+      |              for i in range(1, len(t.v) + 1)])::BIGINT AS dotq,
+      |    t.naq, e.nbq
+      |  FROM tr t, ev e)
+      |SELECT vec_id, count(*)::BIGINT AS n_eval_hits,
+      |  min(eid)::BIGINT AS closest_eval
+      |FROM p
+      |WHERE dotq > 0 AND
+      |  100::HUGEINT * dotq::HUGEINT * dotq::HUGEINT >
+      |  16::HUGEINT * naq::HUGEINT * nbq::HUGEINT
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val ev = emb.where($"vec_id" % 97 === 3)
+      .select($"vec_id".as("eid"), $"embedding".as("evec"),
+        expr("vec_dot_q9(embedding, embedding)").as("nbq"))
+    val tr = emb.where($"vec_id" % 97 =!= 3)
+      .select($"vec_id", $"embedding".as("v"),
+        expr("vec_dot_q9(embedding, embedding)").as("naq"))
+    tr.crossJoin(broadcast(ev))
+      .select($"vec_id", $"eid", $"naq", $"nbq",
+        expr("vec_dot_q9(v, evec)").as("dotq"))
+      .where($"dotq" > 0 &&
+        lit(100).cast("decimal(38,0)") * $"dotq" * $"dotq" >
+          lit(16).cast("decimal(38,0)") * $"naq" * $"nbq")
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), min($"eid").as("closest_eval"))
+      .orderBy($"vec_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
-    simIvfRecallCurve, simNdcgEval,
+    simIvfRecallCurve, simNdcgEval, decontamSemanticEmbed,
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,

@@ -54,6 +54,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "quality_ppl_buckets",   // broadcast 1-row corpus token total
     "corpus_heaps_fit",      // gram vocab x broadcast 8 checkpoint rows
     "sim_ndcg_eval",         // composes sim_cosine_topk + IVF 1-query cross
+    "decontam_semantic_embed", // corpus x broadcast eval-suite rows
+    "sample_kcenter_coreset", // corpus x broadcast <=5 selected centers
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag

@@ -180,4 +180,25 @@ class GraphSpec extends SparkTestBase {
       })
     assert(res.passed, s"triangle law: ${res.status}")
   }
+
+  test("label propagation separates bridged triangles that connected " +
+      "components cannot") {
+    import spark.implicits._
+    // two triangles joined by ONE bridge edge: a single component (CC
+    // labels everything 1), but two communities — each node has 2
+    // in-triangle neighbors vs at most 1 across the bridge, so the
+    // frequency argmax keeps the triangles apart
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (7L, 8L), (8L, 9L), (7L, 9L), // triangle B
+      (3L, 7L))                     // bridge
+    assert(cc(edges).values.toSet == Set(1L))
+    val lpa = Graph.labelPropagate(
+        edges.toDF("src", "dst"), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comA = Set(1L, 2L, 3L).map(lpa)
+    val comB = Set(7L, 8L, 9L).map(lpa)
+    assert(comA.size == 1 && comB.size == 1 && comA != comB,
+      s"expected two communities, got $lpa")
+  }
 }
