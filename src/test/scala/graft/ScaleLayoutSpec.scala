@@ -125,6 +125,78 @@ class ScaleLayoutSpec extends SparkTestBase {
     assert(beforeO > 10, "fixture sanity: the replacement actually shrank O")
   }
 
+  test("join-driven dynamic partition pruning: a selective dim filter " +
+      "prunes the partitioned fact scan at RUNTIME") {
+    // static pruning (test 1) needs the literal on the partition
+    // column; at 100 TB the selective predicate usually sits on a DIM
+    // joined to the fact's partition key — DPP pushes the dim's
+    // qualifying keys into the fact scan as a runtime subquery filter,
+    // reading only the matching partitions
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Layout.writePartitioned(
+      Tables.orders(spark, "/root/testdata/sf0.001"), dir, Seq("o_orderstatus"))
+    // DPP fires only when the dim side carries a SELECTIVE predicate —
+    // and the dim must be a real datasource: a literal in-memory
+    // relation gets its filter constant-folded away
+    // (ConvertToLocalRelation), leaving no Filter node to derive the
+    // pruning subquery from
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("O", "open"), ("F", "closed"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"label" === "open")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast join is DPP's cheap path (reuses the dim broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val q = spark.read.parquet(dir)
+        .join(dim, $"o_orderstatus" === $"status")
+        .groupBy($"label").agg(count(lit(1)).as("n"))
+      val got = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"fact scan must carry a runtime partition filter:\n$plan")
+      assert(got.length == 1 && got.head.getString(0) == "open")
+      ()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("runtime bloom-filter join pruning: a selective non-partition dim " +
+      "filter injects a bloom probe into the fact scan side") {
+    // the unpartitioned sibling of DPP: when the join key is NOT the
+    // layout key, Spark can still build a bloom filter from the
+    // selective build side and probe it on the fact side before the
+    // shuffle — at 100 TB this is row-level pruning ahead of the
+    // exchange. Thresholds lowered so the tiny fixture qualifies.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select($"l_orderkey", $"l_quantity")
+      val dim = Tables.orders(spark, "/root/testdata/sf0.001")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val q = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
+      val n = q.collect().head.getLong(0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"fact side must probe a runtime bloom filter:\n$plan")
+      assert(n > 0)
+      ()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("cached plans serve repeated queries from memory, not the scan") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .groupBy($"l_returnflag").agg(sum($"l_quantity").as("q"))
