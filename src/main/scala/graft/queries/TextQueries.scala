@@ -3042,8 +3042,79 @@ object TextQueries {
           .cast("long").as("lnk_micro"))
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the classifier-quality census over
+    * [[langIdHeuristic]]'s per-doc predictions (same plan, same oracle
+    * nested verbatim, so the measurement can never drift from the
+    * classifier it measures): per (true lang, predicted lang) cell
+    * count plus the row share in exact ppm — the per-language recall
+    * diagonal and, off it, WHICH languages leak into which (the es/fr
+    * stopword collisions a scalar accuracy hides). The number that
+    * decides whether the cheap heuristic suffices per language or a
+    * real model is needed before mixture weighting trusts `lang`.
+    *
+    * Scale shape: prediction is scan-local ([[langIdHeuristic]]); the
+    * confusion census is one (lang, predicted) partial agg — ≤|langs|²
+    * cells; the row-share window runs on those cells. */
+  val langConfusionMatrix: CatalogEntry = CatalogEntry(
+    "lang_confusion_matrix",
+    s"""WITH pred AS (${langIdHeuristic.oracle.get.replace("\n", "\n      ")}),
+      |cm AS (SELECT lang, predicted_lang, count(*)::BIGINT AS n
+      |       FROM pred GROUP BY lang, predicted_lang),
+      |tot AS (SELECT lang, sum(n)::BIGINT AS nl FROM cm GROUP BY lang)
+      |SELECT cm.lang, cm.predicted_lang, cm.n,
+      |  ((1000000 * cm.n) // t.nl)::BIGINT AS row_share_ppm
+      |FROM cm JOIN tot t ON cm.lang = t.lang
+      |ORDER BY cm.lang, predicted_lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cm = langIdHeuristic.query(s, d)
+      .groupBy($"lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    cm.withColumn("nl", sum($"n").over(Window.partitionBy($"lang")))
+      .select($"lang", $"predicted_lang", $"n",
+        expr("(1000000L * n) div nl").as("row_share_ppm"))
+      .orderBy($"lang", $"predicted_lang")
+  }
+
+  /** PACKING-EFFICIENCY CENSUS over [[packSequencesGreedy]]'s bin
+    * assignment (oracle nests the packing chain verbatim — measurement
+    * and operator cannot drift): per source, bins used vs the
+    * ceil(Σtokens/budget) lower bound and the fill fraction in exact
+    * ppm — the waste number that says whether doc-order greedy
+    * packing suffices or a length-sorted (FFD) pass is worth its
+    * extra shuffle before committing context-window budget at scale.
+    * `extra_bins` > 0 is exactly the fragmentation a smarter packer
+    * could reclaim (sources whose docs overflow the 60-token budget
+    * can exceed 10⁶ fill by owning overflowed bins — visible, not
+    * hidden). */
+  val packEfficiencyCensus: CatalogEntry = CatalogEntry(
+    "pack_efficiency_census",
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+      |  (max(bin) + 1)::BIGINT AS n_bins,
+      |  sum(n_tokens)::BIGINT AS total_tokens,
+      |  ((max(bin) + 1) * 60)::BIGINT AS cap_tokens,
+      |  ((1000000 * sum(n_tokens)) // ((max(bin) + 1) * 60))::BIGINT
+      |    AS fill_ppm,
+      |  ((sum(n_tokens) + 59) // 60)::BIGINT AS lb_bins,
+      |  ((max(bin) + 1) - (sum(n_tokens) + 59) // 60)::BIGINT AS extra_bins
+      |FROM (${packSequencesGreedy.oracle.get.replace("\n", "\n      ")})
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    packSequencesGreedy.query(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        (max($"bin") + 1).as("n_bins"),
+        sum($"n_tokens").as("total_tokens"))
+      .select($"source", $"n_docs", $"n_bins", $"total_tokens",
+        ($"n_bins" * 60).as("cap_tokens"),
+        expr("(1000000L * total_tokens) div (n_bins * 60)").as("fill_ppm"),
+        expr("(total_tokens + 59) div 60").as("lb_bins"),
+        expr("n_bins - (total_tokens + 59) div 60").as("extra_bins"))
+      .orderBy($"source")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
+    langConfusionMatrix, packEfficiencyCensus,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
     dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
     tfidfPerDocTopk,
