@@ -758,6 +758,32 @@ object SimilarityQueries {
         .limit(10)
   }
 
+  /** PQ recall@10 — the third leg of the ANN measurement family
+    * ([[simRecallAtK]] gates LSH, [[simIvfRecallCurve]] curves the
+    * probe budget; this gates the product quantizer): the
+    * [[simPqAdc]] asymmetric-distance top-10 joined against the
+    * exact top-10, one (n_hit, recall_pct) row. Composed from the two
+    * existing entries verbatim (same plans, same oracles nested), so
+    * the measurement can never drift from the index it evaluates —
+    * an M/K/codebook regression moves this number and fails the hash
+    * gate. Scale shape: both arms are the existing scale-safe plans
+    * cut to 10 rows; at 100 TB the composition runs over a query
+    * SAMPLE like the other recall entries. */
+  val simPqRecall: CatalogEntry = CatalogEntry(
+    "sim_pq_recall",
+    s"""SELECT count(*)::BIGINT AS n_hit,
+       |  (count(*) * 10)::BIGINT AS recall_pct
+       |FROM (${simPqAdc.oracle.get.replace("\n", "\n      ")}) a
+       |JOIN (${simCosineTopk.oracle.get.replace("\n", "\n      ")}) e
+       |  ON a.vec_id = e.vec_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pq = simPqAdc.query(s, d).select($"vec_id")
+    val exact = simCosineTopk.query(s, d).select($"vec_id".as("evid"))
+    pq.join(exact, $"vec_id" === $"evid")
+      .agg(count(lit(1)).as("n_hit"),
+        (count(lit(1)) * 10).as("recall_pct"))
+  }
+
   /** Per-label centroid components — the k-means/IVF "train the coarse
     * quantizer" step as one distributed pass: posexplode the vector,
     * partial-agg (label, position) means map-side, shuffle only
@@ -1508,7 +1534,7 @@ object SimilarityQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
-    simIvfRecallCurve, simNdcgEval, decontamSemanticEmbed,
+    simIvfRecallCurve, simNdcgEval, decontamSemanticEmbed, simPqRecall,
     arrayStats, embeddingCentroids, arrayManipulation,
     dedupSemanticEmbed,
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,

