@@ -43,10 +43,23 @@ import org.apache.spark.sql.SparkSession
   *     sweep stays ~135 entries ≈ 70 s warm. Correctness is NOT
   *     sharded — Verify still gates all entries every round. The
   *     round index comes from the committed BENCH_r{N}.json files
-  *     (max N + 1): deterministic, no wall clock. New entries absent
+  *     (max N + 1): deterministic, no wall clock. The rotation GROUP
+  *     advances +1 from the newest artifact's recorded rotation_group
+  *     (round-13 verdict item 6: a round with no artifact must not
+  *     make the group index skip — sequential coverage per artifact,
+  *     not per round number). New entries absent
   *     from the baseline are always timed (fresh code gets a number
   *     the round it lands). SPARK_GRAFT_BENCH_ALL=1 times everything
   *     (used to re-record the baseline);
+  *   - DEGRADED-SWEEP self-exclusion (round-13 verdict item 2): each
+  *     sweep's calibration is checked against the baseline calibn_sec
+  *     both before AND after the sweep (the r13 run degraded mid-run:
+  *     sweep 2 calibrated 13x baseline, silently turning min-of-2
+  *     into min-of-1). A sweep reading >1.5x on either probe has its
+  *     samples flagged and listed under "degraded_sweeps"; a
+  *     replacement sweep runs if the feasibility arithmetic fits (at
+  *     most one). Published per-entry numbers prefer healthy samples,
+  *     falling back to flagged ones only when no sweep was healthy;
   *   - budget arithmetic, closed by construction (round-12): with the
   *     470 s default budget, worst-case healthy-session spend is
   *     warm-up (hard cap 100) + restart/settle/quiesce (≤ 75) +
@@ -271,7 +284,33 @@ object Bench {
           s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
         .maxOption.getOrElse(0) + 1)
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
-    val rotationG = math.floorMod(roundIdx, rotationK)
+    // Rotation group advances +1 per committed ARTIFACT, not by round
+    // number (round-13 verdict item 6): a round that produces no
+    // artifact (r12) would otherwise make floorMod(roundIdx, k) SKIP a
+    // group — r13's artifact timed group 0 at roundIdx 12; the next
+    // run's roundIdx is 14, and floorMod would jump to group 2 leaving
+    // group 1's entries >3 rounds stale. Reading the newest committed
+    // artifact's own rotation_group guarantees sequential coverage
+    // regardless of missing rounds. SPARK_GRAFT_ROUND keeps its
+    // override meaning (exercise a specific group ahead of its round);
+    // the round-index derivation remains the fallback when no artifact
+    // records a group.
+    val rotationG: Int = {
+      val fromArtifact =
+        if (sys.env.contains("SPARK_GRAFT_ROUND")) None
+        else Files.list(Paths.get(".")).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+            (s.stripPrefix("BENCH_r").stripSuffix(".json").toInt, s) }
+          .toSeq.sortBy(-_._1).headOption
+          .flatMap { case (_, f) =>
+            val text = scala.util.Try(
+              Files.readString(Paths.get(f))).getOrElse("")
+            """"rotation_group":\s*([0-9]+)""".r.findFirstMatchIn(text)
+              .map(m => math.floorMod(m.group(1).toInt + 1, rotationK))
+          }
+      fromArtifact.getOrElse(math.floorMod(roundIdx, rotationK))
+    }
     // Startup degradation probe (round-12): the r11 session ran BOTH
     // LCG probes at ~1.8x baseline before any repo code executed — on
     // such a host two full sweeps of the sharded catalog cannot fit
@@ -600,15 +639,48 @@ object Bench {
       }
     }
 
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Degraded-sweep self-exclusion (round-13 verdict item 2): the r13
+    // artifact's sweep 2 calibrated at 13x baseline (co-located load
+    // began mid-run), silently turning min-of-2 into min-of-1 — the
+    // harness detected degradation at STARTUP (calib0) but not
+    // mid-run. Now every sweep is health-checked against the baseline
+    // calibn_sec both BEFORE and AFTER it runs (degradation can begin
+    // mid-sweep); a sweep reading >1.5x on either probe has its
+    // samples FLAGGED, is listed under "degraded_sweeps", and a
+    // replacement sweep runs if the feasibility arithmetic says it
+    // fits (at most one — the budget bounds retries). Published
+    // numbers prefer healthy samples; if NO sweep is healthy the
+    // flagged samples are still published (marked) rather than
+    // publishing nothing.
+    val samples =
+      scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
     val sweepCals =
       scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    val sweepCalsPost =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    val sweepHealthy = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val degradedSweeps = scala.collection.mutable.ArrayBuffer.empty[Int]
     var sweepsCompleted = 0
+    var healthySweeps = 0
     var partial = false
     var lastSweepSec = 0.0
+    val baseCalN: Option[Double] =
+      if (baselineConfigMatches) baseKv.get("calibn_sec").filter(_ > 0)
+      else None
+    // ratio vs the baseline's probe; 1.0 (always healthy) when no
+    // config-matched baseline exists to compare against
+    def calNRatio(c: Double): Double = baseCalN.map(c / _).getOrElse(1.0)
+    def probeCal(): (Double, Double, Double) = {
+      val a = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
+      Thread.sleep(2000)
+      val b = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
+      (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3))
+    }
+    val maxAttempts = nSweeps + 1 // at most ONE replacement sweep
     val sweepLoop = new scala.util.control.Breaks
     sweepLoop.breakable {
-      for (s <- 1 to nSweeps) {
+      for (s <- 1 to maxAttempts) {
+        if (healthySweeps >= nSweeps) sweepLoop.break()
         // Pre-sweep feasibility FIRST (round-12 review fix): the
         // inter-sweep unpersist + gc + quiesce costs ~20-35 s — paying
         // it for a sweep the check then cancels wastes exactly the
@@ -640,18 +712,24 @@ object Bench {
           val baseSum = timedNames.flatMap(baseKv.get).sum
           val covered = baselineConfigMatches &&
             timedNames.count(baseKv.contains) >= timedNames.size * 0.9
+          // session factor from the last HEALTHY pre-sweep probe when
+          // one exists: a mid-sweep degradation window (post-probe
+          // flagged) must not veto the replacement sweep that exists
+          // to redo its samples
+          val lastGoodCal = sweepCals.zip(sweepHealthy)
+            .collect { case (c, true) => c._2 }.lastOption
+            .orElse(sweepCals.lastOption.map(_._2))
           val sessionFactor =
-            baseKv.get("calibn_sec").filter(_ > 0)
-              .filter(_ => sweepCals.nonEmpty)
-              .map(b => math.max(0.8, sweepCals.last._2 / b))
-              .getOrElse(1.0)
+            baseCalN.flatMap(b => lastGoodCal
+              .map(c => math.max(0.8, c / b))).getOrElse(1.0)
           val estNext =
             if (covered && baseSum > 0) 1.3 * sessionFactor * baseSum
             else lastSweepSec * 1.2
           if (elapsedSec + 15.0 + estNext > budgetSec) {
             System.err.println(f"[bench] remaining budget " +
               f"${budgetSec - elapsedSec}%.0f s < overhead + predicted " +
-              f"sweep ($estNext%.0f s): stopping after ${s - 1} sweeps")
+              f"sweep ($estNext%.0f s): stopping after " +
+              f"$sweepsCompleted sweeps")
             sweepLoop.break()
           }
         }
@@ -673,15 +751,28 @@ object Bench {
         // [0.285, 0.32, 0.033] on a healthy session whose sweep then
         // ran FASTER than sweep 1). A one-off tail passes; sustained
         // session degradation inflates both readings and is still
-        // detected. This matters beyond reporting: the pre-sweep
-        // feasibility predictor scales its estimate by
-        // sweepCals.last — an inflated sweep-1 reading would cancel
-        // sweep 2 on a healthy session.
-        val calA = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
-        Thread.sleep(2000)
-        val calB = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
-        sweepCals += ((math.min(calA._1, calB._1),
-          math.min(calA._2, calB._2), math.min(calA._3, calB._3)))
+        // detected.
+        var preCal = probeCal()
+        if (calNRatio(preCal._2) > 1.5) {
+          // degraded RIGHT NOW: co-located-load windows last minutes —
+          // wait one out once instead of spending ~90 s measuring
+          // samples that would only be flagged
+          System.err.println(f"[bench] pre-sweep calibration " +
+            f"${calNRatio(preCal._2)}%.2fx baseline: waiting 30 s " +
+            "for the window to pass")
+          Thread.sleep(30000)
+          preCal = probeCal()
+        }
+        if (calNRatio(preCal._2) > 1.5 && healthySweeps > 0) {
+          // still degraded with a healthy sweep already in hand: a
+          // flagged sweep's samples would be excluded anyway — stop
+          // instead of burning the budget on them
+          degradedSweeps += s
+          System.err.println(f"[bench] sweep attempt $s skipped: " +
+            f"calibration ${calNRatio(preCal._2)}%.2fx baseline persists")
+          sweepLoop.break()
+        }
+        sweepCals += preCal
         val sw0 = System.nanoTime()
         // Budget shard (round-11): the `*_portable` verification twins
         // exist only to hash-oracle the sketch entries — their md5-as-
@@ -697,24 +788,50 @@ object Bench {
         // heavies still run at the sweep's end, a COMPLETED sweep
         // times the identical set either way, and a partial stays
         // marked partial.
-        val sweepNames =
-          (if (s == 1) timedNames else timedNames.filterNot(verificationOnly))
-            .sortBy(costRank)
-        for (n <- sweepNames) {
-          if (elapsedSec > budgetSec) {
-            partial = true
-            System.err.println(f"[bench] budget $budgetSec%.0f s exceeded " +
-              f"at $elapsedSec%.1f s (sweep $s, query $n): emitting partial result")
-            sweepLoop.break()
+        // verification twins are timed until a HEALTHY sample exists
+        // (on the standard run: once, in sweep 1 — identical to the
+        // old `s == 1` rule; a replacement for a degraded sweep 1
+        // re-times them so their only number isn't a flagged one)
+        val sweepNames = timedNames.filter(n => !verificationOnly(n) ||
+            !samples.getOrElse(n, Nil).exists(_._2))
+          .sortBy(costRank)
+        val sweepSamples =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val inner = new scala.util.control.Breaks
+        inner.breakable {
+          for (n <- sweepNames) {
+            if (elapsedSec > budgetSec) {
+              partial = true
+              System.err.println(f"[bench] budget $budgetSec%.0f s exceeded " +
+                f"at $elapsedSec%.1f s (sweep $s, query $n): emitting partial result")
+              inner.break()
+            }
+            sweepSamples += ((n, runOnce(n, sfDir, attribute = true)))
+            // NO per-query unpersist here: spreading the cleaner's RPCs
+            // through the sweep cost ~100 s/sweep of untimed gaps; the
+            // between-sweep unpersist + gc absorbs the same work where
+            // nothing is being timed.
           }
-          samples(n) = runOnce(n, sfDir, attribute = true) ::
-            samples.getOrElse(n, Nil)
-          // NO per-query unpersist here: spreading the cleaner's RPCs
-          // through the sweep cost ~100 s/sweep of untimed gaps; the
-          // between-sweep unpersist + gc absorbs the same work where
-          // nothing is being timed.
         }
-        sweepsCompleted = s
+        // post-sweep probe: catches degradation that BEGAN mid-sweep
+        // (the r13 failure mode — pre-probe healthy, samples garbage).
+        // A budget-partial sweep skips it (nothing left to protect).
+        val postCal = if (partial) preCal else probeCal()
+        sweepCalsPost += postCal
+        val healthy = math.max(calNRatio(preCal._2),
+          calNRatio(postCal._2)) <= 1.5
+        sweepHealthy += healthy
+        if (!healthy) {
+          degradedSweeps += s
+          System.err.println(f"[bench] sweep $s DEGRADED (cal pre " +
+            f"${calNRatio(preCal._2)}%.2fx / post " +
+            f"${calNRatio(postCal._2)}%.2fx baseline): samples flagged")
+        } else if (!partial) healthySweeps += 1
+        sweepSamples.foreach { case (n, v) =>
+          samples(n) = (v, healthy) :: samples.getOrElse(n, Nil)
+        }
+        if (partial) sweepLoop.break()
+        sweepsCompleted += 1
         lastSweepSec = (System.nanoTime() - sw0) / 1e9
         System.err.println(f"[bench] sweep $s " +
           f"$lastSweepSec%.1f s; elapsed $elapsedSec%.1f s")
@@ -722,15 +839,25 @@ object Bench {
     }
     // Lower-median over however many samples survived the budget (= min
     // for the standard 2-sweep run — the warmed-up reading, biased
-    // against one-off noise).
+    // against one-off noise). HEALTHY samples only when any exist for
+    // the entry; a flagged sweep's samples are the fallback, never the
+    // preference.
     val results = names.flatMap { n =>
-      samples.get(n).map { t =>
+      samples.get(n).map { all =>
+        val good = all.filter(_._2)
+        val t = (if (good.nonEmpty) good else all).map(_._1)
         n -> (if (t.contains(-1.0)) -1.0
               else t.sorted.apply((t.length - 1) / 2))
       }
     }
     def medCal(sel: ((Double, Double, Double)) => Double): Double = {
-      val v = sweepCals.map(sel).sorted
+      // healthy sweeps' probes only when any exist: a flagged sweep's
+      // inflated calibration must not feed vs_baseline_cal
+      val pool =
+        if (sweepHealthy.contains(true))
+          sweepCals.zip(sweepHealthy).collect { case (c, true) => c }.toSeq
+        else sweepCals.toSeq
+      val v = pool.map(sel).sorted
       if (v.isEmpty) -1.0 else v((v.length - 1) / 2)
     }
     val calib1 = medCal(_._1)
@@ -805,11 +932,13 @@ object Bench {
           case (n, a, b) if midMs >= a && midMs <= b => n }
       }.toSet
     }
-    val sweepCalsJson = sweepCals
+    def calsJson(
+        cs: scala.collection.Seq[(Double, Double, Double)]): String = cs
       .map { case (a, b, c) =>
         s"[${math.rint(a * 1000) / 1000},${math.rint(b * 1000) / 1000}," +
           s"${math.rint(c * 1000) / 1000}]" }
       .mkString("[", ",", "]")
+    val sweepCalsJson = calsJson(sweepCals)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""production_sec":$prod,"verification_sec":${total - prod},""" +
@@ -822,6 +951,9 @@ object Bench {
         s"""${math.rint(calib0._3 * 1000) / 1000}],""" +
         s""""degraded_shard":$degraded,""" +
         s""""partial":$partial,"sweeps_completed":$sweepsCompleted,""" +
+        s""""healthy_sweeps":$healthySweeps,""" +
+        s""""degraded_sweeps":${degradedSweeps.sorted.mkString("[", ",", "]")},""" +
+        s""""sweep_cals_post":${calsJson(sweepCalsPost)},""" +
         s""""unwarmed":$unwarmed,""" +
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
         s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +

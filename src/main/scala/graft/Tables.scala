@@ -118,7 +118,17 @@ object Tables {
     }.sum
   }
 
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Events reads get the same [[spreadScan]] guard as [[documents]] /
+    * [[embeddings]]: `events.parquet` is a single file at test SFs, and
+    * several consumers are CPU-dense per row (`get_json_object` /
+    * `from_json` over the props column in `json_props_extract` /
+    * `pivot_map_to_rows`), so the byte-sized scan otherwise runs the
+    * whole parse on ONE task. Filters still push below the repartition;
+    * at warehouse scale (scan splits ≥ shufN) the guard is a no-op. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spreadScan(eventsRaw(spark, sfDir))
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // Runtime-settable (not a static conf); the driver's Verify/Bench
     // sessions don't set it at build time, so set it here idempotently.

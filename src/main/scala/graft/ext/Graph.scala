@@ -355,9 +355,14 @@ object Graph {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
+      // self-loop / null-id filter AFTER the symmetrizing union: on the
+      // forward branch alone, the reversed branch re-adds (a,a) rows
+      // (and null ids — `=!=` is null-rejecting on either side), so a
+      // self-loop would count toward its own node's degree and a k-1
+      // node with a self-loop would survive the peel.
+      .where(col("src") =!= col("dst"))
       .distinct()
       .repartition(shufN, col("src"))
       .localCheckpoint() // consumed every round
@@ -421,9 +426,14 @@ object Graph {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
+      // self-loop / null-id filter AFTER the symmetrizing union (same
+      // rationale as kcorePeel): filtered on the forward branch alone,
+      // the reversed branch re-adds (a,a) rows, and a node would then
+      // vote for its OWN label every round — violating the documented
+      // among-its-NEIGHBORS rule on graphs with self-loops.
+      .where(col("src") =!= col("dst"))
       .distinct()
       .repartition(shufN, col("src"))
       .localCheckpoint() // consumed every round

@@ -633,8 +633,18 @@ object JoinQueries {
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     import s.implicits._
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$app"
-    val (tblO, tblL) = (s"graft_bko_$app", s"graft_bkl_$app")
+    // Dataset-derived token IN the table/path names: keyed on the app
+    // id alone, two invocations in one session against different sf
+    // dirs would share a name and path — the second write would serve
+    // the FIRST caller's still-lazy read. The tables cannot be dropped
+    // here (the returned DataFrame reads them lazily), so per-(app,
+    // dataset) names are the isolation: reruns on the same dataset
+    // overwrite their own table, never another dataset's.
+    val ds = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${app}_$ds"
+    val (tblO, tblL) = (s"graft_bko_${app}_$ds", s"graft_bkl_${app}_$ds")
     Tables.orders(s, d)
       .select($"o_orderkey", $"o_orderpriority")
       .write.mode("overwrite")

@@ -371,10 +371,15 @@ object StreamDedup {
     * computed over the REFERENCE side only (the stream's own gram
     * frequencies are unknowable at arrival time; a ref-hot gram is
     * still capped, which is what bounds the join fanout); (2) a pair
-    * sharing several rare grams is collapsed by
-    * `dropDuplicatesWithinWatermark(doc_id, ref_id)` — watermark-
-    * bounded (doc, ref) id-pair state, the same discipline as
-    * [[contaminatedByNgrams]], so re-arrivals inside the horizon
+    * sharing several rare grams is collapsed BEFORE the Jaccard
+    * confirm by `dropDuplicatesWithinWatermark(doc_id, ref_id, dg)` —
+    * keyed on the content digest too, so a failed confirm pins only
+    * that (pair, text) combination: a re-arrival with CHANGED text
+    * that would now pass re-enters the confirm instead of being
+    * silently suppressed by the earlier failure. Confirmed hits then
+    * pass a second `dropDuplicatesWithinWatermark(doc_id, ref_id)` —
+    * watermark-bounded id-pair state, the same discipline as
+    * [[contaminatedByNgrams]] — so re-arrivals inside the horizon
     * don't re-confirm the same pair.
     *
     * Scale shape: digests and the df-capped gram index are static-side
@@ -415,10 +420,14 @@ object StreamDedup {
       .select(col(tsCol), col("doc_id"), col("ref_id"),
         lit("exact").as("layer"), lit(1000000L).as("jac_ppm"))
     val nearHits = stream
-      .select(col(tsCol), col("doc_id"), col("gs"),
+      .select(col(tsCol), col("doc_id"), col("dg"), col("gs"),
         explode(col("gs")).as("gram"))
       .join(broadcast(refIndex), Seq("gram"))
-      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+      // per-gram fanout collapse, keyed on (pair, content digest): the
+      // digest in the key is what keeps a FAILED confirm from pinning
+      // the pair — same-id re-arrivals with new text get a fresh
+      // confirm; identical re-arrivals still collapse to one row
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id", "dg")
       .join(refGs, Seq("ref_id"))
       .select(col(tsCol), col("doc_id"), col("ref_id"),
         size(array_intersect(col("gs"), col("ref_gs")))
@@ -428,6 +437,11 @@ object StreamDedup {
       .select(col(tsCol), col("doc_id"), col("ref_id"),
         expr("(1000000L * ni) div (na + nb - ni)").as("jac_ppm"))
       .where(col("jac_ppm") >= jacPpmThreshold)
+      // exactly-once per CONFIRMED pair within the horizon: this state
+      // store holds only pairs that passed the threshold, so it cannot
+      // suppress a later passing confirm the way a pre-threshold
+      // pair-keyed dedup did
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
       .select(col(tsCol), col("doc_id"), col("ref_id"),
         lit("near").as("layer"), col("jac_ppm"))
     exactHits.unionByName(nearHits)

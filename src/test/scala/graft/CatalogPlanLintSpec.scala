@@ -105,9 +105,12 @@ class CatalogPlanLintSpec extends SparkTestBase {
     val rawAsOf = graft.operators.AsOfJoin.leftAsOf(
       ev.select($"event_id", $"user_id", $"ts"), purchases,
       "user_id", "user_id", "ts", "ts", Seq("event_id", "value"), "event_id")
+    // KEYED exchanges only: the events reader's spreadScan round-robin
+    // (pure scan parallelism, a no-op at warehouse scale) is excluded,
+    // same rationale as the sketch-kernel budget below
     val rawPlan = rawAsOf.queryExecution.executedPlan.toString
-    assert(shuffleCount(rawPlan) == 1,
-      s"AsOfJoin must plan exactly one shuffle exchange:\n$rawPlan")
+    assert(keyedShuffleCount(rawPlan) == 1,
+      s"AsOfJoin must plan exactly one keyed shuffle exchange:\n$rawPlan")
 
     // the catalog entries carry a global ORDER BY purely for oracle
     // determinism — one extra range exchange, never more
@@ -115,9 +118,9 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "asof_join_tolerance", "asof_join_forward")) {
       val plan = SparkEntry.catalog(name).query(spark, sf)
         .queryExecution.executedPlan.toString
-      assert(shuffleCount(plan) <= 2,
-        s"$name: operator + determinism sort allow at most 2 shuffle " +
-          s"exchanges, got ${shuffleCount(plan)}:\n$plan")
+      assert(keyedShuffleCount(plan) <= 2,
+        s"$name: operator + determinism sort allow at most 2 keyed " +
+          s"shuffle exchanges, got ${keyedShuffleCount(plan)}:\n$plan")
     }
   }
 
@@ -176,6 +179,9 @@ class CatalogPlanLintSpec extends SparkTestBase {
     // SCD2: same single-exchange claim (+1 asof exchange for the
     // point-in-time composition).
     val sf = "/root/testdata/sf0.001"
+    // KEYED exchanges only (the readers' spreadScan round-robins are
+    // scan parallelism, not shuffle volume — excluded so the budgets
+    // can stay tight)
     for ((name, maxShuffles) <- Seq(
         "events_merge_intervals" -> 2, // user_id exchange + sort
         "window_first_last" -> 2,      // custkey exchange + sort
@@ -183,13 +189,58 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "scd2_point_in_time" -> 3,     // versions + asof union + sort
         "events_value_histogram" -> 2, // partial-agg exchange + sort
         "events_bitwise_agg" -> 2,     // partial-agg exchange + sort
-        "sample_cap_per_source" -> 4)) { // spread + salt + exact + sort
+        "sample_cap_per_source" -> 3)) { // salt + exact + sort
       val plan = SparkEntry.catalog(name).query(spark, sf)
         .queryExecution.executedPlan.toString
-      assert(shuffleCount(plan) <= maxShuffles,
-        s"$name: at most $maxShuffles shuffle exchanges, " +
-          s"got ${shuffleCount(plan)}:\n$plan")
+      assert(keyedShuffleCount(plan) <= maxShuffles,
+        s"$name: at most $maxShuffles keyed shuffle exchanges, " +
+          s"got ${keyedShuffleCount(plan)}:\n$plan")
     }
+  }
+
+  test("spreadScan contract: CPU-dense pipelines over the single-file " +
+      "test tables never inherit a byte-sized 1-task scan") {
+    // The defect class the r13 bench flagged (json_props_extract 3.28x):
+    // `events.parquet` is one file at test SFs, so a per-row JSON parse
+    // inherits a single-task scan unless the reader spreads it. The
+    // readers carry the guard; these asserts make REVERTING it (or
+    // bypassing Tables.* with a raw spark.read) a test failure instead
+    // of a bench surprise.
+    val sf = "/root/testdata/sf0.001"
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    // (a) the reader mechanism itself — the NAMED accessors carry the
+    // guard (Tables.table() serves the raw scan for generic callers)
+    for ((t, df) <- Seq(
+        "events" -> Tables.events(spark, sf),
+        "documents" -> Tables.documents(spark, sf),
+        "embeddings" -> Tables.embeddings(spark, sf))) {
+      val parts = df.rdd.getNumPartitions
+      assert(parts >= shufN,
+        s"Tables.$t must spread its scan to >= $shufN partitions " +
+          s"(got $parts) — the spreadScan guard is missing")
+    }
+    // (b) per-entry plan shape: every catalog entry that scans one of
+    // the single-file tables into CPU-dense per-row work must carry
+    // the round-robin spread in its executed plan
+    val denseMarkers = Seq("get_json_object", "from_json", "json_tuple",
+      "regexp_extract", "simhash", "minhash", "winnow_fps",
+      "token_stats", "rep_stats", "vec_dot", "sentences(")
+    val tablesRe = "(events|documents|embeddings)\\.parquet".r
+    val violations = SparkEntry.catalog.toSeq.sortBy(_._1).flatMap {
+      case (name, entry) =>
+        val qe = entry.query(spark, sf).queryExecution
+        val physical = qe.executedPlan.toString
+        val optimized = qe.optimizedPlan.toString
+        val dense = denseMarkers.exists(optimized.contains)
+        val scansSingleFile = tablesRe.findFirstIn(physical).isDefined
+        val spread = physical.contains("RoundRobinPartitioning") ||
+          physical.toLowerCase.contains("roundrobinpartitioning")
+        if (dense && scansSingleFile && !spread)
+          Some(s"$name: CPU-dense work over a single-file scan with no " +
+            "round-robin spread")
+        else None
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
   }
 
   test("single-task scale-defect guards: the hot stages of the entries " +

@@ -201,4 +201,40 @@ class GraphSpec extends SparkTestBase {
     assert(comA.size == 1 && comB.size == 1 && comA != comB,
       s"expected two communities, got $lpa")
   }
+
+  test("label propagation ignores self-loops: adding them changes " +
+      "nothing (a node must not vote for its own label)") {
+    import spark.implicits._
+    // regression for the symmetrizing-union bug: the forward branch
+    // filtered (a,a) but the reversed branch re-added it, giving every
+    // self-looped node one extra vote — its own — per round
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L),
+      (3L, 7L))
+    val loops = Seq((1L, 1L), (3L, 3L), (7L, 7L), (9L, 9L))
+    def run(es: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.labelPropagate(es.toDF("src", "dst"), "src", "dst", rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(edges ++ loops) == run(edges),
+      "self-loops must not influence any node's label")
+    // the 2-node oscillator makes the extra-self-vote visible in one
+    // round: with the bug, node 9's tie-break (own label vs neighbor's)
+    // collapses the synchronous swap and both nodes end at label 1
+    val osc = Graph.labelPropagate(
+        Seq((1L, 9L), (9L, 9L)).toDF("src", "dst"), "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(osc == Map(1L -> 1L, 9L -> 9L), s"got $osc")
+  }
+
+  test("k-core peel ignores self-loops: a node whose only edge is (a,a) " +
+      "is isolated, not a 1-core member") {
+    import spark.implicits._
+    val got = Graph.kcorePeel(
+        Seq((1L, 2L), (3L, 3L)).toDF("src", "dst"), "src", "dst",
+        k = 1, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L),
+      s"self-looped isolated node must be peeled, got $got")
+  }
 }

@@ -105,4 +105,35 @@ class StreamIncrementalSpec extends SparkTestBase {
         s"each layer's pair confirmed exactly once, got $hits")
     } finally q.stop()
   }
+
+  test("a failed near confirm does not pin the pair: a re-arrival with " +
+      "changed text that now passes the threshold emits the hit") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val refDocs = refRows.toDF("doc_id", "text")
+    // shares exactly ONE 5-gram with ref doc 4 (t2) — a candidate, but
+    // Jaccard 1/15 ≈ 66666 ppm < the 300000 ppm threshold: fails
+    val tFail = "kilo lima mike november oscar " +
+      (1 to 9).map("z" + _).mkString(" ")
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamDedup.incrementalHitsAgainstRef(
+      source.toDF().toDF("ts", "doc_id", "text"), refDocs,
+      "ts", "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_incremental_repass")
+      .outputMode("append").start()
+    try {
+      source.addData((ts("2024-01-01 10:00:00"), 3L, tFail))
+      q.processAllAvailable()
+      // same doc_id, inside the watermark, text now 5/7 Jaccard to t2:
+      // the failed confirm above must not have consumed the pair state
+      source.addData((ts("2024-01-01 10:00:30"), 3L, t2near))
+      q.processAllAvailable()
+      val hits = spark.table("stream_incremental_repass")
+        .select($"layer", $"doc_id", $"jac_ppm")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(hits == Seq(("near", 3L, 714285L)),
+        s"changed-text re-arrival must confirm, got $hits")
+    } finally q.stop()
+  }
 }

@@ -20,6 +20,12 @@ def main(bench_path, core_path, note):
         sys.exit("refusing: bench run is partial")
     if b.get("sweeps_completed", 0) < 2:
         sys.exit("refusing: need >= 2 completed sweeps")
+    # round-14: sweeps that calibrated >1.5x baseline are flagged in
+    # the artifact — a baseline must come from healthy sweeps only
+    if b.get("degraded_sweeps"):
+        sys.exit(f"refusing: degraded sweeps {b['degraded_sweeps']}")
+    if b.get("healthy_sweeps", b.get("sweeps_completed", 0)) < 2:
+        sys.exit("refusing: need >= 2 healthy sweeps")
     # a routine sharded round passes the two checks above yet covers
     # only ~2/3 of the catalog; recording it would leave the rotation
     # entries permanently "new" (always timed) and break the sweep
