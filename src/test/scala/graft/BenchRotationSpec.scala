@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rotation-group recovery against the ARTIFACT FORMATS actually
+  * committed to the repo (r14 verdict item 1): the driver's
+  * `BENCH_r{N}.json` wrapper stores the bench line quote-ESCAPED
+  * inside a `"tail"` string — `\"rotation_group\":0` — which the r14
+  * regex could not match, so the recovery silently fell back to
+  * floorMod and skipped group 1. These cases pin both committed
+  * shapes (escaped wrapper, bare line), the timed/untimed inference
+  * for pre-r15 artifacts, the explicit `rotation_timed` field, and
+  * the don't-advance-past-an-untimed-slice rule.
+  */
+class BenchRotationSpec extends AnyFunSuite {
+
+  // the r13 wrapper shape, verbatim escaping: slice TIMED
+  // (degraded_shard false, partial false), group 0
+  private val r13Wrapper =
+    """{"n":13,"rc":0,"cpus":32,"sf":0.1,"tail":"...,\"calib0\":[0.29,0.3,0.03],\"degraded_shard\":false,\"partial\":false,\"sweeps_completed\":2,\"unwarmed\":0,\"timed\":145,\"catalog\":234,\"rotation_group\":0,\"rotation_k\":3,\"single_task\":[],\"sf\":\"/root/testdata/sf0.1\"}","parsed":null}"""
+
+  // the r14 wrapper shape: group 2 PUBLISHED but the slice was dropped
+  // (degraded_shard true) — the case the advance must skip
+  private val r14Wrapper =
+    """{"n":14,"rc":0,"cpus":32,"sf":0.1,"tail":"...,\"degraded_shard\":true,\"partial\":false,\"sweeps_completed\":2,\"healthy_sweeps\":2,\"degraded_sweeps\":[],\"timed\":103,\"catalog\":234,\"rotation_group\":2,\"rotation_k\":3,\"regressions\":[],\"sf\":\"/root/testdata/sf0.1\"}","parsed":null}"""
+
+  test("escaped wrapper: rotation_group parses from the \\\"-quoted tail") {
+    assert(Bench.rotationRecord(r13Wrapper) === Some((0, true)))
+    assert(Bench.rotationRecord(r14Wrapper) === Some((2, false)))
+  }
+
+  test("bare bench line parses, explicit rotation_timed wins over the " +
+      "degraded_shard inference") {
+    val bare =
+      """{"metric":"total","degraded_shard":false,"partial":false,""" +
+        """"rotation_group":1,"rotation_k":3,"rotation_timed":false}"""
+    assert(Bench.rotationRecord(bare) === Some((1, false)),
+      "rotation_timed:false must override the healthy-shard inference")
+    val timed =
+      """{"degraded_shard":true,"rotation_group":1,"rotation_timed":true}"""
+    assert(Bench.rotationRecord(timed) === Some((1, true)),
+      "explicit rotation_timed:true wins even when degraded_shard is true")
+  }
+
+  test("pre-r15 inference: partial or degraded_shard means NOT timed") {
+    val partial =
+      """{"degraded_shard":false,"partial":true,"rotation_group":2}"""
+    assert(Bench.rotationRecord(partial) === Some((2, false)))
+    val clean = """{"degraded_shard":false,"partial":false,"rotation_group":2}"""
+    assert(Bench.rotationRecord(clean) === Some((2, true)))
+  }
+
+  test("no rotation_group in the text -> None (triggers floorMod fallback)") {
+    assert(Bench.rotationRecord("""{"n":9,"tail":"...truncated..."}""") === None)
+    assert(Bench.rotationRecord("") === None)
+  }
+
+  test("the r15 scenario: newest artifact untimed (r14, group 2) is " +
+      "skipped; advance from r13's timed group 0 -> group 1") {
+    assert(Bench.nextRotationGroup(Seq(r14Wrapper, r13Wrapper), 3) ===
+      Some(1))
+  }
+
+  test("advance wraps around modulo rotation_k") {
+    val g2timed = """{"degraded_shard":false,"partial":false,"rotation_group":2}"""
+    assert(Bench.nextRotationGroup(Seq(g2timed), 3) === Some(0))
+  }
+
+  test("no timed artifact anywhere -> None (fallback to floorMod)") {
+    assert(Bench.nextRotationGroup(Seq(r14Wrapper), 3) === None)
+    assert(Bench.nextRotationGroup(Seq.empty, 3) === None)
+  }
+}

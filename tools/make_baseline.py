@@ -18,6 +18,15 @@ def main(bench_path, core_path, note):
     core = json.load(open(core_path))
     if b.get("partial"):
         sys.exit("refusing: bench run is partial")
+    # round-15: a startup-degraded run drops the rotation slice and
+    # times the core entries only — it can pass every sweep-health
+    # check below (r14 did: degraded_shard:true, 2 healthy sweeps)
+    # yet recording it would leave the rotation entries with no
+    # denominator at all
+    if b.get("degraded_shard"):
+        sys.exit("refusing: degraded_shard run (rotation slice dropped)")
+    if b.get("rotation_timed") is False:
+        sys.exit("refusing: rotation slice was not timed")
     if b.get("sweeps_completed", 0) < 2:
         sys.exit("refusing: need >= 2 completed sweeps")
     # round-14: sweeps that calibrated >1.5x baseline are flagged in
