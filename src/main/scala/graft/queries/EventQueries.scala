@@ -29,7 +29,7 @@ object EventQueries {
       |ORDER BY event_id, map_key""".stripMargin) { (s, d) =>
     import s.implicits._
     Transform.pivotMapToRows(
-      Tables.events(s, d)
+      Tables.eventsDense(s, d)
         .select($"event_id", from_json($"props",
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
@@ -48,7 +48,7 @@ object EventQueries {
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     import s.implicits._
-    Tables.events(s, d)
+    Tables.eventsDense(s, d)
       .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
@@ -497,7 +497,7 @@ object EventQueries {
       |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ev = Tables.events(s, d)
+    val ev = Tables.eventsDense(s, d)
       .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
       .where($"k".isNotNull)
       .select($"event_id", $"event_type", $"k")

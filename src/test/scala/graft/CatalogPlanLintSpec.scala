@@ -42,6 +42,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "q15_top_supplier",      // broadcast 1-row global-max scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "dedup_semantic_embed",  // same k=8 centroid assign feeds the prune
+    "dedup_layer_agreement", // composes dedup_semantic_embed's centroid cross
     "embed_kmeans_update",   // same coarse-assign shape as above
     "embed_outlier_centroid", // same coarse-assign shape as above
     "sim_hard_negatives",    // corpus x broadcast 5 query rows
@@ -208,10 +209,15 @@ class CatalogPlanLintSpec extends SparkTestBase {
     // of a bench surprise.
     val sf = "/root/testdata/sf0.001"
     val shufN = spark.sessionState.conf.numShufflePartitions
-    // (a) the reader mechanism itself — the NAMED accessors carry the
-    // guard (Tables.table() serves the raw scan for generic callers)
+    // (a) the reader mechanism itself — the dense accessors carry the
+    // guard (Tables.table() serves the raw scan for generic callers).
+    // Tables.events is deliberately NOT here: the r14 blanket events
+    // spread taxed every cheap events aggregation 1.5-1.8x against
+    // baseline denominators recorded without it (r14 verdict finding
+    // 3); dense events consumers read through Tables.eventsDense and
+    // part (b) below fails any that don't.
     for ((t, df) <- Seq(
-        "events" -> Tables.events(spark, sf),
+        "eventsDense" -> Tables.eventsDense(spark, sf),
         "documents" -> Tables.documents(spark, sf),
         "embeddings" -> Tables.embeddings(spark, sf))) {
       val parts = df.rdd.getNumPartitions
@@ -219,6 +225,13 @@ class CatalogPlanLintSpec extends SparkTestBase {
         s"Tables.$t must spread its scan to >= $shufN partitions " +
           s"(got $parts) — the spreadScan guard is missing")
     }
+    // the cheap-consumer default stays the raw byte-sized scan — a
+    // future blanket re-spread re-introduces the r14 tax silently, so
+    // pin the default reader's shape too
+    assert(Tables.events(spark, sf).queryExecution.executedPlan.toString
+        .toLowerCase.indexOf("roundrobinpartitioning") < 0,
+      "Tables.events must serve the RAW scan (spread is scoped to " +
+        "Tables.eventsDense per the r14 verdict)")
     // (b) per-entry plan shape: every catalog entry that scans one of
     // the single-file tables into CPU-dense per-row work must carry
     // the round-robin spread in its executed plan
