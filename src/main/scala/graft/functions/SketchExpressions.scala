@@ -785,3 +785,141 @@ case class RepStats(child: Expression) extends StringSketchExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Row-local kernel for INTRA-document repeated-span removal — the
+  * curation transform that drops self-repetition the inter-document
+  * dedup layers never see (`doc_repetition_stats` measures it, Rae et
+  * al. 2021 §A1.1; this removes it). Semantics, exact and
+  * deterministic: a k-gram occurrence starting at position p is a
+  * DUPLICATE iff the same k-token gram starts at some earlier position
+  * p' < p in the same document; a token is dropped iff any duplicate
+  * occurrence's window [p, p+k-1] covers it. First occurrence kept
+  * whole, every later occurrence removed whole; overlapping duplicate
+  * windows merge naturally ("a b c a b c a b c" at k=3 keeps exactly
+  * "a b c").
+  *
+  * One pass per row, no gram strings materialized: the RepStatsAlgo
+  * byte-slice discipline (a k-gram IS the byte range
+  * [tokStart(p), tokStart(p+k)-1) of the text), duplicate runs found
+  * by sorting gram indices (O(m log m)), coverage by a single rolling
+  * sweep. The naive formulation — explode tokens, window over
+  * (doc_id, gram) for first positions, range-window for coverage —
+  * is what the DuckDB oracle runs; at 100 TB it would shuffle the
+  * tokenized corpus twice where this kernel shuffles nothing. */
+object StripSpansAlgo {
+
+  def stripData(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    // token boundaries of split(text, " "): empties kept, n separators
+    // -> n+1 tokens (both engines' split semantics)
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    val tokStart = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { tokStart(t) = i + 1; t += 1 }
+      i += 1
+    }
+    tokStart(nTok) = bytes.length + 1 // virtual separator past the end
+    def token(t0: Int): UTF8String = UTF8String.fromBytes(
+      bytes, tokStart(t0), tokStart(t0 + 1) - 1 - tokStart(t0))
+    if (nTok < k) { // no full window fits: nothing can repeat
+      val all = new Array[Any](nTok)
+      var j = 0
+      while (j < nTok) { all(j) = token(j); j += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(all)
+    }
+    val m = nTok - k + 1
+    val idx = new Array[Integer](m)
+    var p = 0
+    while (p < m) { idx(p) = Integer.valueOf(p); p += 1 }
+    // sort gram start positions by gram BYTES (slice includes internal
+    // separators — unambiguous because the separator byte is fixed)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val sa = tokStart(a.intValue); val ea = tokStart(a.intValue + k) - 1
+        val sb = tokStart(b.intValue); val eb = tokStart(b.intValue + k) - 1
+        var pa = sa; var pb = sb
+        while (pa < ea && pb < eb) {
+          val d = (bytes(pa) & 0xFF) - (bytes(pb) & 0xFF)
+          if (d != 0) return d
+          pa += 1; pb += 1
+        }
+        (ea - sa) - (eb - sb)
+      }
+    })
+    def gramEq(a: Int, b: Int): Boolean = {
+      val la = tokStart(a + k) - 1 - tokStart(a)
+      if (la != tokStart(b + k) - 1 - tokStart(b)) return false
+      var pa = tokStart(a); var pb = tokStart(b)
+      val ea = pa + la
+      while (pa < ea) {
+        if (bytes(pa) != bytes(pb)) return false
+        pa += 1; pb += 1
+      }
+      true
+    }
+    // equal grams are adjacent after the sort; in each run, every
+    // occurrence except the EARLIEST start position is a duplicate
+    val dup = new Array[Boolean](m)
+    p = 0
+    while (p < m) {
+      var q = p + 1
+      while (q < m && gramEq(idx(p).intValue, idx(q).intValue)) q += 1
+      if (q - p > 1) {
+        var minPos = idx(p).intValue
+        var r = p + 1
+        while (r < q) {
+          if (idx(r).intValue < minPos) minPos = idx(r).intValue
+          r += 1
+        }
+        r = p
+        while (r < q) {
+          val pos = idx(r).intValue
+          if (pos != minPos) dup(pos) = true
+          r += 1
+        }
+      }
+      p = q
+    }
+    // rolling coverage sweep: token i is dropped iff some duplicate
+    // window started in [i-k+1, i]
+    val kept = new Array[AnyRef](nTok)
+    var nKept = 0
+    var lastDup = Int.MinValue / 2
+    i = 0
+    while (i < nTok) {
+      if (i < m && dup(i)) lastDup = i
+      if (lastDup < i - k + 1) { kept(nKept) = token(i); nKept += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(kept, nKept).asInstanceOf[Array[Any]])
+  }
+}
+
+/** `strip_repeated_spans(text, k)` — array<string> of the tokens kept
+  * after removing every token covered by a repeated k-token span (see
+  * [[StripSpansAlgo]] for the exact first-occurrence-wins semantics).
+  * `n_removed = size(split(text,' ')) - size(result)`; the cleaned
+  * text is `array_join(result, ' ')`. */
+case class StripRepeatedSpans(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "strip_repeated_spans: k must be >= 1")
+  override def prettyName: String = "strip_repeated_spans"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"strip_repeated_spans expects a string column, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    StripSpansAlgo.stripData(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StripSpansAlgo.stripData($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -264,6 +264,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rep_stats", exprs => RepStats(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_repeated_spans", exprs => StripRepeatedSpans(exprs(0),
+        intArg(exprs(1), "k")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_shingles", exprs => JaccardShingles(exprs(0), exprs(1),
         intArg(exprs(2), "n")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

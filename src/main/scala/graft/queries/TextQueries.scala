@@ -3181,7 +3181,315 @@ object TextQueries {
       .orderBy($"octile")
   }
 
+  /** Intra-document repeated-span removal (k = 3 token spans) — the
+    * curation transform the inter-document dedup family cannot do:
+    * `doc_repetition_stats` MEASURES self-repetition (Rae et al. 2021
+    * §A1.1); this REMOVES it. Exact, deterministic semantics: a
+    * 3-gram occurrence is a duplicate iff the same 3-token gram starts
+    * earlier in the same document; every token covered by a duplicate
+    * occurrence's window is dropped (first occurrence kept whole,
+    * later occurrences removed whole; overlapping windows merge, so a
+    * page repeated n times keeps exactly one copy). Output per doc:
+    * token count, removed count, and the cleaned text itself.
+    *
+    * Scale shape: ONE row-local kernel call per document
+    * ([[graft.functions.StripSpansAlgo]] — sorted-gram-run duplicate
+    * detection over byte slices, O(m log m), no gram strings
+    * materialized), zero shuffles beyond the determinism sort. The
+    * oracle replays the semantics as the naive explode + two-window
+    * formulation (first-position window over (doc_id, gram), rolling
+    * coverage window over positions) — which at 100 TB would shuffle
+    * the tokenized corpus twice; the kernel shuffles nothing. */
+  val docStripRepeatedSpans: CatalogEntry = CatalogEntry(
+    "doc_strip_repeated_spans",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, u.pos AS pos, u.tok AS tok, u.gram AS gram FROM (
+      |    SELECT doc_id,
+      |      unnest([{'pos': i - 1, 'tok': s[i],
+      |               'gram': CASE WHEN i + 2 <= len(s)
+      |                       THEN array_to_string(s[i:i+2], ' ') END}
+      |              for i in range(1, len(s) + 1)]) AS u
+      |    FROM t)),
+      |d AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN gram IS NOT NULL AND
+      |      min(pos) OVER (PARTITION BY doc_id, gram) < pos
+      |    THEN 1 ELSE 0 END AS dup
+      |  FROM p),
+      |c AS (
+      |  SELECT doc_id, pos, tok,
+      |    max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov
+      |  FROM d)
+      |SELECT doc_id,
+      |  count(*)::BIGINT AS n_tokens,
+      |  sum(cov)::BIGINT AS n_removed,
+      |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (cov = 0), '')
+      |    AS clean_text
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
+        call_function("strip_repeated_spans", $"text", lit(3)).as("kept"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        array_join($"kept", " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Pairwise AGREEMENT census over the four near-dup layers
+    * (MinHash-LSH, SimHash, containment, semantic) — the measurement
+    * that says whether the layers are redundant or complementary: for
+    * every layer pair, how many documents both drop, each drops alone,
+    * and neither drops, plus the exact-integer Jaccard of the two
+    * dropped sets (the `lang_confusion_matrix` shape, 10 rows for 4
+    * layers incl. diagonal). Layer definitions are the deployed ones:
+    * MinHash = word-3-gram shingles → k=8 portable md5 minhashes → 4
+    * band × 2 row collisions (word grams, not char shingles — this
+    * corpus' ~31-word vocabulary saturates the char-3 shingle space
+    * and every doc pair collides); SimHash = `simhash63_md5` → 4
+    * 16-bit bands → Hamming ≤ 3 (the `dedup_simhash_portable` pair
+    * machinery, un-augmented); containment = rare-5-gram blocked
+    * pairs at cont ≥ 0.5 (`dedup_containment`); semantic =
+    * within-cluster cos > 0.4 SemDeDup prune (`dedup_semantic_embed`;
+    * vec_id ≡ doc_id in the fixture corpus). A pair (a, b), a < b,
+    * drops doc b — the keep-lowest-id rule every layer shares.
+    *
+    * Scale shape: each layer is its own already-scale-safe banded /
+    * blocked / clustered plan (never all-pairs); the census adds four
+    * small drop-set LEFT JOINs onto the id universe (drop sets are
+    * duplicate-sized, broadcastable), a row-local explode of the 10
+    * layer-pair structs, and ONE partial-agg exchange over 10 keys. */
+  val dedupLayerAgreement: CatalogEntry = {
+    val k = 8
+    val mins = (0 until k).map(i =>
+      s"""    min(('0x' || substring(md5(sh || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+      .mkString(",\n")
+    val mbands = (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS sig
+         |  FROM mh""".stripMargin).mkString("\n  UNION ALL\n")
+    val bits = TextOps.SimhashBits
+    val sums = (0 until bits).map(i =>
+      s"""    sum(CASE WHEN (h & (1::BIGINT << $i)) != 0
+         |        THEN 1 ELSE -1 END) AS s$i""".stripMargin).mkString(",\n")
+    val assemble = (0 until bits).map(i =>
+      s"(CASE WHEN s$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+      .mkString(" +\n  ")
+    CatalogEntry(
+      "dedup_layer_agreement",
+      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |msh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM tt WHERE len(toks) >= 3),
+         |mh AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM msh GROUP BY doc_id),
+         |mb AS (
+         |$mbands),
+         |dmh AS (
+         |  SELECT DISTINCT b2.doc_id AS did
+         |  FROM mb a JOIN mb b2 ON a.band = b2.band AND a.sig = b2.sig
+         |    AND a.doc_id < b2.doc_id),
+         |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd),
+         |sh2 AS (SELECT doc_id,
+         |          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+         |        FROM stok),
+         |sv AS (
+         |  SELECT doc_id,
+         |$sums
+         |  FROM sh2 GROUP BY doc_id),
+         |sfp AS (SELECT doc_id,
+         |  $assemble AS fp
+         |  FROM sv),
+         |sb AS (
+         |  SELECT doc_id, fp, band, ((fp >> (16 * band)) & 65535) AS bval
+         |  FROM sfp, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |dsh AS (
+         |  SELECT DISTINCT c.doc_id AS did
+         |  FROM sb a JOIN sb c ON a.band = c.band AND a.bval = c.bval
+         |    AND a.doc_id < c.doc_id
+         |  WHERE bit_count(xor(a.fp, c.fp)) <= 3),
+         |cgl AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+         |                   for i in range(1, greatest(len(toks) - 3, 1))])
+         |      AS gs
+         |  FROM tt),
+         |cg AS (SELECT doc_id, unnest(gs) AS gram FROM cgl),
+         |crare AS (SELECT gram FROM cg GROUP BY gram
+         |          HAVING count(*) BETWEEN 2 AND 25),
+         |ce AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |       FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |       WHERE a.gram IN (SELECT gram FROM crare)),
+         |cj AS (
+         |  SELECT src, dst, len(x.gs)::BIGINT AS na, len(y.gs)::BIGINT AS nb,
+         |    len(list_intersect(x.gs, y.gs))::BIGINT AS ni
+         |  FROM ce JOIN cgl x ON x.doc_id = src JOIN cgl y ON y.doc_id = dst),
+         |dct AS (
+         |  SELECT DISTINCT dst AS did FROM cj
+         |  WHERE (1000000 * ni) // least(na, nb) >= 500000),
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cid, e.embedding AS v,
+         |    list_sum([round(((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+         |                    * ((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+         |                    * 1e9, 0)::BIGINT
+         |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS d2q
+         |  FROM embeddings e, cent c),
+         |asg AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |nn AS (
+         |  SELECT vec_id, cid, v,
+         |    list_sum([roundbankers((v[i]::DOUBLE) * (v[i]::DOUBLE) * 1e9,
+         |                           0)::BIGINT
+         |              for i in range(1, len(v) + 1)])::BIGINT AS nq
+         |  FROM asg),
+         |sp AS (
+         |  SELECT y.vec_id AS did,
+         |    list_sum([roundbankers((x.v[i]::DOUBLE) * (y.v[i]::DOUBLE) * 1e9,
+         |                           0)::BIGINT
+         |              for i in range(1, len(x.v) + 1)])::BIGINT AS dotq,
+         |    x.nq AS naq, y.nq AS nbq
+         |  FROM nn x JOIN nn y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dse AS (
+         |  SELECT DISTINCT did FROM sp
+         |  WHERE dotq > 0 AND
+         |    100::HUGEINT * dotq::HUGEINT * dotq::HUGEINT >
+         |    16::HUGEINT * naq::HUGEINT * nbq::HUGEINT),
+         |fl AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN m.did IS NOT NULL THEN 1 ELSE 0 END AS f_minhash,
+         |    CASE WHEN s.did IS NOT NULL THEN 1 ELSE 0 END AS f_simhash,
+         |    CASE WHEN c.did IS NOT NULL THEN 1 ELSE 0 END AS f_containment,
+         |    CASE WHEN e.did IS NOT NULL THEN 1 ELSE 0 END AS f_semantic
+         |  FROM documents d
+         |  LEFT JOIN dmh m ON d.doc_id = m.did
+         |  LEFT JOIN dsh s ON d.doc_id = s.did
+         |  LEFT JOIN dct c ON d.doc_id = c.did
+         |  LEFT JOIN dse e ON d.doc_id = e.did),
+         |lv AS (
+         |  SELECT doc_id, l.layer,
+         |    CASE l.layer WHEN 'minhash' THEN f_minhash
+         |      WHEN 'simhash' THEN f_simhash
+         |      WHEN 'containment' THEN f_containment
+         |      ELSE f_semantic END AS f
+         |  FROM fl, (SELECT unnest(
+         |    ['containment','minhash','semantic','simhash']) AS layer) l)
+         |SELECT a.layer AS layer_a, b.layer AS layer_b,
+         |  sum(a.f * b.f)::BIGINT AS n_both,
+         |  sum(a.f * (1 - b.f))::BIGINT AS n_only_a,
+         |  sum((1 - a.f) * b.f)::BIGINT AS n_only_b,
+         |  sum((1 - a.f) * (1 - b.f))::BIGINT AS n_neither,
+         |  CASE WHEN sum(greatest(a.f, b.f)) > 0
+         |    THEN ((1000000 * sum(a.f * b.f)) //
+         |          sum(greatest(a.f, b.f)))::BIGINT
+         |  END AS jaccard_ppm
+         |FROM lv a JOIN lv b ON a.doc_id = b.doc_id AND a.layer <= b.layer
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val dd = docs.where($"text".isNotNull)
+
+      // MinHash layer: word-3-gram shingles -> 8 portable md5
+      // minhashes -> 4 bands x 2 rows, one gram explode + one
+      // 8-min-agg exchange, band equi-join (never all-pairs)
+      val grams = dd.select($"doc_id",
+        explode(graft.ext.Dedup.tokenNgrams($"text", 3)).as("sh"))
+      val minCols = (0 until k).map(i =>
+        min(conv(substring(md5(concat($"sh", lit(s"#$i"))), 1, 15),
+          16, 10).cast("long")).as(s"mh$i"))
+      val mh = grams.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      val bands = mh.select($"doc_id", posexplode(array(
+        (0 until k / 2).map(j => concat_ws("_",
+          col(s"mh${2 * j}").cast("string"),
+          col(s"mh${2 * j + 1}").cast("string"))): _*))
+        .as(Seq("band", "sig")))
+      val dropMinhash = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("did")).distinct()
+
+      // SimHash layer: the dedup_simhash_portable pair machinery on
+      // the un-augmented corpus
+      val dropSimhash = graft.ext.Dedup.simhashNearDupPairs(
+          dd.select($"doc_id", $"text"), "doc_id", "text",
+          maxHamming = 3, kernel = "simhash63_md5")
+        .select($"id_b".as("did")).distinct()
+
+      // Containment layer: the dedup_containment pipeline, drop = dst
+      val ctCand = graft.ext.Dedup.sharedGramPairs(
+        docs, "doc_id", "text", n = 5, maxDf = 25)
+      val gl = Tables.spreadScan(dd)
+        .select($"doc_id", graft.ext.Dedup.tokenNgrams($"text", 5).as("gs"))
+      val dropContainment = ctCand
+        .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
+        .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
+        .select($"dst",
+          size($"ga").cast("bigint").as("na"),
+          size($"gb").cast("bigint").as("nb"),
+          size(array_intersect($"ga", $"gb")).cast("bigint").as("ni"))
+        .where(expr("(1000000L * ni) div least(na, nb)") >= 500000L)
+        .select($"dst".as("did")).distinct()
+
+      // Semantic layer: the SemDeDup prune set (vec_id == doc_id)
+      val dropSemantic = SimilarityQueries.dedupSemanticEmbed.query(s, d)
+        .select($"vec_id".as("did")).distinct()
+
+      def flag(dropped: org.apache.spark.sql.DataFrame, name: String) =
+        dropped.select($"did".as("doc_id")).withColumn(name, lit(1))
+      val flags = docs.select($"doc_id")
+        .join(flag(dropMinhash, "f_minhash"), Seq("doc_id"), "left")
+        .join(flag(dropSimhash, "f_simhash"), Seq("doc_id"), "left")
+        .join(flag(dropContainment, "f_containment"), Seq("doc_id"), "left")
+        .join(flag(dropSemantic, "f_semantic"), Seq("doc_id"), "left")
+        .na.fill(0,
+          Seq("f_minhash", "f_simhash", "f_containment", "f_semantic"))
+
+      val layers = Seq("containment" -> "f_containment",
+        "minhash" -> "f_minhash", "semantic" -> "f_semantic",
+        "simhash" -> "f_simhash")
+      val pairStructs = for {
+        (la, ca) <- layers; (lb, cb) <- layers if la <= lb
+      } yield struct(lit(la).as("layer_a"), lit(lb).as("layer_b"),
+        col(ca).as("fa"), col(cb).as("fb"))
+      flags.select(explode(array(pairStructs: _*)).as("p"))
+        .select($"p.layer_a".as("layer_a"), $"p.layer_b".as("layer_b"),
+          $"p.fa".as("fa"), $"p.fb".as("fb"))
+        .groupBy($"layer_a", $"layer_b")
+        .agg(sum($"fa" * $"fb").as("n_both"),
+          sum($"fa" * (lit(1) - $"fb")).as("n_only_a"),
+          sum((lit(1) - $"fa") * $"fb").as("n_only_b"),
+          sum((lit(1) - $"fa") * (lit(1) - $"fb")).as("n_neither"),
+          sum(greatest($"fa", $"fb")).as("n_union"))
+        .select($"layer_a", $"layer_b",
+          $"n_both".cast("long").as("n_both"),
+          $"n_only_a".cast("long").as("n_only_a"),
+          $"n_only_b".cast("long").as("n_only_b"),
+          $"n_neither".cast("long").as("n_neither"),
+          when($"n_union" > 0,
+            expr("(1000000L * n_both) div n_union")).as("jaccard_ppm"))
+        .orderBy($"layer_a", $"layer_b")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    docStripRepeatedSpans, dedupLayerAgreement,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
