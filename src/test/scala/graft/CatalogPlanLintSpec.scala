@@ -141,7 +141,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
         "text_simhash_portable" -> "simhash63_md5",
         "doc_winnow_portable" -> "winnow_fps_md5",
         "doc_quality_filter" -> "token_stats",
-        "doc_repetition_stats" -> "rep_stats")) {
+        "doc_repetition_stats" -> "rep_stats",
+        "doc_strip_repeated_spans" -> "strip_repeated_spans")) {
       val df = SparkEntry.catalog(name).query(spark, sf)
       val physical = df.queryExecution.executedPlan.toString
       // Exactly ONE keyed exchange — the determinism sort. The
