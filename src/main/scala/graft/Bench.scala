@@ -149,6 +149,22 @@ object Bench {
       case (g, true) => math.floorMod(g + 1, rotationK)
     }
 
+  /** Pure decision predicate for the startup-degraded shard HEAL —
+    * restore the rotation slice iff the post-warm-up probe reads
+    * healthy (same 1.5x CPU / 5x mem thresholds as the startup test),
+    * there is something to restore, AND the budget arithmetic fits:
+    * restored-entry warm pass (<= `healWarmSec`) + pre-sweep quiesce
+    * and probe overhead (~60 s) + two predicted FULL-shard sweeps +
+    * the inter-sweep gap (~30 s). `estSweepSec` is None when the
+    * baseline doesn't credibly predict the full shard — no predictor,
+    * no heal (a blind restore is how budgets blow mid-sweep). */
+  private[graft] def healFits(reCpu: Double, reMem: Double,
+      restoredCount: Int, estSweepSec: Option[Double],
+      elapsedSec: Double, healWarmSec: Double, budgetSec: Double): Boolean =
+    reCpu <= 1.5 && reMem <= 5.0 && restoredCount > 0 &&
+      estSweepSec.exists(est =>
+        elapsedSec + healWarmSec + 60.0 + 2 * est + 30.0 <= budgetSec)
+
   @volatile private var calibSink = 0L // defeats dead-code elimination
 
   private def lcgSpin(iters: Long): Long = {
@@ -723,9 +739,8 @@ object Bench {
           Some(1.3 * math.max(0.8, reCpu) * baseSumFull)
         else None // no credible predictor -> no heal (conservative)
       val healWarmBudget = 45.0
-      val fits = estSweep.exists(est =>
-        elapsedSec + healWarmBudget + 60.0 + 2 * est + 30.0 <= budgetSec)
-      if (reCpu <= 1.5 && reMem <= 5.0 && restored.nonEmpty && fits) {
+      if (healFits(reCpu, reMem, restored.size, estSweep, elapsedSec,
+          healWarmBudget, budgetSec)) {
         System.err.println(f"[bench] startup degradation HEALED (cal " +
           f"now $reCpu%.2fx cpu / $reMem%.2fx mem): restoring " +
           f"${restored.size} rotation entries, warm <= " +
@@ -737,7 +752,8 @@ object Bench {
       } else {
         System.err.println(f"[bench] startup degradation stands (cal " +
           f"$reCpu%.2fx/$reMem%.2fx, restorable=${restored.size}, " +
-          f"budget_fits=$fits): core-only shard kept")
+          f"est_sweep=${estSweep.fold("n/a")(e => f"$e%.0f s")}, " +
+          f"elapsed=$elapsedSec%.0f s): core-only shard kept")
       }
     }
     // JIT quiesce, ADAPTIVE (round-11): the concurrent warm-up

@@ -70,4 +70,24 @@ class BenchRotationSpec extends AnyFunSuite {
     assert(Bench.nextRotationGroup(Seq(r14Wrapper), 3) === None)
     assert(Bench.nextRotationGroup(Seq.empty, 3) === None)
   }
+
+  test("heal decision: the r14 scenario heals (healthy re-probe, ample " +
+      "slack), the r11 bandwidth-starved host does not") {
+    // r14 shape: startup blip passed, re-probe at baseline, ~150 s
+    // elapsed after warm-up/restart, predicted full sweep ~55 s,
+    // 470 s budget -> 150 + 45 + 60 + 110 + 30 = 395 <= 470: HEAL
+    assert(Bench.healFits(1.0, 1.0, 44, Some(55.0), 150.0, 45.0, 470.0))
+    // persistent degradation (r11's 1.8x): never heal, whatever fits
+    assert(!Bench.healFits(1.8, 1.0, 44, Some(55.0), 150.0, 45.0, 470.0))
+    // bandwidth-starved mode the CPU probe is blind to
+    assert(!Bench.healFits(1.0, 6.0, 44, Some(55.0), 150.0, 45.0, 470.0))
+    // no credible predictor (baseline doesn't cover the shard): no heal
+    assert(!Bench.healFits(1.0, 1.0, 44, None, 150.0, 45.0, 470.0))
+    // nothing to restore: no-op
+    assert(!Bench.healFits(1.0, 1.0, 0, Some(55.0), 150.0, 45.0, 470.0))
+    // thin slack: 250 elapsed + 45 + 60 + 2*55 + 30 = 495 > 470
+    assert(!Bench.healFits(1.0, 1.0, 44, Some(55.0), 250.0, 45.0, 470.0))
+    // boundary: exactly equal fits (<=)
+    assert(Bench.healFits(1.5, 5.0, 1, Some(55.0), 225.0, 45.0, 470.0))
+  }
 }
