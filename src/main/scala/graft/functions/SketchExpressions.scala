@@ -198,6 +198,60 @@ object SketchAlgos {
     v >>> 4
   }
 
+  /** Portable-hash MinHash over WORD n-grams — the shingle space for
+    * corpora whose character-shingle space saturates (the synthetic
+    * ~31-word vocabulary collides every doc pair under char-3
+    * shingles; word 3-grams discriminate). mins(i) = min over all
+    * n-token-gram occurrences of md5Prefix60(gram ++ "#i"): the min
+    * over a multiset equals the min over its support, so no distinct
+    * set is materialized (the SQL replay's `list_distinct` is
+    * value-irrelevant to the mins). A gram IS the byte slice
+    * [tokStart(p), tokStart(p+n)-1) of the text — tokens are
+    * space-joined in place, so no gram strings are allocated. Docs
+    * with fewer than n tokens return the EMPTY array (no full gram
+    * fits): the caller's posexplode drops them, matching the SQL
+    * replay where zero gram rows never reach the GROUP BY — returning
+    * MaxValue mins instead would band-collide every gram-less doc
+    * with every other. */
+  def minhashWordsData(text: UTF8String, k: Int, n: Int): ArrayData = {
+    require(k <= MaxK, s"k=$k must be <= $MaxK")
+    val bytes = text.getBytes
+    var nTok = 1
+    var b = 0
+    while (b < bytes.length) { if (bytes(b) == 0x20) nTok += 1; b += 1 }
+    if (nTok < n)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val tokStart = new Array[Int](nTok + 1)
+    var t = 1
+    b = 0
+    while (b < bytes.length) {
+      if (bytes(b) == 0x20) { tokStart(t) = b + 1; t += 1 }
+      b += 1
+    }
+    tokStart(nTok) = bytes.length + 1 // virtual separator past the end
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val m = nTok - n + 1
+    var buf = new Array[Byte](64)
+    var p = 0
+    while (p < m) {
+      val off = tokStart(p)
+      val gLen = tokStart(p + n) - 1 - off
+      if (buf.length < gLen + 8) buf = new Array[Byte](gLen + 8)
+      System.arraycopy(bytes, off, buf, 0, gLen)
+      var i = 0
+      while (i < k) {
+        val suf = saltSuffix(i)
+        System.arraycopy(suf, 0, buf, gLen, suf.length)
+        val h = md5Prefix60(buf, 0, gLen + suf.length)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** First 16 hex chars of sha256(s) — bit-exact with
     * `substring(sha2(s AS BINARY, 256), 1, 16)` / DuckDB
     * `substring(sha256(s), 1, 16)`. */
@@ -579,6 +633,20 @@ case class MinHashBandsPortable(child: Expression, k: Int, shingleLen: Int)
   override def nullSafeEval(input: Any): Any =
     SketchAlgos.minhashPortableBandsData(
       input.asInstanceOf[UTF8String], k, shingleLen)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_words_md5(text, k, n)` — array<long> of k portable
+  * (md5-prefix) MinHash values over WORD n-grams; empty array when
+  * fewer than n tokens (see [[SketchAlgos.minhashWordsData]]). */
+case class MinHashWordsPortable(child: Expression, k: Int, n: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "minhash_words_md5"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.minhashWordsData($c, $k, $n)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.minhashWordsData(input.asInstanceOf[UTF8String], k, n)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
