@@ -3407,18 +3407,21 @@ object TextQueries {
       val dd = docs.where($"text".isNotNull)
 
       // MinHash layer: word-3-gram shingles -> 8 portable md5
-      // minhashes -> 4 bands x 2 rows, one gram explode + one
-      // 8-min-agg exchange, band equi-join (never all-pairs)
-      val grams = dd.select($"doc_id",
-        explode(graft.ext.Dedup.tokenNgrams($"text", 3)).as("sh"))
-      val minCols = (0 until k).map(i =>
-        min(conv(substring(md5(concat($"sh", lit(s"#$i"))), 1, 15),
-          16, 10).cast("long")).as(s"mh$i"))
-      val mh = grams.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      // minhashes via the single-pass `minhash_words_md5` kernel (one
+      // row-local call per doc — no gram explode, no 8-min-agg
+      // exchange; bit-exactness with the explode+md5 column
+      // formulation is pinned by SketchExprSpec) -> 4 bands x 2 rows,
+      // band equi-join (never all-pairs). Kernel returns the EMPTY
+      // array for docs with < 3 tokens — the same docs the SQL
+      // replay's `len(toks) >= 3` guard drops.
+      val mh = dd.select($"doc_id",
+        call_function("minhash_words_md5", $"text", lit(k), lit(3))
+          .as("mhs"))
+        .where(size($"mhs") > 0)
       val bands = mh.select($"doc_id", posexplode(array(
         (0 until k / 2).map(j => concat_ws("_",
-          col(s"mh${2 * j}").cast("string"),
-          col(s"mh${2 * j + 1}").cast("string"))): _*))
+          element_at($"mhs", 2 * j + 1).cast("string"),
+          element_at($"mhs", 2 * j + 2).cast("string"))): _*))
         .as(Seq("band", "sig")))
       val dropMinhash = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

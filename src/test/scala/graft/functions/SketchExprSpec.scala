@@ -100,6 +100,40 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     natMinhash(df, 8, 5) shouldBe refMinhash(df, 8, 5)
   }
 
+  /** Word-gram portable minhash column formulation — the exact
+    * md5/conv pipeline `dedup_layer_agreement`'s MinHash layer shipped
+    * before the kernel (and its DuckDB oracle still replays): explode
+    * word n-grams, min over `conv(substring(md5(gram || '#i'), 1, 15),
+    * 16, 10)` per salt. Docs with < n tokens have no gram row. */
+  private def refMinhashWords(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] = {
+    val grams = df.select($"doc_id",
+      explode(Dedup.tokenNgrams($"text", n)).as("sh"))
+    val minCols = (0 until k).map(i =>
+      min(conv(substring(md5(concat($"sh", lit(s"#$i"))), 1, 15),
+        16, 10).cast("long")).as(s"mh$i"))
+    grams.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+  }
+
+  private def natMinhashWords(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("minhash_words_md5", $"text", lit(k), lit(n)).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("minhash_words_md5 is bit-exact with the md5/conv explode+agg " +
+      "formulation; empty array iff fewer than n tokens") {
+    val df = corpus(edgeTexts)
+    for ((k, n) <- Seq((8, 3), (4, 2))) {
+      val nat = natMinhashWords(df, k, n)
+      val ref = refMinhashWords(df, k, n)
+      nat.filter(_._2.nonEmpty) shouldBe ref
+      // the kernel's empty-array docs are exactly those the explode
+      // formulation drops (fewer than n tokens -> no full gram)
+      nat.filter(_._2.isEmpty).keySet shouldBe
+        (nat.keySet -- ref.keySet)
+    }
+  }
+
   test("minhash_bands matches bandHashes over the signature frame") {
     val df = corpus(edgeTexts)
     natBands(df, 16, 4, 3) shouldBe refBands(df, 16, 4, 3)
@@ -233,7 +267,9 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       val paired = pairedCorpus(texts)
       val jacOk = natJaccard(paired, 3) == refJaccard(paired, 3)
       val tsOk = natTokenStats(df) == refTokenStats(df)
-      sigOk && bandsOk && winnowOk && simOk && jacOk && tsOk
+      val natMW = natMinhashWords(df, 4, 2)
+      val mwOk = natMW.filter(_._2.nonEmpty) == refMinhashWords(df, 4, 2)
+      sigOk && bandsOk && winnowOk && simOk && jacOk && tsOk && mwOk
     }
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(5)
