@@ -165,6 +165,23 @@ object Bench {
       estSweepSec.exists(est =>
         elapsedSec + healWarmSec + 60.0 + 2 * est + 30.0 <= budgetSec)
 
+  /** Pure post-hoc single-task attribution (r15 verdict item 4 →
+    * r16 item 6): assign each recorded ≥ 3 s one-task stage event to
+    * the TIMED run whose [start, end] wall-clock window contains the
+    * stage's midpoint. Windows come only from `attribute = true` runs
+    * (the serial timed sweeps), so stages from the concurrent warm-up,
+    * the settle pass, or inter-sweep gaps fall outside every window
+    * and are dropped — the r15 failure mode was exactly a warm-up
+    * stage blamed on `date_functions`' 0.245 s timed run. Extracted
+    * pure so `BenchRotationSpec` can pin the scoping on a synthetic
+    * stage log. */
+  private[graft] def attributeSingleTask(
+      windows: Seq[(String, Long, Long)],
+      events: Seq[(Long, String)]): Set[String] =
+    events.flatMap { case (midMs, _) =>
+      windows.collectFirst { case (n, a, b) if midMs >= a && midMs <= b => n }
+    }.toSet
+
   @volatile private var calibSink = 0L // defeats dead-code elimination
 
   private def lcgSpin(iters: Long): Long = {
@@ -648,9 +665,17 @@ object Bench {
             // the warm-up cannot stretch its budget while the
             // entries that matter still warm fully.
             val remain = budget - (System.nanoTime() - w0) / 1e9
+            val e0 = System.nanoTime()
             runOnce(n, dir, attribute = false,
               deadlineSec = math.min(queryDeadlineSec,
                 math.max(40.0, remain + 30.0)))
+            // Per-entry warm wall-time (r16 verdict item 2): when the
+            // deadline truncates a warm pass, the log must say what
+            // consumed the budget — r16 hit the 100 s deadline having
+            // warmed only 68 of 159 entries and nothing recorded why.
+            System.err.println(f"[bench] warm $n " +
+              f"${(System.nanoTime() - e0) / 1e9}%.1f s (pass " +
+              f"${(System.nanoTime() - w0) / 1e9}%.1f/$budget%.0f s)")
             n = queue.poll()
           }
         })
@@ -670,11 +695,53 @@ object Bench {
       // nothing and cost ~30% of the warm-up budget). Entries left
       // un-warmed pay their first-run cost inside sweep 1 once; the
       // cross-sweep lower-median sheds it.
-      val warmBudget =
-        sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "100").toDouble
+      //
+      // The deadline is ADAPTIVE (r16 verdict item 2): the flat 100 s
+      // cap left 91 of 159 entries cold in r16, and the cold first
+      // runs inside sweep 1 produced a broad 1.3-1.7x elevation band
+      // plus one 3.8x driver flag (`multimodal_gif_frames` — profiled
+      // at 0.599 s isolated, i.e. the flag was entirely a warm-up
+      // artifact). A truncated warm-up does not even save budget: the
+      // skipped entries' first-run cost is paid anyway, serially,
+      // INSIDE the measured sweep. So give the warm pass every second
+      // the sweep arithmetic does not need: reserve restart + settle +
+      // quiesce (~75 s), calibration (~6 s), two predicted sweeps
+      // (baseline-driven with the same 1.3x headroom as the
+      // feasibility check, scaled by the startup probe's session
+      // factor), the inter-sweep gap (~30 s) and 25 s slack; the
+      // remainder is the warm budget, floored at the old 100 s and
+      // capped at 240 s (~the 8-thread cost of warming a full
+      // 236-entry catalog; beyond that a warm pass is soaking up a
+      // degraded host, not doing JIT work). Env override wins.
+      val warmBudget = sys.env.get("SPARK_GRAFT_WARMUP_BUDGET_SEC")
+        .map(_.toDouble).getOrElse {
+          val baseSum = timedNames.flatMap(baseKv.get).sum
+          val covered = baselineConfigMatches &&
+            timedNames.count(baseKv.contains) >= timedNames.size * 0.9
+          if (covered && baseSum > 0) {
+            val sessionFactor = baseCalN.map(b =>
+              math.max(0.8, calib0._2 / b)).getOrElse(1.0)
+            val reserved =
+              75.0 + 6.0 + 2 * 1.3 * sessionFactor * baseSum + 30.0 + 25.0
+            math.max(100.0, math.min(240.0, budgetSec - elapsedSec - reserved))
+          } else 100.0
+        }
       val skipped = warmConcurrent(timedNames, warmDir, warmBudget)
       unwarmed = skipped
-      System.err.println(f"[bench] warm-up sweep ($warmDir, 8 threads) " +
+      // Second warm pass over the costliest entries when the first
+      // pass finished under budget: one warm execution is NOT enough
+      // for the codec/kernel-heavy entries — r16's `multimodal_gif_
+      // frames` read 3.8x after its cold sweep-1 run failed to warm it
+      // for sweep 2, and quiet EntryProfile reps show the same shape
+      // (run 2 at 0.76 s vs run 4+ at 0.58 s). Leftover warm budget
+      // buys those entries their run-3 warmth where it is untimed.
+      val warmRemain = warmBudget - (System.nanoTime() - w0) / 1e9
+      if (skipped == 0 && warmRemain > 25.0) {
+        val top = timedNames.sortBy(n => -costRank(n)).take(16)
+        warmConcurrent(top, warmDir, warmRemain)
+      }
+      System.err.println(f"[bench] warm-up sweep ($warmDir, 8 threads, " +
+        f"budget $warmBudget%.0f s) " +
         f"${(System.nanoTime() - w0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s" +
         (if (skipped > 0) s"; $skipped entries un-warmed (deadline)" else ""))
     }
@@ -1099,13 +1166,8 @@ object Bench {
     // the stage's midpoint. Stages outside every window (warm-up,
     // settle) are dropped — same scope as before, without the race.
     Thread.sleep(1000)
-    val singleTask: Set[String] = {
-      val windows = timedWindows.asScala.toSeq
-      singleTaskEvents.asScala.flatMap { case (midMs, _) =>
-        windows.collectFirst {
-          case (n, a, b) if midMs >= a && midMs <= b => n }
-      }.toSet
-    }
+    val singleTask: Set[String] = attributeSingleTask(
+      timedWindows.asScala.toSeq, singleTaskEvents.asScala.toSeq)
     def calsJson(
         cs: scala.collection.Seq[(Double, Double, Double)]): String = cs
       .map { case (a, b, c) =>

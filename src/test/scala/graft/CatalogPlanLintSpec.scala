@@ -61,7 +61,9 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "corpus_novelty_curve",  // gram stream x broadcast 1-row doc-count scalar
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
-    "graph_kcore_copurchase") // broadcast 1-row converged flag
+    "graph_kcore_copurchase", // broadcast 1-row converged flag
+    "dedup_threshold_sensitivity") // composes dedup_semantic_embed's
+                             // centroid cross + broadcast 1-row doc count
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle
