@@ -1536,26 +1536,31 @@ object TextQueries {
             array().cast("array<bigint>").as("bins")),
           (st, e) => {
             // 1-based index of the FIRST open bin with room; null when
-            // none fits (the transform+filter pair never runs
-            // sequence() on an empty span, so the empty-bins first
-            // step is safe by construction)
-            val fitIdx = get(filter(transform(st("bins"),
+            // none fits. The HOF evaluator substitutes a referenced
+            // Column EXPRESSION at every use site, so this O(bins)
+            // scan must be LET-BOUND — evaluated once per step via a
+            // single-element transform whose lambda variable is the
+            // value — or the bins-update transform below re-runs it
+            // per element (O(bins²)/doc; measured 22× on the fold).
+            val fitIdxExpr = get(filter(transform(st("bins"),
               (b, i) => when(b + e("n") <= budget, i + lit(1L))),
               x => x.isNotNull), lit(0))
-            val fits = fitIdx.isNotNull
-            val bin = when(fits, fitIdx - 1L)
-              .otherwise(size(st("bins")).cast("long"))
-            val off = when(fits,
-              element_at(st("bins"), fitIdx.cast("int"))).otherwise(lit(0L))
-            val bins = when(fits, transform(st("bins"),
-              (b, i) => when(i.cast("long") + 1L === fitIdx, b + e("n"))
-                .otherwise(b)))
-              .otherwise(concat(st("bins"), array(e("n"))))
-            struct(
-              concat(st("acc"), array(struct(e("doc_id").as("doc_id"),
-                e("n").as("n"), bin.as("bin"), off.as("bin_offset"))))
-                .as("acc"),
-              bins.as("bins"))
+            get(transform(array(fitIdxExpr), fitIdx => {
+              val fits = fitIdx.isNotNull
+              val bin = when(fits, fitIdx - 1L)
+                .otherwise(size(st("bins")).cast("long"))
+              val off = when(fits,
+                element_at(st("bins"), fitIdx.cast("int"))).otherwise(lit(0L))
+              val bins = when(fits, transform(st("bins"),
+                (b, i) => when(i.cast("long") + 1L === fitIdx, b + e("n"))
+                  .otherwise(b)))
+                .otherwise(concat(st("bins"), array(e("n"))))
+              struct(
+                concat(st("acc"), array(struct(e("doc_id").as("doc_id"),
+                  e("n").as("n"), bin.as("bin"), off.as("bin_offset"))))
+                  .as("acc"),
+                bins.as("bins"))
+            }), lit(0))
           },
           st => st("acc"))).as("p"))
         .select($"source", $"p.doc_id".as("doc_id"), $"p.n".as("n_tokens"),
@@ -3391,7 +3396,14 @@ object TextQueries {
     * blocked / clustered plan (never all-pairs); the census adds four
     * small drop-set LEFT JOINs onto the id universe (drop sets are
     * duplicate-sized, broadcastable), a row-local explode of the 10
-    * layer-pair structs, and ONE partial-agg exchange over 10 keys. */
+    * layer-pair structs, and ONE partial-agg exchange over 10 keys.
+    *
+    * Where the time goes (r17 warmed full run): 2.09 s vs 2.41 s for
+    * the r15 explode+8-min-agg MinHash formulation — the r16 kernel
+    * rewiring bought ~13%; the MinHash layer was never the hotspot,
+    * the other three layers (SimHash banding, rare-gram containment
+    * blocks, semantic cluster pairs) plus the determinism sorts
+    * dominate. */
   val dedupLayerAgreement: CatalogEntry = {
     val k = 8
     val mins = (0 until k).map(i =>
