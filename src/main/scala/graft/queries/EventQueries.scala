@@ -1212,6 +1212,84 @@ object EventQueries {
     }
   }
 
+  /** HOLT LINEAR-TREND FORECAST per series (double exponential
+    * smoothing, Holt 1957 — the level+trend upgrade over the EMA's
+    * level-only smoothing, and the standard short-horizon rate
+    * forecast): over each type's DAILY CLOSES (last value per day,
+    * ties to the latest event_id), the coupled recursion
+    * l←αx+(1−α)(l+b), b←β(l−l_prev)+(1−β)b with α=1/4, β=1/2 runs in
+    * exact integer cents — each step is two truncating integer
+    * divisions, `(x + 3(l+b)) div 4` and `(Δl + b) div 2`, which both
+    * engines replay step-for-step (Spark `div` and DuckDB `//` both
+    * truncate toward zero, negative trends included), so the forecast
+    * is bit-stable where a float recursion is order-brittle. Emits
+    * the final level/trend and the h = 1..3 day-ahead forecasts
+    * l + h·b.
+    *
+    * Scale shape: the daily-close downsample is one windowed
+    * row_number over (type, day) — the only pass over the raw events;
+    * the recursion then runs over ≤ days-per-type rows as a row-local
+    * `aggregate` HOF fold per type after ONE shuffle of the tiny
+    * daily series (the pack_sequences fold pattern with O(1) state —
+    * level and trend only, no accumulator array). At 100 TB the fold
+    * length is the CALENDAR, not the data: a century of daily closes
+    * is 36k steps per series regardless of raw event volume. */
+  val eventsHoltForecast: CatalogEntry = CatalogEntry(
+    "events_holt_forecast",
+    """WITH RECURSIVE c AS (
+      |  SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |         round(value*100)::BIGINT AS x FROM events),
+      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
+      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                            ORDER BY tsx DESC, event_id DESC) AS rn
+      |        FROM c),
+      |arr AS (SELECT event_type,
+      |          list(struct_pack(day := day, x := x) ORDER BY day) AS ds
+      |        FROM dcl WHERE rn = 1 GROUP BY event_type),
+      |rec(event_type, i, m, l, b) AS (
+      |  SELECT event_type, 0, len(ds), 0::BIGINT, 0::BIGINT FROM arr
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.m,
+      |    CASE WHEN r.i = 0 THEN a.ds[r.i + 1].x
+      |         ELSE (a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4 END,
+      |    CASE WHEN r.i = 0 THEN 0::BIGINT
+      |         ELSE (((a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4)
+      |               - r.l + r.b) // 2 END
+      |  FROM rec r JOIN arr a USING (event_type) WHERE r.i < r.m)
+      |SELECT r.event_type, r.m::BIGINT AS n_days, r.l AS level_cents,
+      |  r.b AS trend_cents, (r.l + r.b)::BIGINT AS f1_cents,
+      |  (r.l + 2 * r.b)::BIGINT AS f2_cents,
+      |  (r.l + 3 * r.b)::BIGINT AS f3_cents
+      |FROM rec r WHERE r.i = r.m ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type", $"day")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val daily = Tables.events(s, d)
+        .select($"event_type", $"ts", $"event_id",
+          to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("x"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+      daily.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+        .withColumn("st", expr(
+          """aggregate(ds,
+            |  named_struct('n', 0L, 'l', 0L, 'b', 0L),
+            |  (st, e) -> CASE WHEN st.n = 0L
+            |    THEN named_struct('n', 1L, 'l', e.x, 'b', 0L)
+            |    ELSE named_struct('n', st.n + 1L,
+            |      'l', (e.x + 3L * (st.l + st.b)) div 4L,
+            |      'b', (((e.x + 3L * (st.l + st.b)) div 4L)
+            |            - st.l + st.b) div 2L) END)""".stripMargin))
+        .select($"event_type", $"st.n".as("n_days"),
+          $"st.l".as("level_cents"), $"st.b".as("trend_cents"),
+          ($"st.l" + $"st.b").as("f1_cents"),
+          ($"st.l" + lit(2L) * $"st.b").as("f2_cents"),
+          ($"st.l" + lit(3L) * $"st.b").as("f3_cents"))
+        .orderBy($"event_type")
+  }
+
   /** CUSUM changepoint detection per series, float-free: the classic
     * statistic Σ_{i≤k}(x_i − μ) is rescaled by n to
     * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term exact.
@@ -1332,7 +1410,7 @@ object EventQueries {
   def entries: Seq[CatalogEntry] = Seq(
     eventsOutlierMad,
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
-    eventsChangepointCusum,
+    eventsHoltForecast, eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,

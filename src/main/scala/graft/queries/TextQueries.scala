@@ -658,6 +658,104 @@ object TextQueries {
     }
   }
 
+  /** b-BIT MINWISE HASHING (Li & König, WWW 2010): store only the
+    * lowest b = 2 bits of each of k = 16 word-3-gram minhashes and
+    * estimate resemblance from b-bit matches with the collision
+    * correction — E[match] = C + (1−C)·R with C = 1/2^b, so
+    * R̂ = (m/k − 1/4)/(3/4), emitted as the exact integer
+    * `greatest(0, (10⁶·(4m − k)) div 3k)` ppm. The entry scores every
+    * banded candidate pair BOTH ways (full 60-bit match count vs
+    * 2-bit match count) so the b-bit estimator's error against the
+    * full estimator is measurable row by row — the evidence for
+    * shipping 4-byte signatures.
+    *
+    * Scale shape (the paper's point): the stored/shuffled signature
+    * is k·b = 32 bits per doc instead of k·64 = 1024 — a 32×
+    * reduction of the dedup index's memory/network footprint at
+    * equal k. Candidates here still come from the full-width 8-band ×
+    * 2-row equi-join (never all-pairs; identical candidate set, so
+    * the comparison isolates the estimator), signatures are one
+    * row-local `minhash_words_md5` kernel call per doc, and scoring
+    * is a row-local zip over the two 16-long arrays on the
+    * band-bounded pair rows. */
+  val dedupBbitMinhash: CatalogEntry = {
+    val k = 16
+    val mins = (0 until k).map(i =>
+      s"""    min(('0x' || substring(md5(g || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+      .mkString(",\n")
+    val bands = (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS sig
+         |  FROM h""".stripMargin).mkString("\n  UNION ALL\n")
+    val fullm = (0 until k)
+      .map(i => s"CASE WHEN ha.mh$i = hb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" +\n    ")
+    val bbitm = (0 until k)
+      .map(i => s"CASE WHEN (ha.mh$i & 3) = (hb.mh$i & 3) THEN 1 ELSE 0 END")
+      .mkString(" +\n    ")
+    CatalogEntry(
+      "dedup_bbit_minhash",
+      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |gr AS (
+         |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+         |                         for i in range(1, len(toks) - 1)]) AS g
+         |  FROM tt WHERE len(toks) >= 3),
+         |h AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM gr GROUP BY doc_id),
+         |b AS (
+         |$bands),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig
+         |                    AND x.doc_id < y.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  ($fullm)::BIGINT AS full_match,
+         |  ($bbitm)::BIGINT AS bbit_match,
+         |  ((1000000 * ($fullm)) // $k)::BIGINT AS r_full_ppm,
+         |  greatest(0, (1000000 * (4 * ($bbitm) - $k)) // (3 * $k))::BIGINT
+         |    AS r_bbit_ppm
+         |FROM pairs p
+         |JOIN h ha ON ha.doc_id = p.doc_a
+         |JOIN h hb ON hb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val mh = Tables.documents(s, d)
+        .where($"text".isNotNull)
+        .select($"doc_id",
+          call_function("minhash_words_md5", $"text", lit(k), lit(3))
+            .as("mhs"))
+        .where(size($"mhs") > 0)
+      val bandRows = mh.select($"doc_id", posexplode(array(
+        (0 until k / 2).map(j => concat_ws("_",
+          element_at($"mhs", 2 * j + 1).cast("string"),
+          element_at($"mhs", 2 * j + 2).cast("string"))): _*))
+        .as(Seq("band", "sig")))
+      val pairs = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(mh.select($"doc_id".as("doc_a"), $"mhs".as("ma")), "doc_a")
+        .join(mh.select($"doc_id".as("doc_b"), $"mhs".as("mb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          expr("cast(size(filter(zip_with(ma, mb, (x, y) -> x = y)," +
+            " v -> v)) as bigint)").as("full_match"),
+          expr("cast(size(filter(zip_with(ma, mb," +
+            " (x, y) -> (x & 3L) = (y & 3L)), v -> v)) as bigint)")
+            .as("bbit_match"))
+        .select($"doc_a", $"doc_b", $"full_match", $"bbit_match",
+          expr(s"(1000000L * full_match) div $k").as("r_full_ppm"),
+          expr(s"greatest(0L, (1000000L * (4L * bbit_match - $k))" +
+            s" div ${3 * k})").as("r_bbit_ppm"))
+        .orderBy($"doc_a", $"doc_b")
+    }
+  }
+
   /** SimHash with the portable md5-prefix token hash, via the native
     * `simhash63_md5` kernel — the identical vote/assemble machinery to
     * the production `simhash63` (the hash's top 3 bits are always
@@ -3962,7 +4060,7 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
-    packSequencesFfd,
+    packSequencesFfd, dedupBbitMinhash,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,

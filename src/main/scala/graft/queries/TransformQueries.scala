@@ -356,8 +356,71 @@ object TransformQueries {
     }
   }
 
+  /** CHI-SQUARED INDEPENDENCE CENSUS over the (lang × source)
+    * contingency table — the statistical test behind "is language mix
+    * a property of the source?" that decides whether per-source
+    * sampling caps need language stratification. Every cell of the
+    * FULL grid (zero cells included — a LEFT JOIN from the row-total ×
+    * column-total grid, since absent combinations carry χ² mass too)
+    * emits the observed count, the expected count in exact milli
+    * (10³·R·C div N), and the χ² contribution (O·N − R·C)²·10⁶ div
+    * (R·C·N) — the classic statistic rescaled by N so every term is
+    * exact integer arithmetic. The squared numerator overflows int64
+    * at corpus scale (already ~6·10²⁰ at sf0.1), so the product runs
+    * in DECIMAL(38,0) — Spark's non-ANSI long multiply would wrap
+    * SILENTLY while DuckDB promotes to HUGEINT (the events_ema16 /
+    * CUSUM overflow discipline).
+    *
+    * Scale shape: ONE partial-agg exchange over |langs|·|sources|
+    * cells; row/column totals re-aggregate the tiny cell table; the
+    * grid is a broadcast cross of two ≤|distinct| aggregates and the
+    * N scalar — no second pass over the corpus. */
+  val statsChisqLangSource: CatalogEntry = CatalogEntry(
+    "stats_chisq_lang_source",
+    """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n
+      |               FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, sum(n)::BIGINT AS r FROM cells GROUP BY lang),
+      |ct AS (SELECT source, sum(n)::BIGINT AS c FROM cells GROUP BY source),
+      |tot AS (SELECT sum(n)::BIGINT AS nn FROM cells),
+      |grid AS (SELECT rt.lang, ct.source, rt.r, ct.c
+      |         FROM rt CROSS JOIN ct)
+      |SELECT g.lang, g.source, coalesce(cells.n, 0)::BIGINT AS n_obs,
+      |  ((1000::HUGEINT * g.r * g.c) // t.nn)::BIGINT AS expected_milli,
+      |  ((1000000::HUGEINT
+      |    * (coalesce(cells.n, 0)::HUGEINT * t.nn - g.r::HUGEINT * g.c)
+      |    * (coalesce(cells.n, 0)::HUGEINT * t.nn - g.r::HUGEINT * g.c))
+      |   // (g.r::HUGEINT * g.c::HUGEINT * t.nn::HUGEINT))::BIGINT
+      |    AS chi2_contrib_micro
+      |FROM grid g CROSS JOIN tot t
+      |LEFT JOIN cells ON cells.lang = g.lang AND cells.source = g.source
+      |ORDER BY g.lang, g.source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    val rt = cells.groupBy($"lang").agg(sum($"n").as("r"))
+    val ct = cells.groupBy($"source").agg(sum($"n").as("c"))
+    val tot = cells.agg(sum($"n").as("nn"))
+    rt.crossJoin(broadcast(ct))
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"lang", $"source",
+        coalesce($"n", lit(0L)).as("n_obs"), $"r", $"c", $"nn")
+      .select($"lang", $"source", $"n_obs",
+        expr("(cast(1000 as decimal(38,0)) * r * c) div nn")
+          .cast("long").as("expected_milli"),
+        expr("""(cast(1000000 as decimal(38,0))
+          | * (cast(n_obs as decimal(38,0)) * nn
+          |    - cast(r as decimal(38,0)) * c)
+          | * (cast(n_obs as decimal(38,0)) * nn
+          |    - cast(r as decimal(38,0)) * c))
+          | div (cast(r as decimal(38,0)) * cast(c as decimal(38,0))
+          |      * cast(nn as decimal(38,0)))""".stripMargin)
+          .cast("long").as("chi2_contrib_micro"))
+      .orderBy($"lang", $"source")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
-    statsCorrMatrix,
+    statsCorrMatrix, statsChisqLangSource,
     transformChain, roundtripCsv, profileColumns, unionByNameEvolve,
     dateFunctions, roundtripJson, roundtripOrc, roundtripXml,
     profileColumnsApprox)

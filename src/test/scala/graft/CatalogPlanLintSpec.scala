@@ -40,6 +40,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "q22_global_sales",      // broadcast 1-row global-average scalar
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
+    "stats_chisq_lang_source", // |langs| x broadcast |sources| grid + N scalar
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "dedup_semantic_embed",  // same k=8 centroid assign feeds the prune
     "dedup_layer_agreement", // composes dedup_semantic_embed's centroid cross
