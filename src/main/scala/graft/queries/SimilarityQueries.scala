@@ -1532,7 +1532,73 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** MATRYOSHKA TRUNCATION RECALL (Kusupati et al., NeurIPS 2022) —
+    * recall@10 of PREFIX-truncated embeddings (d ∈ {8, 16, 32} of 64)
+    * against the exact full-dimension top-10: the measurement behind
+    * shipping d/8th-size vectors for the ANN index and rescoring the
+    * shortlist at full width. MRL-trained embeddings concentrate
+    * information in the prefix and this curve rises steeply; this
+    * fixture's embeddings are NOT matryoshka-trained, so the curve is
+    * low and non-monotonic — which is exactly what the harness should
+    * report before anyone truncates them (the measurement, not the
+    * model, is the deliverable; `sim_recall_at_k` discipline).
+    *
+    * Scale shape: each arm is one corpus pass of a d-prefix cosine
+    * (row-local `slice` + native dot vs the broadcast query prefix)
+    * cut to 10 rows, joined to the exact 10-row side; at 100 TB the
+    * curve runs over a query SAMPLE exactly like the recall
+    * entries — and the truncated arm's scan reads d/64th of the
+    * vector bytes, which is the entry's whole point. */
+  val embedMatryoshkaRecall: CatalogEntry = {
+    def cosPrefixSql(d: Int): String =
+      s"""(list_sum([te[i]::DOUBLE * qe[i]::DOUBLE
+         |           for i in range(1, $d + 1)]) /
+         |  (sqrt(list_sum([te[i]::DOUBLE * te[i]::DOUBLE
+         |                  for i in range(1, $d + 1)])) *
+         |   sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+         |                  for i in range(1, $d + 1)]))))""".stripMargin
+    def armSql(d: Int): String =
+      s"""SELECT $d::BIGINT AS dim, count(*)::BIGINT AS n_hit,
+         |  (count(*) * 10)::BIGINT AS recall_pct
+         |FROM (
+         |  WITH tr AS (SELECT vec_id, embedding[1:$d] AS te
+         |              FROM embeddings),
+         |  q AS (SELECT embedding[1:$d] AS qe FROM embeddings
+         |        WHERE vec_id = 0)
+         |  SELECT vec_id FROM (
+         |    SELECT tr.vec_id, round(${cosPrefixSql(d)}, 6) AS cos_sim
+         |    FROM tr, q ORDER BY cos_sim DESC, vec_id LIMIT 10)) a
+         |JOIN (${simCosineTopk.oracle.get.replace("\n", "\n      ")}) e
+         |  ON a.vec_id = e.vec_id""".stripMargin
+    CatalogEntry(
+      "embed_matryoshka_recall",
+      Seq(8, 16, 32).map(armSql).mkString(
+        "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY dim")) {
+      (s, d) =>
+        import s.implicits._
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val exact = simCosineTopk.query(s, d).select($"vec_id".as("evid"))
+        def arm(dm: Int): org.apache.spark.sql.DataFrame = {
+          val tr = emb.select($"vec_id", slice($"embedding", 1, dm).as("te"))
+          val q = emb.filter($"vec_id" === 0)
+            .select(slice($"embedding", 1, dm).as("qe"))
+          tr.crossJoin(broadcast(q))
+            .select($"vec_id",
+              round(Similarity.cosineNative($"te", $"qe"), 6).as("cos_sim"))
+            .orderBy($"cos_sim".desc, $"vec_id".asc)
+            .limit(10)
+            .join(exact, $"vec_id" === $"evid")
+            .agg(count(lit(1)).as("n_hit"),
+              (count(lit(1)) * 10).as("recall_pct"))
+            .select(lit(dm.toLong).as("dim"), $"n_hit", $"recall_pct")
+        }
+        Seq(8, 16, 32).map(arm).reduce(_ unionByName _).orderBy($"dim")
+    }
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    embedMatryoshkaRecall,
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
     simIvfRecallCurve, simNdcgEval, decontamSemanticEmbed, simPqRecall,
     arrayStats, embeddingCentroids, arrayManipulation,

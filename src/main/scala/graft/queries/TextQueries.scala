@@ -1565,6 +1565,116 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** EXCESS-LOSS RANKING — the surprise GAP between the two deployed
+    * LM scorers, per doc in exact integer nano-nats: bigram avg NLL
+    * ([[docLmBigramScore]]'s conditional model) minus unigram avg NLL
+    * ([[docLmScore]]'s frequency model), top-50 by the gap. A doc
+    * whose sequences are much more surprising than its word
+    * frequencies predict is either novel signal or word salad — the
+    * cheap deterministic analogue of reducible-holdout-loss selection
+    * (Mindermann et al., ICML 2022: prioritize points whose training
+    * loss exceeds an irreducible reference loss), with the pipeline's
+    * own unigram LM as the reference model. Both scoring chains are
+    * nested verbatim from their entries (the measurement cannot drift
+    * from the scorers), and the gap stays on the integer lattice —
+    * per-doc totals of the nano-quantized log-probs, one truncating
+    * division each — so the ranking is bit-stable where a
+    * difference-of-rounded-doubles would not be.
+    *
+    * Scale shape: the two LM chains are the existing scale-safe plans
+    * (vocab/bigram censuses + broadcast totals); the composite adds
+    * one |docs|-row join and a TakeOrdered(50) — no window over the
+    * corpus, the rank runs on the 50-row shortlist. */
+  val docLmExcessRank: CatalogEntry = CatalogEntry(
+    "doc_lm_excess_rank",
+    """WITH dd AS (SELECT doc_id, text FROM documents
+      |            WHERE text IS NOT NULL AND length(text) > 0),
+      |utok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |         FROM dd),
+      |uvocab AS (SELECT token, count(*)::BIGINT AS n FROM utok
+      |           GROUP BY token),
+      |utot AS (SELECT sum(n)::BIGINT AS t FROM uvocab),
+      |ulp AS (SELECT token,
+      |          round(ln(n::DOUBLE / t::DOUBLE) * 1e9, 0)::BIGINT AS lp_q
+      |        FROM uvocab, utot),
+      |u AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+      |        -sum(lp_q)::BIGINT AS u_tot
+      |      FROM utok JOIN ulp USING (token) GROUP BY doc_id),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+      |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+      |                              for i in range(1, len(toks))]) AS bigram
+      |       FROM t WHERE len(toks) >= 2),
+      |c12 AS (SELECT bigram, count(*)::BIGINT AS n12 FROM bg
+      |        GROUP BY bigram),
+      |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+      |         sum(n12)::BIGINT AS n1
+      |       FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT token)::BIGINT AS vs FROM utok),
+      |blp AS (SELECT bigram,
+      |          round(ln((n12 + 1)::DOUBLE / (n1 + vs)::DOUBLE) * 1e9, 0)
+      |            ::BIGINT AS lp_q
+      |        FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = c1.w1, v),
+      |b AS (SELECT doc_id, count(*)::BIGINT AS n_big,
+      |        -sum(lp_q)::BIGINT AS b_tot
+      |      FROM bg JOIN blp USING (bigram) GROUP BY doc_id),
+      |sel AS (SELECT u.doc_id, u.n_tok AS n_tokens,
+      |          (u.u_tot // u.n_tok) AS u_nll_nano,
+      |          (b.b_tot // b.n_big) AS b_nll_nano,
+      |          (b.b_tot // b.n_big - u.u_tot // u.n_tok) AS excess_nano
+      |        FROM u JOIN b USING (doc_id)
+      |        ORDER BY excess_nano DESC, doc_id LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY excess_nano DESC, doc_id)::BIGINT
+      |    AS rnk,
+      |  doc_id, n_tokens, u_nll_nano, b_nll_nano, excess_nano
+      |FROM sel ORDER BY rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dd = Tables.documents(s, d)
+      .where($"text".isNotNull && length($"text") > 0)
+    val tok = dd.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum($"n").as("t"))
+    val ulp = vocab.crossJoin(broadcast(total))
+      .select($"token",
+        round(log($"n".cast("double") / $"t".cast("double")) * lit(1e9), 0)
+          .cast("long").as("lp_q"))
+    val u = tok.join(ulp, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), (-sum($"lp_q")).as("u_tot"))
+    val t = dd.select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .where(size($"toks") >= 2)
+    val bg = t.select($"doc_id", explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .as("bigram"))
+    val c12 = bg.groupBy($"bigram").agg(count(lit(1)).as("n12"))
+    val c1 = c12
+      .groupBy(split($"bigram", " ").getItem(0).as("w1"))
+      .agg(sum($"n12").as("n1"))
+    val v = tok.agg(count_distinct($"token").as("vs"))
+    val blp = c12
+      .withColumn("w1", split($"bigram", " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .select($"bigram",
+        round(log(($"n12" + 1).cast("double") / ($"n1" + $"vs").cast("double"))
+          * lit(1e9), 0).cast("long").as("lp_q"))
+    val b = bg.join(blp, Seq("bigram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_big"), (-sum($"lp_q")).as("b_tot"))
+    val sel = u.join(b, "doc_id")
+      .select($"doc_id", $"n_tok".as("n_tokens"),
+        expr("u_tot div n_tok").as("u_nll_nano"),
+        expr("b_tot div n_big").as("b_nll_nano"),
+        expr("b_tot div n_big - u_tot div n_tok").as("excess_nano"))
+      .orderBy($"excess_nano".desc, $"doc_id").limit(50)
+    sel
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy($"excess_nano".desc, $"doc_id")).cast("long"))
+      .select($"rnk", $"doc_id", $"n_tokens", $"u_nll_nano", $"b_nll_nano",
+        $"excess_nano")
+      .orderBy($"rnk")
+  }
+
   /** GREEDY SEQUENCE PACKING — the "fill the context window" step
     * between a curated corpus and a training run: documents are packed
     * in doc_id order into bins of at most 60 tokens; a document that
@@ -4155,6 +4265,7 @@ object TextQueries {
   def entries: Seq[CatalogEntry] = Seq(
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
     packSequencesFfd, dedupBbitMinhash, dedupMinhashOph,
+    docLmExcessRank,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,

@@ -41,6 +41,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
     "stats_chisq_lang_source", // |langs| x broadcast |sources| grid + N scalar
+    "embed_matryoshka_recall", // 3 arms x broadcast 1 query prefix
+    "doc_lm_excess_rank",    // broadcast 1-row corpus-total scalars (both LMs)
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
     "dedup_semantic_embed",  // same k=8 centroid assign feeds the prune
     "dedup_layer_agreement", // composes dedup_semantic_embed's centroid cross
