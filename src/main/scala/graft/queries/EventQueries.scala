@@ -1357,6 +1357,99 @@ object EventQueries {
         .orderBy($"event_type")
   }
 
+  /** ROLLING-ORIGIN BACKTEST of the Holt forecast — the evaluation
+    * harness that says whether [[eventsHoltForecast]] is worth
+    * trusting, closing the forecast loop the way `sim_recall_at_k`
+    * closes the ANN loop: at each of the last 5 daily origins, the
+    * 1-day-ahead forecast from the recursion's state AT that origin
+    * against the next day's actual close, plus the per-series MAE in
+    * exact cents. The per-origin states come from ONE fold pass (the
+    * accumulator keeps every intermediate (l, b) — the recursion is
+    * never replayed per origin), so the backtest costs the same
+    * single pass as the forecast itself. On this synthetic corpus the
+    * MAE is large — daily closes of i.i.d.-noise values have no trend
+    * to extrapolate — and that verdict is exactly what the harness is
+    * for.
+    *
+    * Scale shape: identical to [[eventsHoltForecast]] — one windowed
+    * daily downsample, one tiny per-series fold (acc grows to
+    * |days| 16-byte structs, the calendar not the data), row-local
+    * origin explode, and a metadata-scale MAE window over
+    * |types|·5 rows. */
+  val eventsHoltBacktest: CatalogEntry = CatalogEntry(
+    "events_holt_backtest",
+    """WITH RECURSIVE c AS (
+      |  SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |         round(value*100)::BIGINT AS x FROM events),
+      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
+      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                            ORDER BY tsx DESC, event_id DESC) AS rn
+      |        FROM c),
+      |arr AS (SELECT event_type,
+      |          list(struct_pack(day := day, x := x) ORDER BY day) AS ds
+      |        FROM dcl WHERE rn = 1 GROUP BY event_type),
+      |rec(event_type, i, m, l, b) AS (
+      |  SELECT event_type, 0, len(ds), 0::BIGINT, 0::BIGINT FROM arr
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.m,
+      |    CASE WHEN r.i = 0 THEN a.ds[r.i + 1].x
+      |         ELSE (a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4 END,
+      |    CASE WHEN r.i = 0 THEN 0::BIGINT
+      |         ELSE (((a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4)
+      |               - r.l + r.b) // 2 END
+      |  FROM rec r JOIN arr a USING (event_type) WHERE r.i < r.m),
+      |origins AS (
+      |  SELECT r.event_type, a.ds[r.i].day::VARCHAR AS origin_day,
+      |    (r.l + r.b) AS f1_cents, a.ds[r.i + 1].x AS actual_cents,
+      |    abs((r.l + r.b) - a.ds[r.i + 1].x) AS abs_err_cents
+      |  FROM rec r JOIN arr a USING (event_type)
+      |  WHERE r.i >= greatest(1, r.m - 5) AND r.i <= r.m - 1)
+      |SELECT event_type, origin_day, f1_cents, actual_cents, abs_err_cents,
+      |  (sum(abs_err_cents) OVER w // count(*) OVER w)::BIGINT AS mae_cents
+      |FROM origins
+      |WINDOW w AS (PARTITION BY event_type)
+      |ORDER BY event_type, origin_day""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+    val folded = daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+      .withColumn("acc", expr(
+        """aggregate(ds,
+          |  cast(array() as array<struct<l: bigint, b: bigint>>),
+          |  (acc, e) -> CASE WHEN size(acc) = 0
+          |    THEN array(named_struct('l', e.x, 'b', 0L))
+          |    ELSE concat(acc, array(named_struct(
+          |      'l', (e.x + 3L * (element_at(acc, -1).l
+          |                        + element_at(acc, -1).b)) div 4L,
+          |      'b', (((e.x + 3L * (element_at(acc, -1).l
+          |                          + element_at(acc, -1).b)) div 4L)
+          |            - element_at(acc, -1).l
+          |            + element_at(acc, -1).b) div 2L)))
+          |  END)""".stripMargin))
+    val wt = Window.partitionBy($"event_type")
+    folded
+      .select($"event_type", $"ds", $"acc",
+        explode(expr("sequence(greatest(1, size(ds) - 5), size(ds) - 1)"))
+          .as("i"))
+      .select($"event_type",
+        expr("cast(element_at(ds, i).day as string)").as("origin_day"),
+        expr("element_at(acc, i).l + element_at(acc, i).b").as("f1_cents"),
+        expr("element_at(ds, i + 1).x").as("actual_cents"))
+      .withColumn("abs_err_cents", abs($"f1_cents" - $"actual_cents"))
+      .withColumn("s", sum($"abs_err_cents").over(wt))
+      .withColumn("cnt", count(lit(1)).over(wt))
+      .select($"event_type", $"origin_day", $"f1_cents", $"actual_cents",
+        $"abs_err_cents", expr("s div cnt").as("mae_cents"))
+      .orderBy($"event_type", $"origin_day")
+  }
+
   /** CUSUM changepoint detection per series, float-free: the classic
     * statistic Σ_{i≤k}(x_i − μ) is rescaled by n to
     * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term exact.
@@ -1477,7 +1570,8 @@ object EventQueries {
   def entries: Seq[CatalogEntry] = Seq(
     eventsOutlierMad,
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
-    eventsHoltForecast, eventsOhlcCandles, eventsChangepointCusum,
+    eventsHoltForecast, eventsHoltBacktest, eventsOhlcCandles,
+    eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
