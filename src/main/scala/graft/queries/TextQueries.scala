@@ -666,9 +666,9 @@ object TextQueries {
     * densification that restores LSH-ability). Emits the same
     * (doc_id, band, band_sha) 8-band × 2-row surface as
     * `dedup_minhash_portable`, so banding quality is directly
-    * comparable — on this corpus OPH yields the same candidate-pair
-    * population at 1/16th the hashing cost (30 vs 35 pairs at
-    * sf0.001).
+    * comparable — [[dedupOphVsKhash]] gates the actual agreement
+    * (~76% candidate-set Jaccard vs the k-hash surface at 1/16th the
+    * hashing cost).
     *
     * Scale shape (the papers' point): minhashing cost drops from
     * k hashes per gram to ONE — at 100 TB the signature pass is
@@ -737,6 +737,140 @@ object TextQueries {
             1, 16)): _*))
           .as(Seq("band", "band_sha")))
         .orderBy($"doc_id", $"band")
+    }
+  }
+
+  /** OPH-vs-k-HASH CANDIDATE AGREEMENT census — the hash-gated
+    * measurement behind [[dedupMinhashOph]]'s pitch: the candidate
+    * pairs from the OPH 8×2 band surface against those from the
+    * k = 16 independent-hash surface ([[dedupBbitMinhash]]'s banding),
+    * as one row of set algebra (each side's count, the intersection,
+    * and the exact-integer Jaccard). On this corpus OPH recovers
+    * ~76-80% of the k-hash candidate set at 1/16th the hashing cost —
+    * the number a pipeline owner trades off, gated so a densification
+    * or banding regression moves it and fails the hash check.
+    *
+    * Scale shape: both surfaces are the entries' own scale-safe plans
+    * (row-local kernel / one gram pass + banded equi-joins, never
+    * all-pairs); the census adds one FULL OUTER JOIN of two
+    * duplicate-sized pair sets and a 1-row aggregate. */
+  val dedupOphVsKhash: CatalogEntry = {
+    val k = 16
+    val minsKh = (0 until k).map(i =>
+      s"""    min(('0x' || substring(md5(g || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+      .mkString(",\n")
+    val bandsKh = (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS sig
+         |  FROM hkh""".stripMargin).mkString("\n  UNION ALL\n")
+    val minsOph = (0 until k).map(j =>
+      s"    min(CASE WHEN h % $k = $j THEN h END) AS m$j").mkString(",\n")
+    val densOph = (0 until k).map { j =>
+      val terms = s"m$j" +: (1 until k).map(t => s"m${(j + t) % k} + $t")
+      s"    coalesce(${terms.mkString(", ")}) AS d$j"
+    }.mkString(",\n")
+    val bandsOph = (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    d${2 * j}::VARCHAR || '_' || d${2 * j + 1}::VARCHAR AS sig
+         |  FROM dns""".stripMargin).mkString("\n  UNION ALL\n")
+    CatalogEntry(
+      "dedup_oph_vs_khash",
+      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |gr AS (
+         |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+         |                         for i in range(1, len(toks) - 1)]) AS g
+         |  FROM tt WHERE len(toks) >= 3),
+         |hkh AS (
+         |  SELECT doc_id,
+         |$minsKh
+         |  FROM gr GROUP BY doc_id),
+         |bkh AS (
+         |$bandsKh),
+         |pkh AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bkh x JOIN bkh y ON x.band = y.band AND x.sig = y.sig
+         |                        AND x.doc_id < y.doc_id),
+         |hh AS (SELECT doc_id,
+         |         ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM gr),
+         |mns AS (
+         |  SELECT doc_id,
+         |$minsOph
+         |  FROM hh GROUP BY doc_id),
+         |dns AS (
+         |  SELECT doc_id,
+         |$densOph
+         |  FROM mns),
+         |boph AS (
+         |$bandsOph),
+         |poph AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM boph x JOIN boph y ON x.band = y.band AND x.sig = y.sig
+         |                          AND x.doc_id < y.doc_id),
+         |u AS (
+         |  SELECT coalesce(k.a, o.a) AS a, coalesce(k.b, o.b) AS b,
+         |    CASE WHEN k.a IS NOT NULL THEN 1 ELSE 0 END AS in_k,
+         |    CASE WHEN o.a IS NOT NULL THEN 1 ELSE 0 END AS in_o
+         |  FROM pkh k FULL OUTER JOIN poph o ON k.a = o.a AND k.b = o.b)
+         |SELECT sum(in_k)::BIGINT AS n_khash, sum(in_o)::BIGINT AS n_oph,
+         |  sum(in_k * in_o)::BIGINT AS n_both,
+         |  ((1000000 * sum(in_k * in_o)) // count(*))::BIGINT AS jaccard_ppm
+         |FROM u""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spread = Tables.spreadScan(
+        Tables.documents(s, d).where($"text".isNotNull)
+          .select($"doc_id", $"text")).localCheckpoint()
+      // k-hash surface: the bbit entry's kernel signatures + 8x2 bands
+      val mh = spread
+        .select($"doc_id",
+          call_function("minhash_words_md5", $"text", lit(k), lit(3))
+            .as("mhs"))
+        .where(size($"mhs") > 0)
+      val bkh = mh.select($"doc_id", posexplode(array(
+        (0 until k / 2).map(j => concat_ws("_",
+          element_at($"mhs", 2 * j + 1).cast("string"),
+          element_at($"mhs", 2 * j + 2).cast("string"))): _*))
+        .as(Seq("band", "sig")))
+      val pkh = bkh.as("x").join(bkh.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .withColumn("in_k", lit(1L))
+      // OPH surface: the dedup_minhash_oph column pipeline
+      val g = spread.select($"doc_id",
+        explode(graft.ext.Dedup.tokenNgrams($"text", 3)).as("g"))
+      val mns = g
+        .select($"doc_id",
+          conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy($"doc_id")
+        .agg(min(when($"h" % k === 0L, $"h")).as("m0"),
+          (1 until k).map(j =>
+            min(when($"h" % k === j.toLong, $"h")).as(s"m$j")): _*)
+      val dns = mns.select($"doc_id" +: (0 until k).map { j =>
+        coalesce(col(s"m$j") +:
+          (1 until k).map(t => col(s"m${(j + t) % k}") + t.toLong): _*)
+          .as(s"d$j")
+      }: _*)
+      val boph = dns.select($"doc_id", posexplode(array(
+        (0 until k / 2).map(j => concat_ws("_",
+          col(s"d${2 * j}").cast("string"),
+          col(s"d${2 * j + 1}").cast("string"))): _*))
+        .as(Seq("band", "sig")))
+      val poph = boph.as("x").join(boph.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .withColumn("in_o", lit(1L))
+      pkh.join(poph, Seq("a", "b"), "full_outer")
+        .select(coalesce($"in_k", lit(0L)).as("in_k"),
+          coalesce($"in_o", lit(0L)).as("in_o"))
+        .agg(sum($"in_k").as("n_khash"), sum($"in_o").as("n_oph"),
+          sum($"in_k" * $"in_o").as("n_both"),
+          expr("(1000000L * sum(in_k * in_o)) div count(*)")
+            .as("jaccard_ppm"))
     }
   }
 
@@ -4265,7 +4399,7 @@ object TextQueries {
   def entries: Seq[CatalogEntry] = Seq(
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
     packSequencesFfd, dedupBbitMinhash, dedupMinhashOph,
-    docLmExcessRank,
+    dedupOphVsKhash, docLmExcessRank,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, tokenLengthHistogram, dedupPriorityKeep,
