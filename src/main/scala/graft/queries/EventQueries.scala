@@ -1436,7 +1436,14 @@ object EventQueries {
     val wt = Window.partitionBy($"event_type")
     folded
       .select($"event_type", $"ds", $"acc",
-        explode(expr("sequence(greatest(1, size(ds) - 5), size(ds) - 1)"))
+        // guard: Spark's sequence(a, b) silently DESCENDS when a > b,
+        // so a 1-day series would emit origins 1 and 0 (element_at 0
+        // throws) where the oracle's WHERE emits nothing — empty out
+        // explicitly
+        explode(expr(
+          """CASE WHEN size(ds) >= 2
+            |  THEN sequence(greatest(1, size(ds) - 5), size(ds) - 1)
+            |  ELSE cast(array() as array<int>) END""".stripMargin))
           .as("i"))
       .select($"event_type",
         expr("cast(element_at(ds, i).day as string)").as("origin_day"),

@@ -100,6 +100,23 @@ class R17EstimatorSpec extends SparkTestBase {
     }
   }
 
+  test("holt backtest origin guard: a 1-element series yields no origins " +
+      "(unguarded, Spark's sequence silently DESCENDS into index 0)") {
+    import org.apache.spark.sql.functions.{explode, expr}
+    val df = Seq(Tuple1(Seq(1L))).toDF("xs")
+    // the hazard: sequence(1, 0) is [1, 0], not empty
+    val bad = df.select(expr(
+      "sequence(greatest(1, size(xs) - 5), size(xs) - 1)"))
+      .head.getSeq[Int](0)
+    assert(bad == Seq(1, 0))
+    // the entry's guard empties it out instead
+    val n = df.select(explode(expr(
+      """CASE WHEN size(xs) >= 2
+        |  THEN sequence(greatest(1, size(xs) - 5), size(xs) - 1)
+        |  ELSE cast(array() as array<int>) END""".stripMargin))).count()
+    assert(n == 0L)
+  }
+
   test("events_holt_forecast: forecasts extrapolate linearly from the " +
       "final state (f_{h+1} - f_h == trend) and every series is present") {
     val rows = SparkEntry.catalog("events_holt_forecast").query(spark, sf)
