@@ -715,9 +715,18 @@ object Bench {
       // degraded host, not doing JIT work). Env override wins.
       val warmBudget = sys.env.get("SPARK_GRAFT_WARMUP_BUDGET_SEC")
         .map(_.toDouble).getOrElse {
-          val baseSum = timedNames.flatMap(baseKv.get).sum
+          val known = timedNames.flatMap(baseKv.get)
           val covered = baselineConfigMatches &&
-            timedNames.count(baseKv.contains) >= timedNames.size * 0.9
+            known.size >= timedNames.size * 0.9
+          // entries absent from the baseline (new this round — the
+          // 0.9 gate admits up to 10% of them) still cost two timed
+          // runs each; pricing them at ZERO overstated the spare
+          // budget by their real sweep cost, so price each uncovered
+          // entry at the MEDIAN covered cost instead
+          val median =
+            if (known.isEmpty) 0.0
+            else known.toSeq.sorted.apply(known.size / 2)
+          val baseSum = known.sum + (timedNames.size - known.size) * median
           if (covered && baseSum > 0) {
             val sessionFactor = baseCalN.map(b =>
               math.max(0.8, calib0._2 / b)).getOrElse(1.0)

@@ -1578,7 +1578,11 @@ object SimilarityQueries {
         import s.implicits._
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
+        // localCheckpoint: the exact side joins into all three arms —
+        // without it each arm re-runs the full-width cosine scan,
+        // paying 3 exact passes for a 10-row frame
         val exact = simCosineTopk.query(s, d).select($"vec_id".as("evid"))
+          .localCheckpoint()
         def arm(dm: Int): org.apache.spark.sql.DataFrame = {
           val tr = emb.select($"vec_id", slice($"embedding", 1, dm).as("te"))
           val q = emb.filter($"vec_id" === 0)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -658,6 +658,101 @@ object TextQueries {
     }
   }
 
+  // ---- shared minhash-surface builders ----------------------------------
+  // One definition of each surface, used by dedup_minhash_oph,
+  // dedup_bbit_minhash AND the dedup_oph_vs_khash agreement census, so
+  // the census always measures exactly the surfaces the entries deploy
+  // (a densification or banding change here moves all three together).
+
+  /** Word-3-gram CTE prefix (dd/tt/gr) shared by the OPH and k-hash
+    * minhash SQL replays. */
+  private def gramCtesSql: String =
+    """dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+      |gr AS (
+      |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+      |                         for i in range(1, len(toks) - 1)]) AS g
+      |  FROM tt WHERE len(toks) >= 3)""".stripMargin
+
+  /** OPH bin mins: one unsalted md5 per gram, bin = h mod k. */
+  private def ophMinsSql(k: Int): String = (0 until k).map(j =>
+    s"    min(CASE WHEN h % $k = $j THEN h END) AS m$j").mkString(",\n")
+
+  /** OPH rotation densification: empty bin j borrows the nearest
+    * non-empty bin clockwise with a +t offset. */
+  private def ophDensSql(k: Int): String = (0 until k).map { j =>
+    val terms = s"m$j" +: (1 until k).map(t => s"m${(j + t) % k} + $t")
+    s"    coalesce(${terms.mkString(", ")}) AS d$j"
+  }.mkString(",\n")
+
+  /** k/2 bands × 2 rows over the densified OPH values (FROM dns). */
+  private def ophBandsSql(k: Int): String = (0 until k / 2).map(j =>
+    s"""  SELECT doc_id, $j AS band,
+       |    d${2 * j}::VARCHAR || '_' || d${2 * j + 1}::VARCHAR AS sig
+       |  FROM dns""".stripMargin).mkString("\n  UNION ALL\n")
+
+  /** k independent salted-md5 minhashes (the `minhash_words_md5`
+    * kernel's SQL replay). */
+  private def khashMinsSql(k: Int): String = (0 until k).map(i =>
+    s"""    min(('0x' || substring(md5(g || '#$i'), 1, 15))::BIGINT) AS mh$i""")
+    .mkString(",\n")
+
+  /** k/2 bands × 2 rows over the k-hash minhash columns. */
+  private def khashBandsSql(k: Int, from: String): String =
+    (0 until k / 2).map(j =>
+      s"""  SELECT doc_id, $j AS band,
+         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS sig
+         |  FROM $from""".stripMargin).mkString("\n  UNION ALL\n")
+
+  /** Spread (doc_id, text) input for the minhash surfaces. */
+  private def gramInput(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.spreadScan(Tables.documents(s, d).where($"text".isNotNull)
+      .select($"doc_id", $"text"))
+  }
+
+  /** OPH (doc_id, band, sig) rows: one md5 per gram into one
+    * k-conditional-min agg, densification and banding row-local. */
+  private def ophBandRows(spread: DataFrame, k: Int): DataFrame = {
+    val mns = spread
+      .select(col("doc_id"),
+        explode(graft.ext.Dedup.tokenNgrams(col("text"), 3)).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("h") % k === 0L, col("h"))).as("m0"),
+        (1 until k).map(j =>
+          min(when(col("h") % k === j.toLong, col("h"))).as(s"m$j")): _*)
+    val dns = mns.select(col("doc_id") +: (0 until k).map { j =>
+      coalesce(col(s"m$j") +:
+        (1 until k).map(t => col(s"m${(j + t) % k}") + t.toLong): _*)
+        .as(s"d$j")
+    }: _*)
+    dns.select(col("doc_id"), posexplode(array((0 until k / 2).map(j =>
+        concat_ws("_",
+          col(s"d${2 * j}").cast("string"),
+          col(s"d${2 * j + 1}").cast("string"))): _*))
+      .as(Seq("band", "sig")))
+  }
+
+  /** k-hash (doc_id, band, sig) rows over the kernel's signature
+    * arrays. */
+  private def khashBandRows(mh: DataFrame, k: Int): DataFrame =
+    mh.select(col("doc_id"), posexplode(array(
+      (0 until k / 2).map(j => concat_ws("_",
+        element_at(col("mhs"), 2 * j + 1).cast("string"),
+        element_at(col("mhs"), 2 * j + 2).cast("string"))): _*))
+      .as(Seq("band", "sig")))
+
+  /** Distinct (a < b) candidate pairs from a (doc_id, band, sig)
+    * surface — the banded equi-join, never all-pairs. */
+  private def bandPairs(rows: DataFrame): DataFrame =
+    rows.as("x").join(rows.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
   /** ONE-PERMUTATION HASHING with rotation densification (Li, Owen &
     * Zhang NIPS'12; Shrivastava & Li ICML'14): ONE md5 per gram
     * instead of k — each gram's single 60-bit hash selects bin
@@ -679,63 +774,28 @@ object TextQueries {
     * row. */
   val dedupMinhashOph: CatalogEntry = {
     val k = 16
-    val minsSql = (0 until k).map(j =>
-      s"    min(CASE WHEN h % $k = $j THEN h END) AS m$j").mkString(",\n")
-    val densSql = (0 until k).map { j =>
-      val terms = s"m$j" +: (1 until k).map(t => s"m${(j + t) % k} + $t")
-      s"    coalesce(${terms.mkString(", ")}) AS d$j"
-    }.mkString(",\n")
-    val bandsSql = (0 until k / 2).map(j =>
-      s"""  SELECT doc_id, $j AS band,
-         |    d${2 * j}::VARCHAR || '_' || d${2 * j + 1}::VARCHAR AS sig
-         |  FROM dns""".stripMargin).mkString("\n  UNION ALL\n")
     CatalogEntry(
       "dedup_minhash_oph",
-      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
-         |gr AS (
-         |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
-         |                         for i in range(1, len(toks) - 1)]) AS g
-         |  FROM tt WHERE len(toks) >= 3),
+      s"""WITH $gramCtesSql,
          |hh AS (SELECT doc_id,
          |         ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM gr),
          |mns AS (
          |  SELECT doc_id,
-         |$minsSql
+         |${ophMinsSql(k)}
          |  FROM hh GROUP BY doc_id),
          |dns AS (
          |  SELECT doc_id,
-         |$densSql
+         |${ophDensSql(k)}
          |  FROM mns),
          |b AS (
-         |$bandsSql)
+         |${ophBandsSql(k)})
          |SELECT doc_id, band::INT AS band,
          |  substring(sha256(sig), 1, 16) AS band_sha
          |FROM b ORDER BY doc_id, band""".stripMargin) { (s, d) =>
       import s.implicits._
-      val spread = Tables.spreadScan(
-        Tables.documents(s, d).where($"text".isNotNull)
-          .select($"doc_id", $"text"))
-      val g = spread.select($"doc_id",
-        explode(graft.ext.Dedup.tokenNgrams($"text", 3)).as("g"))
-      val mns = g
-        .select($"doc_id",
-          conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy($"doc_id")
-        .agg(min(when($"h" % k === 0L, $"h")).as("m0"),
-          (1 until k).map(j =>
-            min(when($"h" % k === j.toLong, $"h")).as(s"m$j")): _*)
-      val dns = mns.select($"doc_id" +: (0 until k).map { j =>
-        coalesce(col(s"m$j") +:
-          (1 until k).map(t => col(s"m${(j + t) % k}") + t.toLong): _*)
-          .as(s"d$j")
-      }: _*)
-      dns.select($"doc_id", posexplode(array((0 until k / 2).map(j =>
-          substring(sha2(concat_ws("_",
-            col(s"d${2 * j}").cast("string"),
-            col(s"d${2 * j + 1}").cast("string")).cast("binary"), 256),
-            1, 16)): _*))
-          .as(Seq("band", "band_sha")))
+      ophBandRows(gramInput(s, d), k)
+        .select($"doc_id", $"band",
+          substring(sha2($"sig".cast("binary"), 256), 1, 16).as("band_sha"))
         .orderBy($"doc_id", $"band")
     }
   }
@@ -756,37 +816,15 @@ object TextQueries {
     * duplicate-sized pair sets and a 1-row aggregate. */
   val dedupOphVsKhash: CatalogEntry = {
     val k = 16
-    val minsKh = (0 until k).map(i =>
-      s"""    min(('0x' || substring(md5(g || '#$i'), 1, 15))::BIGINT) AS mh$i""")
-      .mkString(",\n")
-    val bandsKh = (0 until k / 2).map(j =>
-      s"""  SELECT doc_id, $j AS band,
-         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS sig
-         |  FROM hkh""".stripMargin).mkString("\n  UNION ALL\n")
-    val minsOph = (0 until k).map(j =>
-      s"    min(CASE WHEN h % $k = $j THEN h END) AS m$j").mkString(",\n")
-    val densOph = (0 until k).map { j =>
-      val terms = s"m$j" +: (1 until k).map(t => s"m${(j + t) % k} + $t")
-      s"    coalesce(${terms.mkString(", ")}) AS d$j"
-    }.mkString(",\n")
-    val bandsOph = (0 until k / 2).map(j =>
-      s"""  SELECT doc_id, $j AS band,
-         |    d${2 * j}::VARCHAR || '_' || d${2 * j + 1}::VARCHAR AS sig
-         |  FROM dns""".stripMargin).mkString("\n  UNION ALL\n")
     CatalogEntry(
       "dedup_oph_vs_khash",
-      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
-         |gr AS (
-         |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
-         |                         for i in range(1, len(toks) - 1)]) AS g
-         |  FROM tt WHERE len(toks) >= 3),
+      s"""WITH $gramCtesSql,
          |hkh AS (
          |  SELECT doc_id,
-         |$minsKh
+         |${khashMinsSql(k)}
          |  FROM gr GROUP BY doc_id),
          |bkh AS (
-         |$bandsKh),
+         |${khashBandsSql(k, "hkh")}),
          |pkh AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bkh x JOIN bkh y ON x.band = y.band AND x.sig = y.sig
@@ -795,14 +833,14 @@ object TextQueries {
          |         ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM gr),
          |mns AS (
          |  SELECT doc_id,
-         |$minsOph
+         |${ophMinsSql(k)}
          |  FROM hh GROUP BY doc_id),
          |dns AS (
          |  SELECT doc_id,
-         |$densOph
+         |${ophDensSql(k)}
          |  FROM mns),
          |boph AS (
-         |$bandsOph),
+         |${ophBandsSql(k)}),
          |poph AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM boph x JOIN boph y ON x.band = y.band AND x.sig = y.sig
@@ -818,52 +856,16 @@ object TextQueries {
          |FROM u""".stripMargin) { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val spread = Tables.spreadScan(
-        Tables.documents(s, d).where($"text".isNotNull)
-          .select($"doc_id", $"text")).localCheckpoint()
-      // k-hash surface: the bbit entry's kernel signatures + 8x2 bands
+      val spread = gramInput(s, d).localCheckpoint()
+      // k-hash surface: exactly dedup_bbit_minhash's kernel + bands
       val mh = spread
         .select($"doc_id",
           call_function("minhash_words_md5", $"text", lit(k), lit(3))
             .as("mhs"))
         .where(size($"mhs") > 0)
-      val bkh = mh.select($"doc_id", posexplode(array(
-        (0 until k / 2).map(j => concat_ws("_",
-          element_at($"mhs", 2 * j + 1).cast("string"),
-          element_at($"mhs", 2 * j + 2).cast("string"))): _*))
-        .as(Seq("band", "sig")))
-      val pkh = bkh.as("x").join(bkh.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .withColumn("in_k", lit(1L))
-      // OPH surface: the dedup_minhash_oph column pipeline
-      val g = spread.select($"doc_id",
-        explode(graft.ext.Dedup.tokenNgrams($"text", 3)).as("g"))
-      val mns = g
-        .select($"doc_id",
-          conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy($"doc_id")
-        .agg(min(when($"h" % k === 0L, $"h")).as("m0"),
-          (1 until k).map(j =>
-            min(when($"h" % k === j.toLong, $"h")).as(s"m$j")): _*)
-      val dns = mns.select($"doc_id" +: (0 until k).map { j =>
-        coalesce(col(s"m$j") +:
-          (1 until k).map(t => col(s"m${(j + t) % k}") + t.toLong): _*)
-          .as(s"d$j")
-      }: _*)
-      val boph = dns.select($"doc_id", posexplode(array(
-        (0 until k / 2).map(j => concat_ws("_",
-          col(s"d${2 * j}").cast("string"),
-          col(s"d${2 * j + 1}").cast("string"))): _*))
-        .as(Seq("band", "sig")))
-      val poph = boph.as("x").join(boph.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .withColumn("in_o", lit(1L))
+      val pkh = bandPairs(khashBandRows(mh, k)).withColumn("in_k", lit(1L))
+      // OPH surface: exactly dedup_minhash_oph's pipeline
+      val poph = bandPairs(ophBandRows(spread, k)).withColumn("in_o", lit(1L))
       pkh.join(poph, Seq("a", "b"), "full_outer")
         .select(coalesce($"in_k", lit(0L)).as("in_k"),
           coalesce($"in_o", lit(0L)).as("in_o"))
@@ -896,13 +898,6 @@ object TextQueries {
     * band-bounded pair rows. */
   val dedupBbitMinhash: CatalogEntry = {
     val k = 16
-    val mins = (0 until k).map(i =>
-      s"""    min(('0x' || substring(md5(g || '#$i'), 1, 15))::BIGINT) AS mh$i""")
-      .mkString(",\n")
-    val bands = (0 until k / 2).map(j =>
-      s"""  SELECT doc_id, $j AS band,
-         |    mh${2 * j}::VARCHAR || '_' || mh${2 * j + 1}::VARCHAR AS sig
-         |  FROM h""".stripMargin).mkString("\n  UNION ALL\n")
     val fullm = (0 until k)
       .map(i => s"CASE WHEN ha.mh$i = hb.mh$i THEN 1 ELSE 0 END")
       .mkString(" +\n    ")
@@ -911,18 +906,13 @@ object TextQueries {
       .mkString(" +\n    ")
     CatalogEntry(
       "dedup_bbit_minhash",
-      s"""WITH dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
-         |gr AS (
-         |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
-         |                         for i in range(1, len(toks) - 1)]) AS g
-         |  FROM tt WHERE len(toks) >= 3),
+      s"""WITH $gramCtesSql,
          |h AS (
          |  SELECT doc_id,
-         |$mins
+         |${khashMinsSql(k)}
          |  FROM gr GROUP BY doc_id),
          |b AS (
-         |$bands),
+         |${khashBandsSql(k, "h")}),
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig
@@ -948,25 +938,15 @@ object TextQueries {
       // the kernel above the 32-way split. The second checkpoint
       // stops mh's THREE consumers (band rows + both scoring joins)
       // from re-evaluating the kernel.
-      val spread = Tables.spreadScan(
-        Tables.documents(s, d).where($"text".isNotNull)
-          .select($"doc_id", $"text")).localCheckpoint()
+      val spread = gramInput(s, d).localCheckpoint()
       val mh = spread
         .select($"doc_id",
           call_function("minhash_words_md5", $"text", lit(k), lit(3))
             .as("mhs"))
         .where(size($"mhs") > 0)
         .localCheckpoint()
-      val bandRows = mh.select($"doc_id", posexplode(array(
-        (0 until k / 2).map(j => concat_ws("_",
-          element_at($"mhs", 2 * j + 1).cast("string"),
-          element_at($"mhs", 2 * j + 2).cast("string"))): _*))
-        .as(Seq("band", "sig")))
-      val pairs = bandRows.as("x").join(bandRows.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val pairs = bandPairs(khashBandRows(mh, k))
+        .select($"a".as("doc_a"), $"b".as("doc_b"))
       pairs
         .join(mh.select($"doc_id".as("doc_a"), $"mhs".as("ma")), "doc_a")
         .join(mh.select($"doc_id".as("doc_b"), $"mhs".as("mb")), "doc_b")
@@ -4269,8 +4249,15 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val dd = docs.where($"text".isNotNull)
 
-      // MinHash: k=8 signature ONCE (row-local kernel), three band
-      // layouts over it; drop = larger id of a band collision
+      // MinHash: one k=8 signature EXPRESSION, three band layouts over
+      // it; drop = larger id of a band collision. The three layout
+      // consumers project different band shapes, so no exchange is
+      // reused and the kernel re-evaluates per layout — measured
+      // CHEAPER than forcing single evaluation here (localCheckpoint
+      // A/B at sf0.1: 3.6 s checkpointed vs 3.0 s re-evaluated; the
+      // k=8 kernel is light and materialization overhead dominates).
+      // At production scale the signature table would be persisted
+      // once and all layouts read it.
       val mh = dd.select($"doc_id",
         call_function("minhash_words_md5", $"text", lit(k), lit(3))
           .as("mhs"))

@@ -7,8 +7,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** One daily close in exact integer cents — the stream-side input of
   * the `events_holt_forecast` recursion (the batch entry derives the
-  * same rows from raw events with a windowed downsample). */
-case class DailyClose(series: String, day: Date, closeCents: Long)
+  * same rows from raw events with a windowed downsample). `seq` is
+  * the event-order tie-break (the batch side's event_id): when one
+  * micro-batch carries several closes for the SAME new day — an
+  * intraday correction — the highest `seq` wins deterministically,
+  * matching the batch downsample's latest-event rule; resolving by
+  * arrival order would make the state depend on shuffle iteration
+  * order. */
+case class DailyClose(series: String, day: Date, closeCents: Long,
+    seq: Long)
 
 /** Per-series Holt state: the day the recursion has consumed up to,
   * plus the (level, trend) pair — O(1) per series, like the batch
@@ -47,12 +54,19 @@ object StreamHolt {
     }
   }
 
-  /** Fold one micro-batch's rows (sorted by day, late days dropped)
-    * into the stored state. */
+  /** Fold one micro-batch's rows into the stored state: per day keep
+    * the highest-`seq` close (the batch downsample's latest-event
+    * rule — deterministic whatever order the shuffled iterator
+    * yields), then fold the surviving days in day order; days at or
+    * behind the frontier are late and dropped. */
   private[streaming] def step(stored: Option[HoltState],
       batch: Iterator[DailyClose]): HoltState = {
     val init = stored.getOrElse(HoltState(0L, Long.MinValue, 0L, 0L))
-    batch.toSeq.sortBy(_.day.getTime).foldLeft(init) { (st, row) =>
+    val latestPerDay = batch.toSeq
+      .groupBy(_.day.getTime)
+      .map { case (_, rows) => rows.maxBy(_.seq) }
+      .toSeq.sortBy(_.day.getTime)
+    latestPerDay.foldLeft(init) { (st, row) =>
       if (row.day.getTime <= st.lastDayMs) st // late/duplicate day: drop
       else advance(st, row.closeCents).copy(lastDayMs = row.day.getTime)
     }
