@@ -1357,6 +1357,127 @@ object EventQueries {
         .orderBy($"event_type")
   }
 
+  /** DAY-OF-WEEK SEASONALITY census per series — the "is Monday
+    * different" measurement behind calendar-aware forecasting and
+    * anomaly baselines: per (type, weekday) the exact mean in
+    * milli-cents and its ratio to the type's overall mean in ppm.
+    * The weekday index is pure epoch-day arithmetic,
+    * `(days_since_epoch + 4) mod 7` with 0 = Sunday — dayofweek()
+    * builtins disagree across engines (Spark 1-7 Sunday-first, DuckDB
+    * 0-6), integer arithmetic cannot.
+    *
+    * Scale shape: ONE (type, dow) partial-agg exchange over the
+    * corpus; type totals re-aggregate the 35-cell table. */
+  val eventsSeasonalityDow: CatalogEntry = CatalogEntry(
+    "events_seasonality_dow",
+    """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx,
+      |                  round(value*100)::BIGINT AS x FROM events),
+      |d AS (SELECT event_type,
+      |        ((tsx::DATE - DATE '1970-01-01') + 4) % 7 AS dow, x FROM c),
+      |cell AS (SELECT event_type, dow, count(*)::BIGINT AS n,
+      |           sum(x)::BIGINT AS sx
+      |         FROM d GROUP BY event_type, dow),
+      |tot AS (SELECT event_type, sum(n)::BIGINT AS tn,
+      |          sum(sx)::BIGINT AS tsum
+      |        FROM cell GROUP BY event_type)
+      |SELECT cell.event_type, cell.dow::BIGINT AS dow, cell.n,
+      |  ((1000 * cell.sx) // cell.n)::BIGINT AS mean_millicents,
+      |  ((1000000::HUGEINT * ((1000 * cell.sx) // cell.n))
+      |   // ((1000 * t.tsum) // t.tn))::BIGINT AS vs_type_mean_ppm
+      |FROM cell JOIN tot t ON cell.event_type = t.event_type
+      |ORDER BY cell.event_type, dow""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cell = Tables.events(s, d)
+      .select($"event_type",
+        ((datediff(to_date($"ts"), lit("1970-01-01").cast("date")) + 4) % 7)
+          .as("dow"),
+        round($"value" * 100).cast("long").as("x"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    val tot = cell.groupBy($"event_type")
+      .agg(sum($"n").as("tn"), sum($"sx").as("tsum"))
+    cell.join(tot, "event_type")
+      .select($"event_type", $"dow".cast("long").as("dow"), $"n",
+        expr("(1000L * sx) div n").as("mean_millicents"),
+        expr("""(cast(1000000 as decimal(38,0)) * ((1000L * sx) div n))
+          | div ((1000L * tsum) div tn)""".stripMargin)
+          .cast("long").as("vs_type_mean_ppm"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  /** AUTOCORRELATION of the daily closes at lags 1-5 per series — the
+    * diagnostic that says whether [[eventsHoltForecast]] has anything
+    * to extrapolate (near-zero ACF = the backtest's "don't trust the
+    * trend" verdict, quantified): the classic r_k with every term on
+    * the integer lattice — values centered as n·x − Σx (the CUSUM
+    * rescaling, identical argmax/ratio), products and sums in
+    * DECIMAL(38,0)/HUGEINT, one truncating division to ppm.
+    *
+    * Scale shape: one windowed daily downsample over the raw events;
+    * centered terms, the lag-5 expansion, and the self-join all live
+    * on the |types|·|days| daily table — metadata-scale; the lag join
+    * is an equi-join on (type, i + lag). */
+  val eventsAcfLags: CatalogEntry = CatalogEntry(
+    "events_acf_lags",
+    """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |                  round(value*100)::BIGINT AS x FROM events),
+      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
+      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                            ORDER BY tsx DESC, event_id DESC) AS rn
+      |        FROM c),
+      |s AS (SELECT event_type, day, x,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |      FROM dcl WHERE rn = 1),
+      |m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+      |      FROM s GROUP BY event_type),
+      |ctr AS (SELECT s.event_type, s.i, (m.n * s.x - m.sx)::HUGEINT AS cx
+      |        FROM s JOIN m ON s.event_type = m.event_type),
+      |den AS (SELECT event_type, sum(cx * cx)::HUGEINT AS d2
+      |        FROM ctr GROUP BY event_type),
+      |lagged AS (
+      |  SELECT a.event_type, l.lag, sum(a.cx * b.cx)::HUGEINT AS num
+      |  FROM ctr a
+      |  JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS lag) l ON true
+      |  JOIN ctr b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      |  GROUP BY a.event_type, l.lag)
+      |SELECT lg.event_type, lg.lag::BIGINT AS lag,
+      |  ((1000000::HUGEINT * lg.num) // den.d2)::BIGINT AS acf_ppm
+      |FROM lagged lg JOIN den ON lg.event_type = den.event_type
+      |ORDER BY lg.event_type, lag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"day")))
+    val m = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    val ctr = daily.join(m, "event_type")
+      .select($"event_type", $"i",
+        ($"n" * $"x" - $"sx").cast("decimal(38,0)").as("cx"))
+    val den = ctr.groupBy($"event_type")
+      .agg(sum($"cx" * $"cx").as("d2"))
+    val lagged = ctr
+      .select($"event_type", $"i", $"cx",
+        explode(array((1 to 5).map(lit): _*)).as("lag"))
+      .as("a")
+      .join(ctr.select($"event_type".as("bt"), $"i".as("bi"),
+          $"cx".as("bcx")),
+        $"event_type" === $"bt" && $"bi" === $"i" + $"lag")
+      .groupBy($"event_type", $"lag")
+      .agg(sum($"cx" * $"bcx").as("num"))
+    lagged.join(den, "event_type")
+      .select($"event_type", $"lag".cast("long").as("lag"),
+        expr("(cast(1000000 as decimal(38,0)) * num) div d2")
+          .cast("long").as("acf_ppm"))
+      .orderBy($"event_type", $"lag")
+  }
+
   /** ROLLING-ORIGIN BACKTEST of the Holt forecast — the evaluation
     * harness that says whether [[eventsHoltForecast]] is worth
     * trusting, closing the forecast loop the way `sim_recall_at_k`
@@ -1578,6 +1699,7 @@ object EventQueries {
     eventsOutlierMad,
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
     eventsHoltForecast, eventsHoltBacktest, eventsOhlcCandles,
+    eventsSeasonalityDow, eventsAcfLags,
     eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
