@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1279,6 +1280,66 @@ object EventQueries {
       .orderBy($"event_type", $"day")
   }
 
+  // ---- shared Holt-recursion builders ------------------------------------
+  // One definition of the daily downsample and the α=1/4, β=1/2 integer
+  // recursion, used by events_holt_forecast, events_holt_backtest AND
+  // events_acf_lags, so the backtest always evaluates exactly the model
+  // the forecast ships (a smoothing-constant or downsample change here
+  // moves all of them together).
+
+  /** Daily-close CTEs (c/dcl): cents + latest event per (type, day). */
+  private def dailyCloseCtesSql: String =
+    """c AS (
+      |  SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |         round(value*100)::BIGINT AS x FROM events),
+      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
+      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                            ORDER BY tsx DESC, event_id DESC) AS rn
+      |        FROM c)""".stripMargin
+
+  /** Per-type day-ordered close list CTE (arr) over [[dailyCloseCtesSql]]. */
+  private def holtArrSql: String =
+    """arr AS (SELECT event_type,
+      |          list(struct_pack(day := day, x := x) ORDER BY day) AS ds
+      |        FROM dcl WHERE rn = 1 GROUP BY event_type)""".stripMargin
+
+  /** The Holt recursion CTE (i, m, l, b) over arr — every intermediate
+    * state materialized. */
+  private def holtRecSql: String =
+    """rec(event_type, i, m, l, b) AS (
+      |  SELECT event_type, 0, len(ds), 0::BIGINT, 0::BIGINT FROM arr
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.m,
+      |    CASE WHEN r.i = 0 THEN a.ds[r.i + 1].x
+      |         ELSE (a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4 END,
+      |    CASE WHEN r.i = 0 THEN 0::BIGINT
+      |         ELSE (((a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4)
+      |               - r.l + r.b) // 2 END
+      |  FROM rec r JOIN arr a USING (event_type) WHERE r.i < r.m)"""
+      .stripMargin
+
+  /** Spark Holt step arithmetic — the same fragments feed the
+    * forecast's O(1)-state fold and the backtest's windowed fold. */
+  private def holtStepL(x: String, l: String, b: String): String =
+    s"($x + 3L * ($l + $b)) div 4L"
+  private def holtStepB(l1: String, l: String, b: String): String =
+    s"(($l1) - $l + $b) div 2L"
+
+  /** Spark daily closes (event_type, day, x) — latest event per
+    * (type, day), the [[dailyCloseCtesSql]] replay. */
+  private def dailyCloses(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"event_type", $"day", $"x")
+  }
+
   /** HOLT LINEAR-TREND FORECAST per series (double exponential
     * smoothing, Holt 1957 — the level+trend upgrade over the EMA's
     * level-only smoothing, and the standard short-horizon rate
@@ -1303,26 +1364,9 @@ object EventQueries {
     * is 36k steps per series regardless of raw event volume. */
   val eventsHoltForecast: CatalogEntry = CatalogEntry(
     "events_holt_forecast",
-    """WITH RECURSIVE c AS (
-      |  SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
-      |         round(value*100)::BIGINT AS x FROM events),
-      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
-      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
-      |                            ORDER BY tsx DESC, event_id DESC) AS rn
-      |        FROM c),
-      |arr AS (SELECT event_type,
-      |          list(struct_pack(day := day, x := x) ORDER BY day) AS ds
-      |        FROM dcl WHERE rn = 1 GROUP BY event_type),
-      |rec(event_type, i, m, l, b) AS (
-      |  SELECT event_type, 0, len(ds), 0::BIGINT, 0::BIGINT FROM arr
-      |  UNION ALL
-      |  SELECT r.event_type, r.i + 1, r.m,
-      |    CASE WHEN r.i = 0 THEN a.ds[r.i + 1].x
-      |         ELSE (a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4 END,
-      |    CASE WHEN r.i = 0 THEN 0::BIGINT
-      |         ELSE (((a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4)
-      |               - r.l + r.b) // 2 END
-      |  FROM rec r JOIN arr a USING (event_type) WHERE r.i < r.m)
+    s"""WITH RECURSIVE $dailyCloseCtesSql,
+      |$holtArrSql,
+      |$holtRecSql
       |SELECT r.event_type, r.m::BIGINT AS n_days, r.l AS level_cents,
       |  r.b AS trend_cents, (r.l + r.b)::BIGINT AS f1_cents,
       |  (r.l + 2 * r.b)::BIGINT AS f2_cents,
@@ -1330,25 +1374,17 @@ object EventQueries {
       |FROM rec r WHERE r.i = r.m ORDER BY event_type""".stripMargin) {
     (s, d) =>
       import s.implicits._
-      val w = Window.partitionBy($"event_type", $"day")
-        .orderBy($"ts".desc, $"event_id".desc)
-      val daily = Tables.events(s, d)
-        .select($"event_type", $"ts", $"event_id",
-          to_date($"ts").as("day"),
-          round($"value" * 100).cast("long").as("x"))
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" === 1)
-      daily.groupBy($"event_type")
+      val l1 = holtStepL("e.x", "st.l", "st.b")
+      dailyCloses(s, d).groupBy($"event_type")
         .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
         .withColumn("st", expr(
-          """aggregate(ds,
+          s"""aggregate(ds,
             |  named_struct('n', 0L, 'l', 0L, 'b', 0L),
             |  (st, e) -> CASE WHEN st.n = 0L
             |    THEN named_struct('n', 1L, 'l', e.x, 'b', 0L)
             |    ELSE named_struct('n', st.n + 1L,
-            |      'l', (e.x + 3L * (st.l + st.b)) div 4L,
-            |      'b', (((e.x + 3L * (st.l + st.b)) div 4L)
-            |            - st.l + st.b) div 2L) END)""".stripMargin))
+            |      'l', $l1,
+            |      'b', ${holtStepB(l1, "st.l", "st.b")}) END)""".stripMargin))
         .select($"event_type", $"st.n".as("n_days"),
           $"st.l".as("level_cents"), $"st.b".as("trend_cents"),
           ($"st.l" + $"st.b").as("f1_cents"),
@@ -1419,12 +1455,7 @@ object EventQueries {
     * is an equi-join on (type, i + lag). */
   val eventsAcfLags: CatalogEntry = CatalogEntry(
     "events_acf_lags",
-    """WITH c AS (SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
-      |                  round(value*100)::BIGINT AS x FROM events),
-      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
-      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
-      |                            ORDER BY tsx DESC, event_id DESC) AS rn
-      |        FROM c),
+    s"""WITH $dailyCloseCtesSql,
       |s AS (SELECT event_type, day, x,
       |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
       |      FROM dcl WHERE rn = 1),
@@ -1445,14 +1476,7 @@ object EventQueries {
       |FROM lagged lg JOIN den ON lg.event_type = den.event_type
       |ORDER BY lg.event_type, lag""".stripMargin) { (s, d) =>
     import s.implicits._
-    val w = Window.partitionBy($"event_type", $"day")
-      .orderBy($"ts".desc, $"event_id".desc)
-    val daily = Tables.events(s, d)
-      .select($"event_type", $"ts", $"event_id",
-        to_date($"ts").as("day"),
-        round($"value" * 100).cast("long").as("x"))
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
+    val daily = dailyCloses(s, d)
       .withColumn("i", row_number().over(
         Window.partitionBy($"event_type").orderBy($"day")))
     val m = daily.groupBy($"event_type")
@@ -1484,41 +1508,25 @@ object EventQueries {
     * closes the ANN loop: at each of the last 5 daily origins, the
     * 1-day-ahead forecast from the recursion's state AT that origin
     * against the next day's actual close, plus the per-series MAE in
-    * exact cents. The per-origin states come from ONE fold pass (the
-    * accumulator keeps every intermediate (l, b) — the recursion is
-    * never replayed per origin), so the backtest costs the same
-    * single pass as the forecast itself. On this synthetic corpus the
+    * exact cents. The per-origin states come from ONE fold pass whose
+    * accumulator keeps a SLIDING WINDOW of the last 6 (day, x, l, b)
+    * states — the recursion is never replayed per origin and the fold
+    * never copies more than 6 structs per step (O(days), the same
+    * single-pass cost as the forecast, even over a century of daily
+    * closes). On this synthetic corpus the
     * MAE is large — daily closes of i.i.d.-noise values have no trend
     * to extrapolate — and that verdict is exactly what the harness is
     * for.
     *
     * Scale shape: identical to [[eventsHoltForecast]] — one windowed
-    * daily downsample, one tiny per-series fold (acc grows to
-    * |days| 16-byte structs, the calendar not the data), row-local
-    * origin explode, and a metadata-scale MAE window over
-    * |types|·5 rows. */
+    * daily downsample, one per-series fold with O(1) state (≤6
+    * structs), row-local origin explode, and a metadata-scale MAE
+    * window over |types|·5 rows. */
   val eventsHoltBacktest: CatalogEntry = CatalogEntry(
     "events_holt_backtest",
-    """WITH RECURSIVE c AS (
-      |  SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
-      |         round(value*100)::BIGINT AS x FROM events),
-      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
-      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
-      |                            ORDER BY tsx DESC, event_id DESC) AS rn
-      |        FROM c),
-      |arr AS (SELECT event_type,
-      |          list(struct_pack(day := day, x := x) ORDER BY day) AS ds
-      |        FROM dcl WHERE rn = 1 GROUP BY event_type),
-      |rec(event_type, i, m, l, b) AS (
-      |  SELECT event_type, 0, len(ds), 0::BIGINT, 0::BIGINT FROM arr
-      |  UNION ALL
-      |  SELECT r.event_type, r.i + 1, r.m,
-      |    CASE WHEN r.i = 0 THEN a.ds[r.i + 1].x
-      |         ELSE (a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4 END,
-      |    CASE WHEN r.i = 0 THEN 0::BIGINT
-      |         ELSE (((a.ds[r.i + 1].x + 3 * (r.l + r.b)) // 4)
-      |               - r.l + r.b) // 2 END
-      |  FROM rec r JOIN arr a USING (event_type) WHERE r.i < r.m),
+    s"""WITH RECURSIVE $dailyCloseCtesSql,
+      |$holtArrSql,
+      |$holtRecSql,
       |origins AS (
       |  SELECT r.event_type, a.ds[r.i].day::VARCHAR AS origin_day,
       |    (r.l + r.b) AS f1_cents, a.ds[r.i + 1].x AS actual_cents,
@@ -1531,45 +1539,46 @@ object EventQueries {
       |WINDOW w AS (PARTITION BY event_type)
       |ORDER BY event_type, origin_day""".stripMargin) { (s, d) =>
     import s.implicits._
-    val w = Window.partitionBy($"event_type", $"day")
-      .orderBy($"ts".desc, $"event_id".desc)
-    val daily = Tables.events(s, d)
-      .select($"event_type", $"ts", $"event_id",
-        to_date($"ts").as("day"),
-        round($"value" * 100).cast("long").as("x"))
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
-    val folded = daily.groupBy($"event_type")
+    // windowed accumulator: each step appends (day, x, l, b) and keeps
+    // only the LAST 6 states (slice from the end) — the 5 origins plus
+    // the next-day actuals never look further back, so the fold stays
+    // O(days) in copies instead of O(days²), matching the forecast's
+    // single-pass cost claim
+    val l1 = holtStepL("e.x",
+      "element_at(acc, -1).l", "element_at(acc, -1).b")
+    val folded = dailyCloses(s, d).groupBy($"event_type")
       .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
       .withColumn("acc", expr(
-        """aggregate(ds,
-          |  cast(array() as array<struct<l: bigint, b: bigint>>),
+        s"""aggregate(ds,
+          |  cast(array() as
+          |       array<struct<day: date, x: bigint, l: bigint, b: bigint>>),
           |  (acc, e) -> CASE WHEN size(acc) = 0
-          |    THEN array(named_struct('l', e.x, 'b', 0L))
-          |    ELSE concat(acc, array(named_struct(
-          |      'l', (e.x + 3L * (element_at(acc, -1).l
-          |                        + element_at(acc, -1).b)) div 4L,
-          |      'b', (((e.x + 3L * (element_at(acc, -1).l
-          |                          + element_at(acc, -1).b)) div 4L)
-          |            - element_at(acc, -1).l
-          |            + element_at(acc, -1).b) div 2L)))
+          |    THEN array(named_struct('day', e.day, 'x', e.x,
+          |                            'l', e.x, 'b', 0L))
+          |    ELSE slice(concat(acc, array(named_struct(
+          |      'day', e.day, 'x', e.x,
+          |      'l', $l1,
+          |      'b', ${holtStepB(l1,
+               "element_at(acc, -1).l", "element_at(acc, -1).b")}))),
+          |      -least(size(acc) + 1, 6), 6)
           |  END)""".stripMargin))
     val wt = Window.partitionBy($"event_type")
     folded
-      .select($"event_type", $"ds", $"acc",
+      .select($"event_type", $"acc",
         // guard: Spark's sequence(a, b) silently DESCENDS when a > b,
-        // so a 1-day series would emit origins 1 and 0 (element_at 0
+        // so a 1-state acc would emit origins 1 and 0 (element_at 0
         // throws) where the oracle's WHERE emits nothing — empty out
-        // explicitly
+        // explicitly. Indices are within the ≤6-state window; origin j
+        // pairs with the NEXT state's stored actual x.
         explode(expr(
-          """CASE WHEN size(ds) >= 2
-            |  THEN sequence(greatest(1, size(ds) - 5), size(ds) - 1)
+          """CASE WHEN size(acc) >= 2
+            |  THEN sequence(1, size(acc) - 1)
             |  ELSE cast(array() as array<int>) END""".stripMargin))
-          .as("i"))
+          .as("j"))
       .select($"event_type",
-        expr("cast(element_at(ds, i).day as string)").as("origin_day"),
-        expr("element_at(acc, i).l + element_at(acc, i).b").as("f1_cents"),
-        expr("element_at(ds, i + 1).x").as("actual_cents"))
+        expr("cast(element_at(acc, j).day as string)").as("origin_day"),
+        expr("element_at(acc, j).l + element_at(acc, j).b").as("f1_cents"),
+        expr("element_at(acc, j + 1).x").as("actual_cents"))
       .withColumn("abs_err_cents", abs($"f1_cents" - $"actual_cents"))
       .withColumn("s", sum($"abs_err_cents").over(wt))
       .withColumn("cnt", count(lit(1)).over(wt))

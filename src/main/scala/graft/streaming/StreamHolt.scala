@@ -7,13 +7,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** One daily close in exact integer cents — the stream-side input of
   * the `events_holt_forecast` recursion (the batch entry derives the
-  * same rows from raw events with a windowed downsample). `seq` is
-  * the event-order tie-break (the batch side's event_id): when one
-  * micro-batch carries several closes for the SAME new day — an
-  * intraday correction — the highest `seq` wins deterministically,
-  * matching the batch downsample's latest-event rule; resolving by
-  * arrival order would make the state depend on shuffle iteration
-  * order. */
+  * same rows from raw events with a windowed downsample). `seq` must
+  * be a TOTAL ORDER consistent with the batch downsample's
+  * (event time, event_id) order — e.g. an event-time-ordered sequence
+  * number, or epochMicros·2²⁰ + event_id — NOT the bare event_id: ids
+  * need not be monotone in event time, and the batch side's daily
+  * close is the latest-TIME event. When one micro-batch carries
+  * several closes for the SAME new day (an intraday correction), the
+  * highest `seq` wins deterministically; resolving by arrival order
+  * would make the state depend on shuffle iteration order. */
 case class DailyClose(series: String, day: Date, closeCents: Long,
     seq: Long)
 
@@ -62,9 +64,12 @@ object StreamHolt {
   private[streaming] def step(stored: Option[HoltState],
       batch: Iterator[DailyClose]): HoltState = {
     val init = stored.getOrElse(HoltState(0L, Long.MinValue, 0L, 0L))
+    // (seq, closeCents) key: seq decides per the contract; equal seqs
+    // (a caller bug, e.g. a restarted counter) still resolve
+    // deterministically instead of by shuffle arrival order
     val latestPerDay = batch.toSeq
       .groupBy(_.day.getTime)
-      .map { case (_, rows) => rows.maxBy(_.seq) }
+      .map { case (_, rows) => rows.maxBy(r => (r.seq, r.closeCents)) }
       .toSeq.sortBy(_.day.getTime)
     latestPerDay.foldLeft(init) { (st, row) =>
       if (row.day.getTime <= st.lastDayMs) st // late/duplicate day: drop

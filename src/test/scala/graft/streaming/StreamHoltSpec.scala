@@ -79,6 +79,17 @@ class StreamHoltSpec extends SparkTestBase {
       assert(StreamHolt.step(Some(base), perm.iterator) == expected,
         s"arrival order $perm changed the state")
     }
+    // equal seqs (caller bug) still resolve deterministically, not by
+    // arrival order: highest closeCents wins as the secondary key
+    val dup = Seq(
+      DailyClose("s", d("2024-04-02"), 100L, 7L),
+      DailyClose("s", d("2024-04-02"), 900L, 7L))
+    val dupExpected = StreamHolt.step(Some(base), Iterator(
+      DailyClose("s", d("2024-04-02"), 900L, 7L)))
+    dup.permutations.foreach { perm =>
+      assert(StreamHolt.step(Some(base), perm.iterator) == dupExpected,
+        s"equal-seq arrival order $perm changed the state")
+    }
   }
 
   test("stream: per-series state across micro-batches matches the batch " +
