@@ -310,7 +310,19 @@ object Bench {
     // saturated C2 queue, so entries ran INTERPRETED for whole stages.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated entries excluded from the
+    // run entirely (warm-up AND sweeps) — the A/B attribution knob for
+    // correlated-drift hunts (r17 verdict item 1: does the portable-md5
+    // elevation band clear when the md5-dense column entries sit out a
+    // sweep?). Diagnostic only: a skip run is marked in the artifact
+    // ("skip_list") and is NOT a valid baseline-record input.
+    val skipList: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val names = SparkEntry.queries.keys.toSeq.filterNot(skipList).sorted
+    if (skipList.nonEmpty)
+      System.err.println(s"[bench] SKIP list active (${skipList.size}): " +
+        skipList.toSeq.sorted.mkString(","))
 
     // ----- baseline record (parsed once: ratios + the core shard list).
     // The baseline file is a flat JSON object; scrape it with regexes
@@ -745,14 +757,21 @@ object Bench {
       // (run 2 at 0.76 s vs run 4+ at 0.58 s). Leftover warm budget
       // buys those entries their run-3 warmth where it is untimed.
       val warmRemain = warmBudget - (System.nanoTime() - w0) / 1e9
+      // pass-2 cut count is LOGGED (r17 ADVICE): it does not feed
+      // `unwarmed` — those entries did warm once — but a
+      // partially-completed second pass must be distinguishable from a
+      // full one when reconstructing warm-state provenance from the log
+      var pass2Cut = 0
       if (skipped == 0 && warmRemain > 25.0) {
         val top = timedNames.sortBy(n => -costRank(n)).take(16)
-        warmConcurrent(top, warmDir, warmRemain)
+        pass2Cut = warmConcurrent(top, warmDir, warmRemain)
       }
       System.err.println(f"[bench] warm-up sweep ($warmDir, 8 threads, " +
         f"budget $warmBudget%.0f s) " +
         f"${(System.nanoTime() - w0) / 1e9}%.1f s; elapsed $elapsedSec%.1f s" +
-        (if (skipped > 0) s"; $skipped entries un-warmed (deadline)" else ""))
+        (if (skipped > 0) s"; $skipped entries un-warmed (deadline)" else "") +
+        (if (pass2Cut > 0) s"; second warm pass cut $pass2Cut entries " +
+          "short (deadline)" else ""))
     }
 
     // SESSION RESTART, once (round-11 introduced it per-sweep; round-12
@@ -1205,6 +1224,7 @@ object Bench {
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
         s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +
         s""""rotation_timed":${rotationSlice.forall(samples.contains)},""" +
+        s""""skip_list":${strArr(skipList.toSeq.sorted)},""" +
         s""""single_task":${strArr(singleTask)},""" +
         s""""regressions":${regressions.mkString("[", ",", "]")},""" +
         s""""deadlined":${strArr(deadlined.asScala)}""" +

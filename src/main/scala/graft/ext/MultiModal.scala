@@ -40,13 +40,24 @@ object MultiModal {
   def textAsBlob(text: Column): Column = encode(text, "UTF-8")
 
   /** STUB column-expression decode: metadata derived from the blob
-    * (length + salted xxhash64 pseudo-dimensions), not a real codec. */
-  def decodeMeta(blob: Column): Column = struct(
-    length(blob).as("n_bytes"),
-    lit("stub/raw").as("format"),
-    (pmod(xxhash64(blob, lit(1)), lit(1920)) + 1).cast("int").as("width"),
-    (pmod(xxhash64(blob, lit(2)), lit(1080)) + 1).cast("int").as("height"),
-    xxhash64(blob).as("fingerprint"))
+    * (length + hash-derived pseudo-dimensions), not a real codec. The
+    * pseudo-metadata hash is the repo's portable md5-prefix-60 (ONE
+    * md5 per blob — bit-exact with DuckDB
+    * `('0x' || substring(md5(b), 1, 15))::BIGINT`), so the stub's
+    * output is FULLY cross-engine-oracled like the GIF/WAV pipelines
+    * (r17 verdict item 7; the earlier xxhash64 pseudo-dims had no
+    * DuckDB replay and left these entries rows-only). Identical
+    * arithmetic to [[StubDecoder.decode]], so the column path and the
+    * partition-batched path agree value-for-value (MultiModalSpec). */
+  def decodeMeta(blob: Column): Column = {
+    val fp = conv(substring(md5(blob), 1, 15), 16, 10).cast("long")
+    struct(
+      length(blob).as("n_bytes"),
+      lit("stub/raw").as("format"),
+      (fp % 1920 + 1).cast("int").as("width"),
+      (shiftright(fp, 16) % 1080 + 1).cast("int").as("height"),
+      fp.as("fingerprint"))
+  }
 
   /** Frame sampling shape: n evenly-spaced fixed-width byte slices of
     * the payload (what a video frame sampler produces, minus the codec). */
@@ -806,12 +817,13 @@ object MultiModal {
     * codec-heavy video formats (H.264-class) with no in-JDK decoder. */
   final class StubDecoder {
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
-      var h = 1125899906842597L // deterministic FNV-ish roll
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      // portable md5-prefix-60 fingerprint: the same value
+      // [[decodeMeta]]'s column path computes and DuckDB replays as
+      // ('0x' || substring(md5(b), 1, 15))::BIGINT — h is 60-bit
+      // nonnegative, so plain % matches both engines' mod
+      val h = graft.functions.SketchAlgos.md5Prefix60(bytes, 0, bytes.length)
       DecodedMedia(id, bytes.length, "stub/raw",
-        (math.floorMod(h, 1920) + 1).toInt,
-        (math.floorMod(h >> 16, 1080) + 1).toInt, h)
+        (h % 1920 + 1).toInt, ((h >> 16) % 1080 + 1).toInt, h)
     }
   }
 }

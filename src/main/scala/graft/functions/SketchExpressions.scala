@@ -252,6 +252,66 @@ object SketchAlgos {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** One-permutation-hashing MinHash with rotation densification (Li,
+    * Owen & Zhang NIPS'12; Shrivastava & Li ICML'14) over WORD n-grams:
+    * ONE unsalted md5-prefix hash per gram occurrence, bin `h mod k`
+    * competes for its min, and an empty bin j borrows the first
+    * non-empty bin clockwise with a +t offset. Bit-exact with the
+    * gram-explode column formulation (`conv(substring(md5(g),1,15),16,
+    * 10)` → k conditional mins → coalesce chain) — the min over gram
+    * OCCURRENCES equals the min over the distinct gram set, so no
+    * distinct set is materialized. Docs with fewer than n tokens return
+    * the EMPTY array (no gram rows ever reach the replay's GROUP BY).
+    *
+    * Why a kernel and not the column form: k conditional-min aggregates
+    * over an exploded gram relation evaluate ONE md5 per gram but pay a
+    * gram-row explode + hash-aggregate exchange, and — measured in the
+    * r15/r17 bench incidents — the md5-dense generated code pollutes
+    * the session JIT profile for every OTHER md5-calling entry in a
+    * shared-session sweep. This kernel is one row-local call per doc:
+    * zero extra rows, zero exchanges, one compiled method. */
+  def minhashOphData(text: UTF8String, k: Int, n: Int): ArrayData = {
+    require(k <= MaxK, s"k=$k must be <= $MaxK")
+    val bytes = text.getBytes
+    var nTok = 1
+    var b = 0
+    while (b < bytes.length) { if (bytes(b) == 0x20) nTok += 1; b += 1 }
+    if (nTok < n)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val tokStart = new Array[Int](nTok + 1)
+    var t = 1
+    b = 0
+    while (b < bytes.length) {
+      if (bytes(b) == 0x20) { tokStart(t) = b + 1; t += 1 }
+      b += 1
+    }
+    tokStart(nTok) = bytes.length + 1 // virtual separator past the end
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue) // empty-bin sentinel;
+    // md5Prefix60 < 2^60, so a real min never equals the sentinel
+    val m = nTok - n + 1
+    var p = 0
+    while (p < m) {
+      val off = tokStart(p)
+      val h = md5Prefix60(bytes, off, tokStart(p + n) - 1 - off)
+      val bin = (h % k).toInt // h is 60-bit nonnegative
+      if (h < mins(bin)) mins(bin) = h
+      p += 1
+    }
+    // rotation densification = the coalesce chain: first non-empty bin
+    // clockwise from j, offset +t. At least one gram exists (m >= 1),
+    // so the walk terminates within k steps.
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var d = 0
+      while (mins((j + d) % k) == Long.MaxValue) d += 1
+      out(j) = mins((j + d) % k) + d
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** First 16 hex chars of sha256(s) — bit-exact with
     * `substring(sha2(s AS BINARY, 256), 1, 16)` / DuckDB
     * `substring(sha256(s), 1, 16)`. */
@@ -647,6 +707,21 @@ case class MinHashWordsPortable(child: Expression, k: Int, n: Int)
     s"graft.functions.SketchAlgos.minhashWordsData($c, $k, $n)"
   override def nullSafeEval(input: Any): Any =
     SketchAlgos.minhashWordsData(input.asInstanceOf[UTF8String], k, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_oph_md5(text, k, n)` — array<long> of k rotation-densified
+  * one-permutation-hashing minhash values over WORD n-grams (ONE
+  * unsalted md5-prefix hash per gram); empty array when fewer than n
+  * tokens (see [[SketchAlgos.minhashOphData]]). */
+case class MinHashOphPortable(child: Expression, k: Int, n: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "minhash_oph_md5"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.minhashOphData($c, $k, $n)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.minhashOphData(input.asInstanceOf[UTF8String], k, n)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -276,6 +276,9 @@ object GraftFunctions {
       "minhash_words_md5", exprs => MinHashWordsPortable(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "n")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_oph_md5", exprs => MinHashOphPortable(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "n")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps_md5", exprs => WinnowFpsPortable(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

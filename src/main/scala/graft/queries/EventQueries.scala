@@ -1418,8 +1418,9 @@ object EventQueries {
       |        FROM cell GROUP BY event_type)
       |SELECT cell.event_type, cell.dow::BIGINT AS dow, cell.n,
       |  ((1000 * cell.sx) // cell.n)::BIGINT AS mean_millicents,
-      |  ((1000000::HUGEINT * ((1000 * cell.sx) // cell.n))
-      |   // ((1000 * t.tsum) // t.tn))::BIGINT AS vs_type_mean_ppm
+      |  CASE WHEN ((1000 * t.tsum) // t.tn) != 0 THEN
+      |    ((1000000::HUGEINT * ((1000 * cell.sx) // cell.n))
+      |     // ((1000 * t.tsum) // t.tn))::BIGINT END AS vs_type_mean_ppm
       |FROM cell JOIN tot t ON cell.event_type = t.event_type
       |ORDER BY cell.event_type, dow""".stripMargin) { (s, d) =>
     import s.implicits._
@@ -1432,11 +1433,16 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
     val tot = cell.groupBy($"event_type")
       .agg(sum($"n").as("tn"), sum($"sx").as("tsum"))
+    // type-mean zero-guard (r17 ADVICE): a series whose truncated mean
+    // is 0 would divide by zero — DuckDB `//` raises where Spark yields
+    // NULL/errors by ANSI mode, so BOTH sides guard to NULL explicitly
+    // (the scalar_pct_change / ret_ppm discipline)
     cell.join(tot, "event_type")
       .select($"event_type", $"dow".cast("long").as("dow"), $"n",
         expr("(1000L * sx) div n").as("mean_millicents"),
-        expr("""(cast(1000000 as decimal(38,0)) * ((1000L * sx) div n))
-          | div ((1000L * tsum) div tn)""".stripMargin)
+        expr("""CASE WHEN (1000L * tsum) div tn != 0 THEN
+          |  (cast(1000000 as decimal(38,0)) * ((1000L * sx) div n))
+          |  div ((1000L * tsum) div tn) END""".stripMargin)
           .cast("long").as("vs_type_mean_ppm"))
       .orderBy($"event_type", $"dow")
   }

@@ -32,11 +32,26 @@ object MediaQueries {
       keyCol: String): org.apache.spark.sql.DataFrame =
     df.repartitionByRange(s.sparkContext.defaultParallelism, col(keyCol))
 
-  /** Column-expression path: blob → typed metadata struct + frame count. */
-  val multimodalDecode: CatalogEntry = CatalogEntry.noOracle(
-    "multimodal_decode") { (s, d) =>
+  /** Column-expression path: blob → typed metadata struct + frame
+    * count. FULLY ORACLED since r18: the stub's pseudo-metadata hash
+    * is the portable md5-prefix-60 ([[MultiModal.decodeMeta]]), so
+    * DuckDB replays every width/height/fingerprint by pure arithmetic
+    * on the text bytes — the decode is still an honestly-labeled fake,
+    * but the Spark-side plumbing (binary transport, struct schema,
+    * frame-sample shape) is now hash-gated end to end. */
+  val multimodalDecode: CatalogEntry = CatalogEntry(
+    "multimodal_decode",
+    """WITH b AS (
+      |  SELECT doc_id, strlen(text)::INT AS n_bytes,
+      |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, n_bytes, 'stub/raw' AS format,
+      |  (fp % 1920 + 1)::INT AS width,
+      |  ((fp // 65536) % 1080 + 1)::INT AS height,
+      |  fp AS fingerprint, 4 AS n_frames
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.documents(s, d).where($"text".isNotNull)
       .select($"doc_id", MultiModal.textAsBlob($"text").as("blob"))
       .select($"doc_id",
         MultiModal.decodeMeta($"blob").as("meta"),
@@ -48,16 +63,30 @@ object MediaQueries {
   }
 
   /** Partition-batched imperative path (mapInPandas analogue):
-    * mapPartitions with a per-partition decoder instance. */
-  val multimodalDecodePartitions: CatalogEntry = CatalogEntry.noOracle(
-    "multimodal_decode_partitions") { (s, d) =>
+    * mapPartitions with a per-partition decoder instance. FULLY
+    * ORACLED since r18 via the same portable stub arithmetic as
+    * [[multimodalDecode]] — the two paths emit identical values, so
+    * this entry also pins column-path == imperative-path equality. */
+  val multimodalDecodePartitions: CatalogEntry = CatalogEntry(
+    "multimodal_decode_partitions",
+    """WITH b AS (
+      |  SELECT doc_id, strlen(text)::INT AS n_bytes,
+      |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, n_bytes, 'stub/raw' AS format,
+      |  (fp % 1920 + 1)::INT AS width,
+      |  ((fp // 65536) % 1080 + 1)::INT AS height,
+      |  fp AS fingerprint
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     MultiModal.decodePartitions(
-      Tables.documents(s, d)
+      Tables.documents(s, d).where($"text".isNotNull)
         .select($"doc_id", MultiModal.textAsBlob($"text").as("blob")),
       "doc_id", "blob")
       .toDF()
-      .orderBy($"id")
+      .select($"id".as("doc_id"), $"nBytes".as("n_bytes"), $"format",
+        $"width", $"height", $"fingerprint")
+      .orderBy($"doc_id")
   }
 
   /** REAL codec round-trip, ORACLED on the decode-derived metadata:
@@ -269,6 +298,105 @@ object MediaQueries {
       .orderBy($"dhash")
   }
 
+  /** CROSS-MODAL PAIRED DEDUP — the multimodal-pair censuses a VLM
+    * training-data pipeline runs over (image, caption) rows:
+    * "same image, different caption" (one visual duplicated under many
+    * texts — caption diversity per visual, and the dedup decision of
+    * whether to keep one pair per image or all caption variants) and
+    * "same caption, different image" (one text reused across visuals —
+    * boilerplate/alt-text templates, the side text-only dedup cannot
+    * see pairs through). Composition of two green fingerprint
+    * pipelines: the REAL PNG encode→decode→dHash chain of
+    * [[multimodalPhashDedup]] on the image side (doc_id % 96 texture
+    * classes, so planted same-image groups exist) and `dedup_exact`'s
+    * text digest on the caption side, joined on doc_id — each group
+    * key reports its doc count, distinct-partner-variant count, and
+    * id range; only groups with ≥ 2 partner variants survive.
+    *
+    * FULLY ORACLED: DuckDB recomputes every dHash by pure pixel
+    * arithmetic (the phash oracle's CTEs) and every caption digest as
+    * md5(text), then replays both censuses — hash-green proves the
+    * real codec chain AND the pairing algebra.
+    *
+    * Scale shape: fingerprint-then-join — blobs never shuffle; only
+    * (doc_id, 16-char dhash, 32-char md5) rides the doc_id equi-join,
+    * and each census is one partial-aggregated group-by on its
+    * fingerprint. At 100 TB both sides are the already-materialized
+    * fingerprint tables of the per-modality dedup passes, so the pair
+    * census costs one join over narrow columns. */
+  val multimodalPairDedup: CatalogEntry = CatalogEntry(
+    "multimodal_pair_dedup",
+    """WITH vv AS (SELECT DISTINCT doc_id % 96 AS v FROM documents),
+      |dims AS (
+      |  SELECT v, (v % 3) * 16 + 16 AS w, ((v // 3) % 3) * 16 + 16 AS h
+      |  FROM vv),
+      |px AS (
+      |  SELECT v, w, h, gx.x::BIGINT AS x, gy.y::BIGINT AS y
+      |  FROM dims, unnest(generate_series(0, w - 1)) AS gx(x),
+      |       unnest(generate_series(0, h - 1)) AS gy(y)),
+      |gray AS (
+      |  SELECT v, (x * 9) // w AS cx, (y * 8) // h AS cy,
+      |    (x * 31 + y * 17 + v * 97) % 256 AS g
+      |  FROM px),
+      |cells AS (
+      |  SELECT v, cy, cx, (sum(g)::BIGINT // count(*)::BIGINT) AS m
+      |  FROM gray GROUP BY v, cy, cx),
+      |bits AS (
+      |  SELECT l.v, l.cy,
+      |    sum(CASE WHEN l.m > r.m THEN (1 << l.cx) ELSE 0 END)::INT AS b
+      |  FROM cells l JOIN cells r
+      |    ON l.v = r.v AND l.cy = r.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8 GROUP BY l.v, l.cy),
+      |hash AS (
+      |  SELECT v, string_agg(printf('%02x', b), '' ORDER BY cy) AS dhash
+      |  FROM bits GROUP BY v),
+      |pair AS (
+      |  SELECT d.doc_id, h.dhash, md5(d.text) AS text_md5
+      |  FROM documents d JOIN hash h ON d.doc_id % 96 = h.v
+      |  WHERE d.text IS NOT NULL),
+      |img AS (
+      |  SELECT dhash AS grp_key, count(*)::BIGINT AS n_docs,
+      |    count(DISTINCT text_md5)::BIGINT AS n_variants,
+      |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |  FROM pair GROUP BY dhash),
+      |txt AS (
+      |  SELECT text_md5 AS grp_key, count(*)::BIGINT AS n_docs,
+      |    count(DISTINCT dhash)::BIGINT AS n_variants,
+      |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |  FROM pair GROUP BY text_md5)
+      |SELECT 'same_image_diff_text' AS kind, grp_key, n_docs,
+      |  n_variants, min_doc, max_doc FROM img WHERE n_variants >= 2
+      |UNION ALL
+      |SELECT 'same_text_diff_image' AS kind, grp_key, n_docs,
+      |  n_variants, min_doc, max_doc FROM txt WHERE n_variants >= 2
+      |ORDER BY kind, grp_key""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val meta = spreadByRange(Tables.documents(s, d)
+      .select(($"doc_id" * 256 + $"doc_id" % 96).as("img_id"),
+        expr("(doc_id % 96) % 3 * 16 + 16").as("w"),
+        expr("((doc_id % 96) div 3) % 3 * 16 + 16").as("h")),
+      s, "img_id")
+    val blobs = MultiModal.encodeTexturedImagePartitions(
+      meta, "img_id", "w", "h")
+    val dh = MultiModal.dhashImagePartitions(blobs, "id", "blob")
+      .select(expr("id div 256").as("doc_id"), $"dhash")
+    val txtd = Tables.documents(s, d).where($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("text_md5"))
+    val pair = dh.join(txtd, "doc_id")
+    def census(key: org.apache.spark.sql.Column,
+        partner: org.apache.spark.sql.Column, kind: String) = pair
+      .groupBy(key.as("grp_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(partner).as("n_variants"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .where($"n_variants" >= 2)
+      .select(lit(kind).as("kind"), $"grp_key", $"n_docs", $"n_variants",
+        $"min_doc", $"max_doc")
+    census($"dhash", $"text_md5", "same_image_diff_text")
+      .unionAll(census($"text_md5", $"dhash", "same_text_diff_image"))
+      .orderBy($"kind", $"grp_key")
+  }
+
   /** Windowed PCM energy features from REAL decoded audio, FULLY
     * ORACLED on the feature values: per-doc synthetic specs → actual
     * RIFF/WAVE containers → WAV parse → per-256-frame-window exact
@@ -382,5 +510,6 @@ object MediaQueries {
   def entries: Seq[CatalogEntry] = Seq(
     multimodalDecode, multimodalDecodePartitions, multimodalPngRoundtrip,
     multimodalResize, multimodalWavRoundtrip, multimodalGifFrames,
-    multimodalPhashDedup, multimodalAudioEnergy, multimodalGifPhash)
+    multimodalPhashDedup, multimodalAudioEnergy, multimodalGifPhash,
+    multimodalPairDedup)
 }

@@ -221,21 +221,10 @@ object StreamDedup {
         col(embCol).as("v"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        var bestCid = cents(0)._1
-        var bestD2 = Long.MaxValue
-        for ((cid, cv) <- cents) {
-          val n = math.min(v.length, cv.length)
-          var d2 = 0L
-          var i = 0
-          while (i < n) {
-            val diff = v(i).toDouble - cv(i).toDouble
-            // Spark SQL round(x, 0) semantics: BigDecimal HALF_UP
-            d2 += java.math.BigDecimal.valueOf(diff * diff * 1e9)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-            i += 1
-          }
-          if (d2 < bestD2) { bestD2 = d2; bestCid = cid } // ties: lowest cid
-        }
+        // shared assign arithmetic (r18): the argmin lives in
+        // StreamAnnAssign.nearestCentroid so the dedup and retrieval
+        // faces of the same index can never drift apart
+        val (bestCid, _) = StreamAnnAssign.nearestCentroid(v, cents)
         var nq = 0L
         var i = 0
         while (i < v.length) { nq += rintQ(v(i), v(i)); i += 1 }

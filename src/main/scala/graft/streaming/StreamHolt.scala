@@ -40,6 +40,18 @@ case class HoltForecast(series: String, nDays: Long, levelCents: Long,
   * order; a caller needing late-day tolerance puts a watermarked
   * daily aggregation in front (the `LateDataWindow` pattern).
   *
+  * Same-day corrections are only honored WITHIN one micro-batch: the
+  * per-day highest-`seq` pick in [[step]] resolves competing closes
+  * that arrive together, but a correction for the frontier day landing
+  * in a LATER micro-batch is `day <= frontier` and dropped like any
+  * late day — the stream can then diverge from a batch re-run whose
+  * downsample sees the correction. The contract is deliberate (state
+  * stays 32 bytes — replacing the last step would require storing the
+  * pre-advance level/trend and frontier seq); a caller whose feed
+  * issues cross-batch same-day corrections needs the upstream
+  * watermarked daily aggregation, which holds each day open until its
+  * watermark expires and emits it once, corrected.
+  *
   * Scale: state is 32 bytes per series — bounded by series
   * cardinality, not stream volume; series partition across executors
   * and checkpoint with the query. */

@@ -134,6 +134,45 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     }
   }
 
+  /** OPH column formulation — the exact gram-explode pipeline
+    * `dedup_minhash_oph` shipped before the kernel (and its DuckDB
+    * oracle still replays): ONE unsalted md5-prefix hash per gram,
+    * k conditional mins on `h mod k`, coalesce-chain rotation
+    * densification. Docs with < n tokens have no gram row. */
+  private def refMinhashOph(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] = {
+    val mns = df
+      .select($"doc_id", explode(Dedup.tokenNgrams($"text", n)).as("g"))
+      .select($"doc_id",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"doc_id")
+      .agg(min(when($"h" % k === 0L, $"h")).as("m0"),
+        (1 until k).map(j =>
+          min(when($"h" % k === j.toLong, $"h")).as(s"m$j")): _*)
+    mns.select($"doc_id" +: (0 until k).map { j =>
+      coalesce(col(s"m$j") +:
+        (1 until k).map(t => col(s"m${(j + t) % k}") + t.toLong): _*)
+        .as(s"d$j")
+    }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+  }
+
+  private def natMinhashOph(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("minhash_oph_md5", $"text", lit(k), lit(n)).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("minhash_oph_md5 is bit-exact with the explode + conditional-min " +
+      "+ coalesce-densification formulation; empty array iff fewer " +
+      "than n tokens") {
+    val df = corpus(edgeTexts)
+    for ((k, n) <- Seq((16, 3), (8, 2))) {
+      val nat = natMinhashOph(df, k, n)
+      val ref = refMinhashOph(df, k, n)
+      nat.filter(_._2.nonEmpty) shouldBe ref
+      nat.filter(_._2.isEmpty).keySet shouldBe (nat.keySet -- ref.keySet)
+    }
+  }
+
   test("minhash_bands matches bandHashes over the signature frame") {
     val df = corpus(edgeTexts)
     natBands(df, 16, 4, 3) shouldBe refBands(df, 16, 4, 3)
@@ -269,7 +308,9 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       val tsOk = natTokenStats(df) == refTokenStats(df)
       val natMW = natMinhashWords(df, 4, 2)
       val mwOk = natMW.filter(_._2.nonEmpty) == refMinhashWords(df, 4, 2)
-      sigOk && bandsOk && winnowOk && simOk && jacOk && tsOk && mwOk
+      val natOph = natMinhashOph(df, 4, 2)
+      val ophOk = natOph.filter(_._2.nonEmpty) == refMinhashOph(df, 4, 2)
+      sigOk && bandsOk && winnowOk && simOk && jacOk && tsOk && mwOk && ophOk
     }
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(5)

@@ -18,6 +18,11 @@ def main(bench_path, core_path, note):
     core = json.load(open(core_path))
     if b.get("partial"):
         sys.exit("refusing: bench run is partial")
+    # round-18: SPARK_GRAFT_BENCH_SKIP runs exist only for A/B drift
+    # attribution — a baseline must price the full catalog's session
+    # (JIT profiles, cache pressure) exactly as a real round runs it
+    if b.get("skip_list"):
+        sys.exit(f"refusing: diagnostic skip-list run {b['skip_list']}")
     # round-15: a startup-degraded run drops the rotation slice and
     # times the core entries only — it can pass every sweep-health
     # check below (r14 did: degraded_shard:true, 2 healthy sweeps)
