@@ -104,6 +104,36 @@ object SketchAlgos {
   def minhashSigData(text: UTF8String, k: Int, shingleLen: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashSig(text, k, shingleLen))
 
+  /** All positional L-char-window hashes: element i (0-based) =
+    * `xxhash64(substring(text, i+1, L))` — bit-exact with the
+    * `transform(sequence(1, len-L+1), i -> xxhash64(substring(text, i,
+    * L)))` column formulation (UTF-8 byte slice of the char window,
+    * seed 42), proven in SketchExprSpec. EMPTY array when fewer than L
+    * chars (no full window — the callers' `length(text) >= L` guard).
+    * Exists for `dedup_substring_suffix`: hashing 50×-corpus-bytes of
+    * stride-1 windows as a substring+xxhash64 COLUMN pipeline is
+    * exactly the dense-generated-code shape that pollutes shared
+    * JIT profiles (BASELINE.md r18); this kernel is one row-local
+    * call per doc. */
+  def winHashData(text: UTF8String, l: Int): ArrayData = {
+    val nChars = text.numChars()
+    val n = nChars - l + 1
+    if (n <= 0)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val bytes = text.getBytes
+    val starts = charStarts(bytes, nChars)
+    val hs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val off = starts(p)
+      val end = starts(p + l)
+      hs(p) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + off, end - off, Seed)
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
   /** LSH band digests over a MinHash signature: band b hashes its r
     * consecutive signature longs exactly like the multi-argument
     * `xxhash64(mh_{br}, ..., mh_{br+r-1})` column — seed-chained. */
@@ -707,6 +737,21 @@ case class MinHashWordsPortable(child: Expression, k: Int, n: Int)
     s"graft.functions.SketchAlgos.minhashWordsData($c, $k, $n)"
   override def nullSafeEval(input: Any): Any =
     SketchAlgos.minhashWordsData(input.asInstanceOf[UTF8String], k, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `win_hash_x64(text, L)` — array<long> of every L-char window's
+  * xxhash64 (position = array index), bit-exact with the
+  * substring-per-position column formulation; empty array when fewer
+  * than L chars (see [[SketchAlgos.winHashData]]). */
+case class WinHashX64(child: Expression, l: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "win_hash_x64"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.winHashData($c, $l)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.winHashData(input.asInstanceOf[UTF8String], l)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

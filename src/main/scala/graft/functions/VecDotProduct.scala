@@ -276,6 +276,9 @@ object GraftFunctions {
       "minhash_words_md5", exprs => MinHashWordsPortable(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "n")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "win_hash_x64", exprs => WinHashX64(exprs(0),
+        intArg(exprs(1), "L")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_oph_md5", exprs => MinHashOphPortable(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "n")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -2550,16 +2550,28 @@ object TextQueries {
     * positions then merge into maximal runs with the islands trick
     * (pos − row_number per doc), a per-doc window.
     *
-    * Scale shape: stride-1 windows are 50× the corpus bytes through
-    * one exchange — at 100 TB the production pass hashes each window
-    * to int64 first (xxhash64, ~6× shuffle shrink, collisions
-    * re-confirmed by the equality pass) and lets AQE split skewed
-    * window keys (a pathological repeated window — boilerplate,
-    * whitespace runs — lands on one reducer otherwise); window text
-    * rides the shuffle here so the oracle replays the pipeline
-    * verbatim. Per-doc run assembly shuffles only the duplicated
-    * positions (a tiny fraction) partitioned BY DOC — never a global
-    * sort. */
+    * Scale shape: stride-1 windows are 50× the corpus bytes, so the
+    * deployed plan never materializes, shuffles, or sorts the window
+    * STRINGS at corpus scale: ONE row-local `win_hash_x64` kernel call
+    * per doc emits every window's int64 hash, ONE narrow partial-agg
+    * exchange counts the hashes, the ≥2 hash set broadcasts back as a
+    * scan-local semi-join prefilter, and only the surviving candidates
+    * (the duplicated fraction plus negligible 64-bit collisions)
+    * re-materialize their window string — row-local substring on the
+    * tiny candidate set — for an exact string-equality confirm:
+    * collision-SAFE, value-identical to grouping the full strings,
+    * proven by the oracle. This is simultaneously the 100 TB
+    * shuffle-shrink shape (~7× fewer exchange bytes) and a measured
+    * JIT-hygiene fix applied twice: the first cut's count-over-
+    * Window.partitionBy(window) SORTED 1.3M window strings and
+    * elevated unrelated string-heavy entries up to 10× in the same
+    * sweep; the substring+xxhash64 COLUMN rewrite still left a
+    * 1.4-1.7× band; the kernel isolates the dense byte work in one
+    * compiled method (BASELINE.md r18 attribution; A/B skip-run
+    * evidence). AQE splits skewed hash keys (pathological repeated
+    * windows — boilerplate, whitespace runs). Per-doc run assembly
+    * shuffles only duplicated positions partitioned BY DOC — never a
+    * global sort. */
   val dedupSubstringSuffix: CatalogEntry = CatalogEntry(
     "dedup_substring_suffix",
     """WITH dd AS (SELECT doc_id, text FROM documents
@@ -2583,28 +2595,57 @@ object TextQueries {
       |FROM isl GROUP BY doc_id, g
       |ORDER BY doc_id, start_pos""".stripMargin) { (s, d) =>
     import s.implicits._
-    val L = 50
-    val w = Tables.spreadScan(Tables.documents(s, d)
-        .where($"text".isNotNull && length($"text") >= L)
-        .select($"doc_id", $"text"))
-      .select($"doc_id",
-        explode(sequence(lit(1), length($"text") - (L - 1))).as("pos"),
-        $"text")
-      .select($"doc_id", $"pos",
+    substringSuffixRuns(Tables.documents(s, d)
+      .select($"doc_id", $"text"), L = 50)
+  }
+
+  /** [[dedupSubstringSuffix]]'s operator over any (doc_id, text)
+    * frame — extracted so the spec can plant embedded-duplicate
+    * fixtures. Output: one row per MAXIMAL duplicated run ≥ L chars,
+    * (doc_id, start_pos 1-based, run_len, n_windows), ordered. */
+  private[queries] def substringSuffixRuns(docs: DataFrame,
+      L: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val dd = docs.where(col("text").isNotNull && length(col("text")) >= L)
+      .select(col("doc_id"), col("text"))
+    // ALL window hashes from ONE row-local kernel call per doc — no
+    // substring/xxhash64 column code ever runs over the 50×-corpus
+    // window relation (the r18 JIT-hygiene lesson, twice over: the
+    // first cut's Window-sort polluted at 10×, the substring+xxhash64
+    // column rewrite still at 1.4-1.7×; the kernel isolates the dense
+    // byte work in one compiled method)
+    val wh = Tables.spreadScan(dd)
+      .select(col("doc_id"), posexplode(
+        call_function("win_hash_x64", col("text"), lit(L)))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    // narrow hash-count exchange + broadcast semi-join prefilter; only
+    // the candidates re-materialize their window STRING (row-local
+    // substring after a doc_id join on the tiny candidate set) for the
+    // exact-equality confirm (collision-safe — a 64-bit collision adds
+    // a candidate here and is removed below)
+    val dupH = wh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("h"))
+    val cand = wh.join(broadcast(dupH), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val candS = cand.join(dd, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos, $L)").as("suf"))
-    val dup = w
-      .withColumn("c", count(lit(1)).over(Window.partitionBy($"suf")))
-      .where($"c" >= 2)
-      .select($"doc_id", $"pos")
+    val dupSuf = candS.groupBy(col("suf")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("suf"))
+    val dup = candS.join(broadcast(dupSuf), Seq("suf"), "left_semi")
+      .select(col("doc_id"), col("pos"))
     dup
-      .withColumn("g", $"pos" -
-        row_number().over(Window.partitionBy($"doc_id").orderBy($"pos")))
-      .groupBy($"doc_id", $"g")
-      .agg(min($"pos").cast("long").as("start_pos"),
-        (max($"pos") - min($"pos") + L).cast("long").as("run_len"),
+      .withColumn("g", col("pos") -
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + L).cast("long").as("run_len"),
         count(lit(1)).as("n_windows"))
-      .select($"doc_id", $"start_pos", $"run_len", $"n_windows")
-      .orderBy($"doc_id", $"start_pos")
+      .select(col("doc_id"), col("start_pos"), col("run_len"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("start_pos"))
   }
 
   /** Per-(source, log2-token-count) histogram — the sequence-length

@@ -173,6 +173,32 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     }
   }
 
+  /** Column formulation; the short-text guard matters — a bare
+    * sequence(1, len-l+1) goes DESCENDING [1, 0] when len < l (the
+    * Holt-backtest trap) and would hash clamped sub-windows. */
+  private def refWinHash(df: DataFrame, l: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id", expr(
+      s"CASE WHEN length(text) >= $l THEN " +
+        s"transform(sequence(1, length(text) - ${l - 1}), " +
+        s"i -> xxhash64(substring(text, i, $l))) " +
+        "ELSE cast(array() as array<bigint>) END").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  private def natWinHash(df: DataFrame, l: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("win_hash_x64", $"text", lit(l)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("win_hash_x64 is bit-exact with the xxhash64(substring) column " +
+      "formulation, multi-byte chars included; empty iff < L chars") {
+    val df = corpus(edgeTexts)
+    for (l <- Seq(3, 10)) {
+      val nat = natWinHash(df, l)
+      val ref = refWinHash(df, l)
+      nat shouldBe ref
+    }
+  }
+
   test("minhash_bands matches bandHashes over the signature frame") {
     val df = corpus(edgeTexts)
     natBands(df, 16, 4, 3) shouldBe refBands(df, 16, 4, 3)
