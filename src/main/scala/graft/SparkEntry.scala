@@ -19,7 +19,7 @@ object SparkEntry {
       TextQueries.entries ++ SimilarityQueries.entries ++
       MediaQueries.entries ++ OperatorQueries.entries ++
       ReshapeQueries.entries ++ PipelineQueries.entries ++
-      SampleQueries.entries
+      SampleQueries.entries ++ SketchQueries.entries
 
   lazy val catalog: Map[String, CatalogEntry] = {
     val es = families

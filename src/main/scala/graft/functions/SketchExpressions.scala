@@ -342,6 +342,102 @@ object SketchAlgos {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Per-document HyperLogLog registers (Flajolet et al. 2007) over
+    * WORD n-grams with the portable md5-prefix hash: register j holds
+    * max over grams with h mod m == j of rho(h div m), where rho = the
+    * 1-based position of the leftmost 1-bit inside the remaining
+    * (60 − log2 m) hash bits — i.e. `bits − bitlen(w) + 1`, and an
+    * all-zero remainder scores bits+1. Registers merge across docs by
+    * element-wise MAX, which is exactly what the caller's
+    * posexplode + groupBy(source, pos).agg(max) does — HLL state is a
+    * fixed m-length vector no matter the corpus, the whole point at
+    * 100 TB. Bit-exact with the gram-explode column formulation
+    * (`conv(substring(md5(g),1,15),16,10)` → `% m` / `div m` →
+    * 55 − length(bin(w)) for m=64), proven in SketchExprSpec; the
+    * DuckDB oracle replays that literal column form. Docs with fewer
+    * than n tokens return the EMPTY array (no gram rows reach the
+    * replay's GROUP BY); m must be a power of two. Same row-local
+    * kernel rationale as [[minhashOphData]]: one md5 per gram inside
+    * one compiled method — never an md5-dense exploded column (the
+    * r15/r17/r18 JIT-pollution trap). */
+  def hllRegsData(text: UTF8String, m: Int, n: Int): ArrayData = {
+    require(m >= 2 && (m & (m - 1)) == 0, s"m=$m must be a power of 2")
+    val bits = 60 - java.lang.Integer.numberOfTrailingZeros(m)
+    val bytes = text.getBytes
+    var nTok = 1
+    var b = 0
+    while (b < bytes.length) { if (bytes(b) == 0x20) nTok += 1; b += 1 }
+    if (nTok < n)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val tokStart = new Array[Int](nTok + 1)
+    var t = 1
+    b = 0
+    while (b < bytes.length) {
+      if (bytes(b) == 0x20) { tokStart(t) = b + 1; t += 1 }
+      b += 1
+    }
+    tokStart(nTok) = bytes.length + 1 // virtual separator past the end
+    val regs = new Array[Long](m)
+    val gramCount = nTok - n + 1
+    var p = 0
+    while (p < gramCount) {
+      val off = tokStart(p)
+      val h = md5Prefix60(bytes, off, tokStart(p + n) - 1 - off)
+      val bin = (h % m).toInt
+      val w = h / m
+      val rho =
+        if (w == 0L) bits + 1
+        else bits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > regs(bin)) regs(bin) = rho.toLong
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(regs)
+  }
+
+  /** Per-document k-minimum-values sketch (Bar-Yossef et al. 2002 /
+    * the theta-sketch bottom-k family) over WORD n-grams: the k
+    * smallest DISTINCT md5-prefix gram hashes, ascending. KMV sketches
+    * merge by union-then-retake-k — any hash among the k smallest of a
+    * union is among the k smallest of its own document, so the
+    * caller's posexplode + per-key distinct + rank ≤ k reconstruction
+    * is lossless. Fewer than k distinct grams returns them all (the
+    * sketch is then EXACT and the k-th-value estimator degenerates
+    * correctly on the caller side). Docs with fewer than n tokens
+    * return the EMPTY array. Row-local kernel for the same JIT-hygiene
+    * reason as [[hllRegsData]]. */
+  def kminHashData(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var nTok = 1
+    var b = 0
+    while (b < bytes.length) { if (bytes(b) == 0x20) nTok += 1; b += 1 }
+    if (nTok < n)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val tokStart = new Array[Int](nTok + 1)
+    var t = 1
+    b = 0
+    while (b < bytes.length) {
+      if (bytes(b) == 0x20) { tokStart(t) = b + 1; t += 1 }
+      b += 1
+    }
+    tokStart(nTok) = bytes.length + 1 // virtual separator past the end
+    val gramCount = nTok - n + 1
+    val hs = new Array[Long](gramCount)
+    var p = 0
+    while (p < gramCount) {
+      val off = tokStart(p)
+      hs(p) = md5Prefix60(bytes, off, tokStart(p + n) - 1 - off)
+      p += 1
+    }
+    java.util.Arrays.sort(hs)
+    var nDistinct = 0
+    var i = 0
+    while (i < gramCount && nDistinct < k) { // ascending → first k
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(nDistinct) = hs(i); nDistinct += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, nDistinct))
+  }
+
   /** First 16 hex chars of sha256(s) — bit-exact with
     * `substring(sha2(s AS BINARY, 256), 1, 16)` / DuckDB
     * `substring(sha256(s), 1, 16)`. */
@@ -767,6 +863,34 @@ case class MinHashOphPortable(child: Expression, k: Int, n: Int)
     s"graft.functions.SketchAlgos.minhashOphData($c, $k, $n)"
   override def nullSafeEval(input: Any): Any =
     SketchAlgos.minhashOphData(input.asInstanceOf[UTF8String], k, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hll_regs_md5(text, m, n)` — array<long> of m HyperLogLog registers
+  * over WORD n-grams of the portable md5-prefix hash; empty array when
+  * fewer than n tokens (see [[SketchAlgos.hllRegsData]]). */
+case class HllRegsPortable(child: Expression, m: Int, n: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "hll_regs_md5"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.hllRegsData($c, $m, $n)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.hllRegsData(input.asInstanceOf[UTF8String], m, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `kmin_hash_md5(text, k, n)` — array<long> of the k smallest distinct
+  * md5-prefix WORD-n-gram hashes, ascending; empty array when fewer
+  * than n tokens (see [[SketchAlgos.kminHashData]]). */
+case class KminHashPortable(child: Expression, k: Int, n: Int)
+    extends StringSketchExpression {
+  override def prettyName: String = "kmin_hash_md5"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.kminHashData($c, $k, $n)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.kminHashData(input.asInstanceOf[UTF8String], k, n)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -285,6 +285,12 @@ object GraftFunctions {
       "winnow_fps_md5", exprs => WinnowFpsPortable(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "w")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_regs_md5", exprs => HllRegsPortable(exprs(0),
+        intArg(exprs(1), "m"), intArg(exprs(2), "n")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmin_hash_md5", exprs => KminHashPortable(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "n")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63_md5", exprs => SimHash63Portable(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")

@@ -1,0 +1,515 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TextOps
+
+/** Portable probabilistic-sketch entries — the constant-state distinct
+  * counting and frequency estimation a 100 TB census layer runs on,
+  * each with a DuckDB oracle that replays the literal column
+  * formulation of the hashing the row-local kernels compute
+  * (the `*_portable` twin discipline of SketchExpressions.scala).
+  *
+  * Spark's own `approx_count_distinct` (HLL++) and `count_min_sketch`
+  * are implementation-defined binary states with no cross-engine
+  * replay, so the existing entries that use them are rows-only
+  * (`join_approx_distinct`, `profile_summary_stats`); these entries
+  * upgrade the sketch family to full-oracle by pinning every hash to
+  * the md5-prefix-60 arithmetic both engines compute bit-identically.
+  *
+  * JIT hygiene (the r15/r17/r18 trap, BASELINE.md): the per-gram md5
+  * work lives in the row-local `hll_regs_md5` / `kmin_hash_md5`
+  * kernels — never an md5-dense exploded column. The only md5-as-column
+  * use below is the CMS salt table over the VOCAB-sized census
+  * (~4 × 900 rows at sf0.01 — metadata scale, not the corpus-dense
+  * generated-code shape that deopts shared primitives).
+  */
+object SketchQueries {
+
+  /** Portable HyperLogLog distinct-gram census per source (Flajolet et
+    * al. 2007, m = 64 registers): registers from the row-local
+    * [[graft.functions.SketchAlgos.hllRegsData]] kernel, merged across
+    * documents by element-wise max — a fixed 64-long vector per source
+    * no matter the corpus, which is the whole reason HLL is the 100 TB
+    * distinct-count path (the exact arm's `count(DISTINCT gram)`
+    * shuffles the distinct gram set; the sketch arm shuffles 64
+    * numbers). The raw estimator αm·m²/Σ2^(−M_j) is restated exactly:
+    * Σ2^(62−M_j) is an exact DECIMAL(38,0)/HUGEINT sum and the
+    * estimate two integer divisions (α as the fixed literal 709343
+    * ppm = 0.7213/(1+1.079/64)), so the output hash cannot sit on a
+    * float boundary. The small-range branch (V zero registers > 0 and
+    * raw ≤ 5m/2 → linear counting m·ln(m/V)) is included for
+    * correctness — ln of an exact integer ratio per the established
+    * float discipline — and exercised by the spec (the sf ≥ 0.01
+    * corpus saturates all registers). err_ppm against the exact arm
+    * IS the measurement: ±13% expected at m = 64 (RSE 1.04/√m).
+    * reg_check = Σ(bucket+1)·M_j hash-gates the full register state,
+    * not just the estimate. */
+  val distinctHllPortable: CatalogEntry = CatalogEntry(
+    "distinct_hll_portable",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT source,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |h AS (SELECT source, gram,
+      |        ('0x' || substring(md5(gram), 1, 15))::BIGINT AS hv FROM g),
+      |r AS (SELECT source, hv % 64 AS bucket,
+      |        CASE WHEN hv // 64 = 0 THEN 55
+      |             ELSE 55 - length(format('{:b}', hv // 64)) END AS rho
+      |      FROM h),
+      |reg0 AS (SELECT source, bucket, max(rho)::BIGINT AS m
+      |         FROM r GROUP BY source, bucket),
+      |grid AS (SELECT s.source, b.bucket, coalesce(reg0.m, 0) AS m
+      |         FROM (SELECT DISTINCT source FROM t) s
+      |         CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+      |         LEFT JOIN reg0
+      |           ON reg0.source = s.source AND reg0.bucket = b.bucket),
+      |agg AS (SELECT source,
+      |          sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+      |          sum(1::HUGEINT << (62 - m)::INT)::HUGEINT AS s_sum,
+      |          sum((bucket + 1) * m)::BIGINT AS reg_check
+      |        FROM grid GROUP BY source),
+      |raw AS (SELECT source, v_zero, reg_check,
+      |          ((709343::HUGEINT * 4096 * 4611686018427387904)
+      |             // s_sum // 1000000)::BIGINT AS est_raw
+      |        FROM agg),
+      |fin AS (SELECT source, v_zero, reg_check,
+      |          CASE WHEN v_zero > 0 AND est_raw <= 160
+      |               THEN round(64000 * ln(64.0 / v_zero))::BIGINT // 1000
+      |               ELSE est_raw END AS est
+      |        FROM raw),
+      |ex AS (SELECT source, count(DISTINCT gram)::BIGINT AS n_exact
+      |       FROM g GROUP BY source)
+      |SELECT f.source, e.n_exact, f.v_zero, f.reg_check, f.est,
+      |  (1000000 * abs(f.est - e.n_exact)) // e.n_exact AS err_ppm
+      |FROM fin f JOIN ex e ON e.source = f.source
+      |ORDER BY f.source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    // sketch arm: one kernel call per doc, 64-row state per source
+    val regs = docs
+      .select($"source", expr("hll_regs_md5(text, 64, 3)").as("regs"))
+      .select($"source", posexplode($"regs").as(Seq("bucket", "m")))
+      .groupBy($"source", $"bucket").agg(max($"m").as("m"))
+    val agg = regs.groupBy($"source").agg(
+      sum(when($"m" === 0L, 1L).otherwise(0L)).as("v_zero"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(62 - m as int))")
+        .cast("decimal(38,0)")).as("s_sum"),
+      sum(($"bucket" + 1) * $"m").as("reg_check"))
+    val fin = agg
+      .withColumn("est_raw", expr(
+        "cast(cast(709343 as decimal(38,0)) * 4096" +
+          " * cast(4611686018427387904 as decimal(38,0))" +
+          " div s_sum div 1000000 as bigint)"))
+      .withColumn("est",
+        when($"v_zero" > 0 && $"est_raw" <= 160,
+          expr("cast(round(64000 * ln(64.0 / v_zero)) as bigint) div 1000"))
+          .otherwise($"est_raw"))
+    // exact arm: the measurement (at 100 TB you'd keep only the sketch)
+    val grams = docs
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val ex = grams.groupBy($"source")
+      .agg(countDistinct($"gram").as("n_exact"))
+    fin.join(ex, "source")
+      .select($"source", $"n_exact", $"v_zero", $"reg_check", $"est",
+        expr("(1000000 * abs(est - n_exact)) div n_exact").as("err_ppm"))
+      .orderBy($"source")
+  }
+
+  /** KMV / bottom-k theta-sketch set operations between source pairs
+    * (Bar-Yossef et al. 2002; the theta-sketch union/intersection
+    * estimators of Dasgupta et al.): each source keeps its k = 64
+    * smallest distinct gram hashes (from the row-local per-doc
+    * [[graft.functions.SketchAlgos.kminHashData]] kernel — per-doc
+    * bottom-k sketches merge losslessly by union-then-retake-k), and
+    * every pairwise union/intersection/Jaccard is then estimated on
+    * the SKETCHES alone: θ = min(θ_A, θ_B), est = |{h < θ}| · 2⁶⁰/θ.
+    * That is the 100 TB capability this entry gates — 190 pairwise
+    * set-op estimates from twenty 64-row sketches, the corpus scanned
+    * exactly once, vs the exact arm whose pairwise intersection is a
+    * corpus-sized gram self-join. All estimator arithmetic is integer
+    * (2⁶⁰ literal, HUGEINT/DECIMAL(38,0) widening, `//` ≡ `div`);
+    * expected RSE at k = 64 is ~12.6% (1/√(k−1)), and jac_est vs
+    * jac_exact ppm side by side IS the measurement. */
+  val distinctKmvSetops: CatalogEntry = CatalogEntry(
+    "distinct_kmv_setops",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT DISTINCT source,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |h AS (SELECT DISTINCT source,
+      |        ('0x' || substring(md5(gram), 1, 15))::BIGINT AS hv FROM g),
+      |rk AS (SELECT source, hv,
+      |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      |      FROM h),
+      |sk AS (SELECT source, hv FROM rk WHERE rn <= 64),
+      |theta AS (SELECT source, max(hv) AS th FROM sk GROUP BY source),
+      |pairs AS (SELECT a.source AS sa, b.source AS sb,
+      |            least(a.th, b.th) AS th
+      |          FROM theta a JOIN theta b ON a.source < b.source),
+      |u AS (SELECT p.sa, p.sb, s.hv,
+      |        max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+      |        max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      |      FROM pairs p JOIN sk s
+      |        ON s.source IN (p.sa, p.sb) AND s.hv < p.th
+      |      GROUP BY p.sa, p.sb, s.hv),
+      |est AS (SELECT sa, sb, count(*)::BIGINT AS cu,
+      |          sum(in_a * in_b)::BIGINT AS ci
+      |        FROM u GROUP BY sa, sb),
+      |estj AS (SELECT e.sa, e.sb, e.cu, e.ci, p.th
+      |         FROM est e JOIN pairs p ON p.sa = e.sa AND p.sb = e.sb),
+      |nd AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY source),
+      |inter AS (SELECT a.source AS sa, b.source AS sb,
+      |            count(*)::BIGINT AS ci
+      |          FROM g a JOIN g b
+      |            ON a.gram = b.gram AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT e.sa, e.sb,
+      |  na.n + nb.n - coalesce(i.ci, 0) AS exact_union,
+      |  ((e.cu::HUGEINT * 1152921504606846976) // e.th)::BIGINT
+      |    AS est_union,
+      |  coalesce(i.ci, 0) AS exact_inter,
+      |  ((e.ci::HUGEINT * 1152921504606846976) // e.th)::BIGINT
+      |    AS est_inter,
+      |  (1000000 * coalesce(i.ci, 0))
+      |    // (na.n + nb.n - coalesce(i.ci, 0)) AS jac_exact_ppm,
+      |  (1000000 * e.ci) // e.cu AS jac_est_ppm
+      |FROM estj e
+      |JOIN nd na ON na.source = e.sa
+      |JOIN nd nb ON nb.source = e.sb
+      |LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+      |ORDER BY e.sa, e.sb""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    // sketch arm: per-doc bottom-k kernels, merged per source
+    val hv = docs
+      .select($"source", expr("kmin_hash_md5(text, 64, 3)").as("ks"))
+      .select($"source", explode($"ks").as("hv"))
+      .distinct()
+    val sk = hv
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"source").orderBy($"hv")))
+      .where($"rn" <= 64).select($"source", $"hv")
+    val theta = sk.groupBy($"source").agg(max($"hv").as("th"))
+    // 20-source metadata grid: stays 20 rows at 100 TB (broadcast
+    // pair-cross of per-key aggregates — the stats_chisq grid shape)
+    val pairs = theta.as("a")
+      .join(broadcast(theta.as("b")), $"a.source" < $"b.source")
+      .select($"a.source".as("sa"), $"b.source".as("sb"),
+        least($"a.th", $"b.th").as("th"))
+    val uA = pairs.join(sk.as("s"), $"s.source" === $"sa" && $"s.hv" < $"th")
+      .select($"sa", $"sb", $"hv", lit(1).as("in_a"), lit(0).as("in_b"))
+    val uB = pairs.join(sk.as("s"), $"s.source" === $"sb" && $"s.hv" < $"th")
+      .select($"sa", $"sb", $"hv", lit(0).as("in_a"), lit(1).as("in_b"))
+    val est = uA.union(uB)
+      .groupBy($"sa", $"sb", $"hv")
+      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+      .groupBy($"sa", $"sb")
+      .agg(count(lit(1)).as("cu"), sum($"in_a" * $"in_b").as("ci"))
+      .join(pairs, Seq("sa", "sb"))
+    // exact arm: the measurement the sketches are judged against
+    val grams = docs
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val nd = grams.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.source" < $"b.source")
+      .select($"a.source".as("sa"), $"b.source".as("sb"))
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("exact_inter0"))
+    est
+      .join(nd.select($"source".as("sa"), $"n".as("na")), "sa")
+      .join(nd.select($"source".as("sb"), $"n".as("nb")), "sb")
+      .join(inter, Seq("sa", "sb"), "left")
+      .select($"sa", $"sb",
+        ($"na" + $"nb" - coalesce($"exact_inter0", lit(0L)))
+          .as("exact_union"),
+        expr("cast(cast(cu as decimal(38,0)) * 1152921504606846976" +
+          " div th as bigint)").as("est_union"),
+        coalesce($"exact_inter0", lit(0L)).as("exact_inter"),
+        expr("cast(cast(ci as decimal(38,0)) * 1152921504606846976" +
+          " div th as bigint)").as("est_inter"),
+        expr("(1000000 * coalesce(exact_inter0, 0))" +
+          " div (na + nb - coalesce(exact_inter0, 0))")
+          .as("jac_exact_ppm"),
+        expr("(1000000 * ci) div cu").as("jac_est_ppm"))
+      .orderBy($"sa", $"sb")
+  }
+
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) with a portable d = 4 × w = 256 array over word BIGRAMS:
+    * cell(i, b) = Σ counts of grams hashing to b under salt i, point
+    * estimate = min over the 4 rows — never an underestimate, and
+    * P[overestimate > e·N/w] ≤ e^−d per query. Both the estimate AND
+    * the guarantee are gated: within_bound checks est − c ≤
+    * ⌊2.718282·N/256⌋ per top-20 gram, integer-exactly. The fixture's
+    * flat bigram distribution (~900 distinct, no true heavy hitters)
+    * makes the measured over_ppm honestly large — the entry reports
+    * the sketch's real behavior at this N/w, exactly as pq_recall
+    * reports its codebook's 20%. Scale shape: the CMS state is 1024
+    * cells regardless of corpus size; here cells reduce from the
+    * vocab-sized census (which the exact arm needs anyway) — a
+    * production pass without the exact arm aggregates the occurrence
+    * stream straight into 4·w map-side-combined partials. The md5
+    * salt table is vocab × 4 rows — metadata scale, outside the
+    * corpus-dense md5-column trap (BASELINE.md r18). */
+  val sketchCmsBigram: CatalogEntry = CatalogEntry(
+    "sketch_cms_bigram",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+      |                for i in range(1, len(toks))]) AS w
+      |      FROM t WHERE len(toks) >= 2),
+      |cen AS (SELECT w, count(*)::BIGINT AS c FROM g GROUP BY w),
+      |tot AS (SELECT sum(c)::BIGINT AS n FROM cen),
+      |salted AS (SELECT s.salt, cen.w, cen.c,
+      |    ('0x' || substring(md5(s.salt::VARCHAR || ':' || cen.w), 1, 15))
+      |      ::BIGINT % 256 AS b
+      |  FROM cen CROSS JOIN (SELECT unnest(range(4)) AS salt) s),
+      |cells AS (SELECT salt, b, sum(c)::BIGINT AS cell
+      |          FROM salted GROUP BY salt, b),
+      |top20 AS (SELECT w, c FROM cen ORDER BY c DESC, w LIMIT 20),
+      |est AS (SELECT t.w, t.c, min(cells.cell)::BIGINT AS est
+      |        FROM top20 t JOIN salted sa ON sa.w = t.w
+      |        JOIN cells ON cells.salt = sa.salt AND cells.b = sa.b
+      |        GROUP BY t.w, t.c)
+      |SELECT e.w AS gram, e.c AS n_exact, e.est,
+      |  (1000000 * (e.est - e.c)) // e.c AS over_ppm,
+      |  CASE WHEN e.est - e.c <= (2718282::BIGINT * tot.n) // 256000000
+      |       THEN 1 ELSE 0 END AS within_bound
+      |FROM est e CROSS JOIN tot
+      |ORDER BY e.c DESC, e.w""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val g = docs
+      .select(TextOps.tokens($"text").as("toks"))
+      .where(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => array_join(slice($"toks", i, lit(2)), " "))).as("w"))
+    val cen = g.groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = cen.agg(sum($"c").as("n"))
+    val salted = cen
+      .select($"w", $"c", explode(sequence(lit(0), lit(3))).as("salt"))
+      .withColumn("b",
+        conv(substring(md5(concat($"salt".cast("string"), lit(":"), $"w")),
+          1, 15), 16, 10).cast("long") % 256)
+    val cells = salted.groupBy($"salt", $"b").agg(sum($"c").as("cell"))
+    val top20 = cen.orderBy($"c".desc, $"w").limit(20)
+    top20
+      .join(salted.select($"w", $"salt", $"b"), "w")
+      .join(broadcast(cells), Seq("salt", "b"))
+      .groupBy($"w", $"c").agg(min($"cell").as("est"))
+      .crossJoin(broadcast(tot))
+      .select($"w".as("gram"), $"c".as("n_exact"), $"est",
+        expr("(1000000 * (est - c)) div c").as("over_ppm"),
+        when($"est" - $"c" <= expr("(2718282 * n) div 256000000"), 1)
+          .otherwise(0).as("within_bound"))
+      .orderBy($"n_exact".desc, $"gram")
+  }
+
+  /** AMS / tug-of-war second-moment sketch (Alon-Matias-Szegedy '96):
+    * F₂ = Σn² of the per-source trigram census estimated from 9
+    * ±1-signed sums — sign from one md5 bit per (salt, gram), estimate
+    * = median of the 9 squared sums (row_number = 5 under the total
+    * (e, salt) order — integer-exact, no float median). F₂ is the
+    * self-join-size / Simpson-concentration moment
+    * (`corpus_simpson_diversity`'s denominator); the AMS state is 9
+    * BIGINTs per source no matter the vocabulary, and the signed sums
+    * are plain partial-aggregable sums — the sketch a 100 TB census
+    * layer keeps when even the vocab-sized census is too big to
+    * rescan. Single-estimator RSE is √2 (the fixture's flat counts are
+    * AMS's worst case) and the median-of-9 only tames tails — err_ppm
+    * vs the exact arm reports that honestly, like `sim_pq_recall`'s
+    * 20%. The md5 salt table is vocab × 9 rows — metadata scale. */
+  val sketchAmsF2: CatalogEntry = CatalogEntry(
+    "sketch_ams_f2",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT source,
+      |        unnest([array_to_string(toks[i:i+2], ' ')
+      |                for i in range(1, len(toks) - 1)]) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT source, gram, count(*)::BIGINT AS n
+      |      FROM g GROUP BY source, gram),
+      |sg AS (SELECT s.salt, c.source, c.n,
+      |        1 - 2 * (('0x' || substring(
+      |            md5(s.salt::VARCHAR || ':' || c.gram), 1, 15))
+      |          ::BIGINT % 2) AS sgn
+      |      FROM c CROSS JOIN (SELECT unnest(range(9)) AS salt) s),
+      |sk AS (SELECT source, salt, sum(sgn * n)::BIGINT AS sk
+      |       FROM sg GROUP BY source, salt),
+      |med AS (SELECT source, (sk::HUGEINT * sk)::HUGEINT AS e,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY (sk::HUGEINT * sk), salt) AS rn
+      |        FROM sk),
+      |ex AS (SELECT source, sum(n)::BIGINT AS n_grams,
+      |         sum(n::HUGEINT * n)::HUGEINT AS f2
+      |       FROM c GROUP BY source)
+      |SELECT m.source, x.n_grams, x.f2::BIGINT AS f2_exact,
+      |  m.e::BIGINT AS f2_est,
+      |  (1000000 * abs(m.e::BIGINT - x.f2::BIGINT)) // x.f2::BIGINT
+      |    AS err_ppm
+      |FROM med m JOIN ex x ON x.source = m.source
+      |WHERE m.rn = 5 ORDER BY m.source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val cen = docs
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(when(size($"toks") >= 3,
+        transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy($"source", $"gram").agg(count(lit(1)).as("n"))
+    val sk = cen
+      .select($"source", $"gram", $"n",
+        explode(sequence(lit(0), lit(8))).as("salt"))
+      .withColumn("sgn", lit(1) - lit(2) *
+        (conv(substring(md5(concat($"salt".cast("string"), lit(":"),
+          $"gram")), 1, 15), 16, 10).cast("long") % 2))
+      .groupBy($"source", $"salt").agg(sum($"sgn" * $"n").as("sk"))
+    val med = sk
+      .withColumn("e", expr(
+        "cast(sk as decimal(38,0)) * cast(sk as decimal(38,0))"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"e", $"salt")))
+      .where($"rn" === 5)
+    val ex = cen.groupBy($"source").agg(
+      sum($"n").as("n_grams"),
+      sum(($"n".cast("decimal(19,0)") * $"n".cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("f2"))
+    med.join(ex, "source")
+      .select($"source", $"n_grams",
+        $"f2".cast("bigint").as("f2_exact"),
+        $"e".cast("bigint").as("f2_est"),
+        expr("cast((1000000 * abs(e - f2)) div f2 as bigint)")
+          .as("err_ppm"))
+      .orderBy($"source")
+  }
+
+  /** HLL register UNION across time windows — the production reason
+    * sketches beat exact distinct at 100 TB: pre-aggregated DAILY
+    * register vectors (64 longs per day, from the raw event stream's
+    * per-user md5 hash) answer the distinct-users question over ANY
+    * day range by element-wise max, with no second pass over raw
+    * events — here each calendar week's estimate is the max-merge of
+    * its days' registers. sum_daily (Σ of per-day exact distincts)
+    * beside the weekly exact shows what naive summing overcounts
+    * (returning users double-count; the sketch union does not). Both
+    * HLL branches run live on this fixture: ~150 weekly actives on
+    * m = 64 registers leaves v_zero > 0, exercising the
+    * linear-counting small-range path in the CROSS-ENGINE GATE (the
+    * documents-gram entry saturates its registers and only its spec
+    * reaches that branch). Day/week ids are pure integer epoch
+    * arithmetic (`unix_micros div 86400000000`, `div 7`) — calendar
+    * builtins disagree across engines (the seasonality-dow lesson).
+    * Scale shape: one (day, bucket) partial agg over events, then
+    * everything downstream is register-table metadata. */
+  val distinctHllWindowUnion: CatalogEntry = CatalogEntry(
+    "distinct_hll_window_union",
+    """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+      |             user_id FROM events),
+      |h AS (SELECT day, ('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+      |        ::BIGINT AS hv FROM e),
+      |r AS (SELECT day, hv % 64 AS bucket,
+      |        CASE WHEN hv // 64 = 0 THEN 55
+      |             ELSE 55 - length(format('{:b}', hv // 64)) END AS rho
+      |      FROM h),
+      |dreg AS (SELECT day, bucket, max(rho)::BIGINT AS m
+      |         FROM r GROUP BY day, bucket),
+      |wreg0 AS (SELECT day // 7 AS week, bucket, max(m)::BIGINT AS m
+      |          FROM dreg GROUP BY 1, 2),
+      |grid AS (SELECT w.week, b.bucket, coalesce(wreg0.m, 0) AS m
+      |         FROM (SELECT DISTINCT day // 7 AS week FROM e) w
+      |         CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+      |         LEFT JOIN wreg0
+      |           ON wreg0.week = w.week AND wreg0.bucket = b.bucket),
+      |agg AS (SELECT week,
+      |          sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+      |          sum(1::HUGEINT << (62 - m)::INT)::HUGEINT AS s_sum
+      |        FROM grid GROUP BY week),
+      |raw AS (SELECT week, v_zero,
+      |          ((709343::HUGEINT * 4096 * 4611686018427387904)
+      |             // s_sum // 1000000)::BIGINT AS est_raw
+      |        FROM agg),
+      |fin AS (SELECT week, v_zero,
+      |          CASE WHEN v_zero > 0 AND est_raw <= 160
+      |               THEN round(64000 * ln(64.0 / v_zero))::BIGINT // 1000
+      |               ELSE est_raw END AS est
+      |        FROM raw),
+      |dex AS (SELECT day, count(DISTINCT user_id)::BIGINT AS nd
+      |        FROM e GROUP BY day),
+      |sde AS (SELECT day // 7 AS week, sum(nd)::BIGINT AS sum_daily,
+      |          count(*)::BIGINT AS n_days
+      |        FROM dex GROUP BY 1),
+      |exw AS (SELECT day // 7 AS week,
+      |          count(DISTINCT user_id)::BIGINT AS n_exact
+      |        FROM e GROUP BY 1)
+      |SELECT f.week, s.n_days, x.n_exact, s.sum_daily, f.v_zero, f.est,
+      |  (1000000 * abs(f.est - x.n_exact)) // x.n_exact AS err_ppm
+      |FROM fin f
+      |JOIN exw x ON x.week = f.week
+      |JOIN sde s ON s.week = f.week
+      |ORDER BY f.week""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+    val r = e
+      .withColumn("hv", conv(substring(md5($"user_id".cast("string")),
+        1, 15), 16, 10).cast("long"))
+      .select($"day", ($"hv" % 64).as("bucket"), expr("hv div 64").as("w"))
+      .select($"day", $"bucket",
+        expr("CASE WHEN w = 0 THEN 55L ELSE 55L - length(bin(w)) END")
+          .as("rho"))
+    val dreg = r.groupBy($"day", $"bucket").agg(max($"rho").as("m"))
+    val wreg0 = dreg
+      .groupBy(expr("day div 7").as("week"), $"bucket")
+      .agg(max($"m").as("m"))
+    val grid = e.select(expr("day div 7").as("week")).distinct()
+      .select($"week", explode(sequence(lit(0L), lit(63L))).as("bucket"))
+      .join(wreg0, Seq("week", "bucket"), "left")
+      .select($"week", $"bucket", coalesce($"m", lit(0L)).as("m"))
+    val fin = grid.groupBy($"week").agg(
+      sum(when($"m" === 0L, 1L).otherwise(0L)).as("v_zero"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(62 - m as int))")
+        .cast("decimal(38,0)")).as("s_sum"))
+      .withColumn("est_raw", expr(
+        "cast(cast(709343 as decimal(38,0)) * 4096" +
+          " * cast(4611686018427387904 as decimal(38,0))" +
+          " div s_sum div 1000000 as bigint)"))
+      .withColumn("est",
+        when($"v_zero" > 0 && $"est_raw" <= 160,
+          expr("cast(round(64000 * ln(64.0 / v_zero)) as bigint) div 1000"))
+          .otherwise($"est_raw"))
+    val sde = e.groupBy($"day")
+      .agg(countDistinct($"user_id").as("nd"))
+      .groupBy(expr("day div 7").as("week"))
+      .agg(sum($"nd").as("sum_daily"), count(lit(1)).as("n_days"))
+    val exw = e.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct($"user_id").as("n_exact"))
+    fin.join(exw, "week").join(sde, "week")
+      .select($"week", $"n_days", $"n_exact", $"sum_daily", $"v_zero",
+        $"est",
+        expr("(1000000 * abs(est - n_exact)) div n_exact").as("err_ppm"))
+      .orderBy($"week")
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    distinctHllPortable, distinctKmvSetops, sketchCmsBigram,
+    sketchAmsF2, distinctHllWindowUnion)
+}

@@ -65,8 +65,14 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "tfidf_per_doc_topk",    // broadcast 1-row corpus doc-count N
     "q11_value_share",       // broadcast 1-row global-total scalar
     "graph_kcore_copurchase", // broadcast 1-row converged flag
-    "dedup_threshold_sensitivity") // composes dedup_semantic_embed's
+    "dedup_threshold_sensitivity", // composes dedup_semantic_embed's
                              // centroid cross + broadcast 1-row doc count
+    "sketch_cms_bigram",     // broadcast 1-row corpus occurrence total N
+    "distinct_kmv_setops")   // 20-row theta table x broadcast 20-row
+                             // theta table source-pair grid (the
+                             // stats_chisq metadata-grid shape: pair
+                             // count is source-cardinality², corpus-
+                             // size-independent)
 
   /** Shuffle (non-broadcast) Exchange nodes in an executed plan,
     * counted per tree line so only nodes whose operator IS a shuffle

@@ -173,6 +173,74 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     }
   }
 
+  /** HLL column formulation — the literal pipeline the
+    * `distinct_hll_portable` DuckDB oracle replays: one md5-prefix
+    * hash per gram, bucket `h % m`, rho from the bit length of the
+    * remaining `h div m` bits, max per bucket; buckets no gram hit
+    * are 0. Docs with < n tokens have no gram row. m = 64 only (the
+    * entry's register count). */
+  private def refHllRegs(df: DataFrame, n: Int): Map[Long, Seq[Long]] = {
+    val sparse = df
+      .select($"doc_id", explode(Dedup.tokenNgrams($"text", n)).as("g"))
+      .select($"doc_id",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"doc_id", ($"h" % 64).as("bucket"),
+        expr("h div 64").as("w"))
+      .select($"doc_id", $"bucket",
+        expr("CASE WHEN w = 0 THEN 55L ELSE 55L - length(bin(w)) END")
+          .as("rho"))
+      .groupBy($"doc_id", $"bucket").agg(max($"rho").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    sparse.keySet.map(_._1).map { id =>
+      id -> (0 until 64).map(b => sparse.getOrElse((id, b), 0L))
+    }.toMap
+  }
+
+  private def natHllRegs(df: DataFrame, n: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("hll_regs_md5", $"text", lit(64), lit(n)).as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("hll_regs_md5 is bit-exact with the md5 bucket/rho/max column " +
+      "formulation; empty array iff fewer than n tokens") {
+    val df = corpus(edgeTexts)
+    for (n <- Seq(3, 2)) {
+      val nat = natHllRegs(df, n)
+      val ref = refHllRegs(df, n)
+      nat.filter(_._2.nonEmpty) shouldBe ref
+      nat.filter(_._2.isEmpty).keySet shouldBe (nat.keySet -- ref.keySet)
+    }
+  }
+
+  /** KMV column formulation — distinct gram hashes, k smallest
+    * ascending (the `distinct_kmv_setops` oracle's row_number ≤ k). */
+  private def refKminHash(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id", explode(Dedup.tokenNgrams($"text", n)).as("g"))
+      .select($"doc_id",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (id, hs) => id -> hs.map(_._2).sorted.take(k).toSeq }
+
+  private def natKminHash(df: DataFrame, k: Int, n: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("kmin_hash_md5", $"text", lit(k), lit(n)).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("kmin_hash_md5 is bit-exact with the distinct + sort + take-k " +
+      "column formulation (ascending, deduplicated); empty array iff " +
+      "fewer than n tokens") {
+    val df = corpus(edgeTexts)
+    for ((k, n) <- Seq((4, 3), (64, 2))) {
+      val nat = natKminHash(df, k, n)
+      val ref = refKminHash(df, k, n)
+      nat.filter(_._2.nonEmpty) shouldBe ref
+      nat.filter(_._2.isEmpty).keySet shouldBe (nat.keySet -- ref.keySet)
+    }
+  }
+
   /** Column formulation; the short-text guard matters — a bare
     * sequence(1, len-l+1) goes DESCENDING [1, 0] when len < l (the
     * Holt-backtest trap) and would hash clamped sub-windows. */
