@@ -28,6 +28,32 @@ object HeavyHitters {
 
   final case class Hit(item: String, weight: Long)
 
+  /** One MG update — shared by the batch [[sketch]] Aggregator and the
+    * streaming face ([[graft.streaming.StreamHeavyHitters]]) so the two
+    * cannot drift: increment a tracked item, admit while below
+    * capacity, else decrement-all and drop zeros. */
+  def reduceStep(b: Map[String, Long], item: String, k: Int): Map[String, Long] =
+    if (b.contains(item)) b.updated(item, b(item) + 1L)
+    else if (b.size < k - 1) b.updated(item, 1L)
+    else { // decrement-all; drop zeros (classic MG step)
+      b.flatMap { case (i, w) => if (w > 1L) Some(i -> (w - 1L)) else None }
+    }
+
+  /** Mergeable-summaries merge (Agarwal et al.): sum, then subtract the
+    * k-th largest weight and keep positives. */
+  def mergeStep(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    val summed = b.foldLeft(a) { case (acc, (i, w)) =>
+      acc.updated(i, acc.getOrElse(i, 0L) + w)
+    }
+    if (summed.size <= k - 1) summed
+    else { // subtract the k-th largest weight, keep positives
+      val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+      summed.flatMap { case (i, w) =>
+        if (w > kth) Some(i -> (w - kth)) else None
+      }
+    }
+  }
+
   /** @param k capacity: tracks up to k−1 items; error bound n/k */
   def sketch(k: Int): Aggregator[String, Map[String, Long], Seq[Hit]] = {
     require(k >= 2, s"capacity must be >= 2, got $k")
@@ -36,24 +62,10 @@ object HeavyHitters {
       def zero: Map[String, Long] = Map.empty
 
       def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-        if (b.contains(item)) b.updated(item, b(item) + 1L)
-        else if (b.size < k - 1) b.updated(item, 1L)
-        else { // decrement-all; drop zeros (classic MG step)
-          b.flatMap { case (i, w) => if (w > 1L) Some(i -> (w - 1L)) else None }
-        }
+        reduceStep(b, item, k)
 
-      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-        val summed = b.foldLeft(a) { case (acc, (i, w)) =>
-          acc.updated(i, acc.getOrElse(i, 0L) + w)
-        }
-        if (summed.size <= k - 1) summed
-        else { // subtract the k-th largest weight, keep positives
-          val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
-          summed.flatMap { case (i, w) =>
-            if (w > kth) Some(i -> (w - kth)) else None
-          }
-        }
-      }
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+        mergeStep(a, b, k)
 
       def finish(b: Map[String, Long]): Seq[Hit] =
         b.toSeq.map { case (i, w) => Hit(i, w) }
