@@ -1601,6 +1601,202 @@ object SimilarityQueries {
     }
   }
 
+  /** Oracle tail for [[embedPcaDeflate]]: four deflated power-iteration
+    * rounds chained after [[pcaOracleChain]]'s `v5`, ending at `u5` plus
+    * the Rayleigh ratio and orthogonality scalars. Every round is the
+    * algebra w' = Σₓ x'(x'·u) with x' = x − v₁(x·v₁)/|v₁|² expanded by
+    * linearity into A − v₁·B/|v₁|² so the deflated vectors never
+    * materialize — A and B are one corpus pass each. */
+  private val pcaDeflateChain: String = {
+    val head =
+      """,
+        |v5m AS MATERIALIZED (SELECT pos, v_micro FROM v5),
+        |nrm AS MATERIALIZED (
+        |  SELECT sum(v_micro * v_micro)::HUGEINT AS n1 FROM v5m),
+        |vaf2 AS MATERIALIZED (
+        |  SELECT list(v_micro / 1e6 ORDER BY pos) AS v FROM v5m),
+        |u1 AS MATERIALIZED (
+        |  SELECT (i.gs - 1)::INT AS pos, 125000::BIGINT AS u_micro
+        |  FROM unnest(generate_series(1, 64)) AS i(gs))""".stripMargin
+    val rounds = (1 to 4).map { r =>
+      s""",
+         |ua$r AS MATERIALIZED (
+         |  SELECT list(u_micro / 1e6 ORDER BY pos) AS u FROM u$r),
+         |c$r AS MATERIALIZED (
+         |  SELECT sum(v.v_micro * u.u_micro)::HUGEINT AS c
+         |  FROM v5m v JOIN u$r u USING (pos)),
+         |tp$r AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    list_sum([round(e.embedding[i]::DOUBLE * (va.v)[i] * 1e9,
+         |                    0)::BIGINT
+         |              for i in range(1, len(e.embedding) + 1)])::BIGINT
+         |      AS dq,
+         |    (list_sum([round(e.embedding[i]::DOUBLE * (ua.u)[i] * 1e9,
+         |                     0)::BIGINT
+         |               for i in range(1, len(e.embedding) + 1)])::HUGEINT
+         |     - (list_sum([round(e.embedding[i]::DOUBLE * (va.v)[i] * 1e9,
+         |                        0)::BIGINT
+         |                  for i in range(1, len(e.embedding) + 1)])::HUGEINT
+         |        * c.c) // n.n1)::HUGEINT AS tp
+         |  FROM embeddings e, vaf2 va, ua$r ua, c$r c, nrm n),
+         |a$r AS MATERIALIZED (
+         |  SELECT (i.gs - 1)::INT AS pos,
+         |    sum(round(e.embedding[i.gs]::DOUBLE * (t.tp / 1e9) * 1e6,
+         |              0)::BIGINT)::HUGEINT AS a
+         |  FROM embeddings e JOIN tp$r t USING (vec_id),
+         |       unnest(generate_series(1, 64)) AS i(gs)
+         |  GROUP BY pos),
+         |b$r AS MATERIALIZED (
+         |  SELECT sum((t.dq::HUGEINT * t.tp)
+         |    // 1000000000000)::HUGEINT AS b
+         |  FROM tp$r t),
+         |dw$r AS MATERIALIZED (
+         |  SELECT a.pos,
+         |    (a.a - (v.v_micro::HUGEINT * b.b) // n.n1)::HUGEINT AS w
+         |  FROM a$r a JOIN v5m v USING (pos), b$r b, nrm n),
+         |dn$r AS MATERIALIZED (
+         |  SELECT sum(w * w)::HUGEINT AS n2 FROM dw$r),
+         |u${r + 1} AS MATERIALIZED (
+         |  SELECT pos,
+         |    round((w::DOUBLE) / sqrt(n2::DOUBLE) * 1e6, 0)::BIGINT AS u_micro
+         |  FROM dw$r, dn$r)""".stripMargin
+    }.mkString
+    val tail =
+      """,
+        |uaf AS MATERIALIZED (
+        |  SELECT list(u_micro / 1e6 ORDER BY pos) AS u FROM u5),
+        |rayq AS MATERIALIZED (
+        |  SELECT
+        |    list_sum([round(e.embedding[i]::DOUBLE * (va.v)[i] * 1e9,
+        |                    0)::BIGINT
+        |              for i in range(1, len(e.embedding) + 1)])::HUGEINT AS dq,
+        |    list_sum([round(e.embedding[i]::DOUBLE * (ua.u)[i] * 1e9,
+        |                    0)::BIGINT
+        |              for i in range(1, len(e.embedding) + 1)])::HUGEINT AS uq
+        |  FROM embeddings e, vaf2 va, uaf ua),
+        |ray AS MATERIALIZED (
+        |  SELECT sum(dq * dq)::HUGEINT AS r1,
+        |    sum(uq * uq)::HUGEINT AS r2 FROM rayq),
+        |orto AS MATERIALIZED (
+        |  SELECT sum(v.v_micro * u.u_micro)::BIGINT AS o
+        |  FROM v5m v JOIN u5 u USING (pos))""".stripMargin
+    head + rounds + tail
+  }
+
+  /** SECOND principal direction via DEFLATED matrix-free power
+    * iteration — [[embedPcaPowerIter]] extended to top-2 PCA, the
+    * minimum a whitening pass (all-but-the-top-K, Mu & Viswanath) or a
+    * 2-D embedding-drift monitor needs. Four unrolled rounds of
+    * u ← Σₓ x'(x'·u) over the DEFLATED vectors x' = x − v₁(x·v₁)/|v₁|²
+    * — expanded by linearity to u' = A − v₁·B/|v₁|² with
+    * A_j = Σₓ x_j·t'ₓ and B = Σₓ (x·v₁)·t'ₓ, so the deflated corpus is
+    * NEVER materialized: each round stays one corpus pass of row-local
+    * folds against broadcast 64-cell tables (the only formulation that
+    * exists at 100 TB), plus 64-row metadata algebra.
+    *
+    * Exactness: same integer lattice as the v₁ chain (micro-quantized
+    * directions, nano-quantized per-row dots, DECIMAL(38,0)/HUGEINT
+    * accumulators); the deflation corrections (x·v₁)·c/|v₁|² and
+    * v₁·B/|v₁|² are single truncating divisions (`div` ≡ `//`, toward
+    * zero, negatives included — the events_interpolate discipline), so
+    * both engines walk identical integers through all four rounds.
+    * Output: both directions side by side, the Rayleigh-quotient
+    * variance ratio λ₂²/λ₁² as exact ppm of Σ(x·u)²/Σ(x·v)², and the
+    * orthogonality witness Σv₁·u in micro² (scale: |v|² = 10¹²). On
+    * this i.i.d. synthetic fixture the spectrum is nearly FLAT —
+    * lam2_ppm ≈ 0.92·10⁶ and ~10% residual v₁/u cross-talk are what
+    * four fixed power-iteration rounds give when λ₁ ≈ λ₂ (the
+    * separation rate is (λ₂/λ₁)^rounds), and the entry reports that
+    * honestly, like `embed_matryoshka_recall`'s low curve; the hash
+    * gate covers the exact integers either way, and a real anisotropic
+    * corpus is exactly where the measurement turns informative. */
+  val embedPcaDeflate: CatalogEntry = CatalogEntry(
+    "embed_pca_deflate",
+    pcaOracleChain + pcaDeflateChain + """
+      |SELECT v.pos, v.v_micro AS v1_micro, u.u_micro AS v2_micro,
+      |  ((1000000::HUGEINT * r.r2) // r.r1)::BIGINT AS lam2_ppm,
+      |  o.o AS ortho_micro2
+      |FROM v5m v JOIN u5 u USING (pos), ray r, orto o
+      |ORDER BY v.pos""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val v1 = pcaDirection(s, d)
+    val nrm = v1.agg(sum($"v_micro" * $"v_micro").as("n1"))
+    val vaf = v1
+      .select(struct($"pos", ($"v_micro" / lit(1e6)).as("vd")).as("pv"))
+      .agg(transform(array_sort(collect_list($"pv")),
+        p => p.getField("vd")).as("v"))
+    def dotNano(vecs: org.apache.spark.sql.Column,
+                dir: org.apache.spark.sql.Column) =
+      aggregate(zip_with(vecs, dir, (x, vi) =>
+        round(x.cast("double") * vi * lit(1e9), 0).cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    var u = s.range(64)
+      .select($"id".cast("int").as("pos"), lit(125000L).as("u_micro"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val ua = u
+        .select(struct($"pos", ($"u_micro" / lit(1e6)).as("ud")).as("pu"))
+        .agg(transform(array_sort(collect_list($"pu")),
+          p => p.getField("ud")).as("u"))
+      val c = u.join(v1, "pos").agg(sum($"v_micro" * $"u_micro").as("c"))
+      val tp = emb
+        .crossJoin(broadcast(vaf)).crossJoin(broadcast(ua))
+        .crossJoin(broadcast(c)).crossJoin(broadcast(nrm))
+        .select($"vec_id",
+          dotNano($"embedding", $"v").as("dq"),
+          dotNano($"embedding", $"u").as("tq"), $"n1", $"c")
+        .select($"vec_id", $"dq", expr(
+          "cast(tq as decimal(38,0)) - (cast(dq as decimal(38,0))" +
+            " * cast(c as decimal(38,0))) div cast(n1 as decimal(38,0))")
+          .as("tp"))
+        .localCheckpoint()
+      val a = emb.join(tp, "vec_id")
+        .select(($"tp".cast("double") / lit(1e9)).as("sd"),
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"pos",
+          round($"x".cast("double") * $"sd" * lit(1e6), 0)
+            .cast("long").as("c0"))
+        .groupBy($"pos").agg(sum($"c0".cast("decimal(38,0)")).as("a"))
+      val b = tp
+        .select(expr("(cast(dq as decimal(38,0)) * tp)" +
+          " div 1000000000000").as("bb"))
+        .agg(sum($"bb").as("b"))
+      val w = a.join(v1, "pos")
+        .crossJoin(broadcast(b)).crossJoin(broadcast(nrm))
+        .select($"pos", expr(
+          "a - (cast(v_micro as decimal(38,0)) * b)" +
+            " div cast(n1 as decimal(38,0))").as("w"))
+      val n2 = w.agg(sum($"w" * $"w").as("n2"))
+      u = w.crossJoin(broadcast(n2))
+        .select($"pos",
+          round($"w".cast("double") / sqrt($"n2".cast("double"))
+            * lit(1e6), 0).cast("long").as("u_micro"))
+        .localCheckpoint()
+    }
+    val uaf = u
+      .select(struct($"pos", ($"u_micro" / lit(1e6)).as("ud")).as("pu"))
+      .agg(transform(array_sort(collect_list($"pu")),
+        p => p.getField("ud")).as("u"))
+    val ray = emb.crossJoin(broadcast(vaf)).crossJoin(broadcast(uaf))
+      .select(dotNano($"embedding", $"v").as("dq"),
+        dotNano($"embedding", $"u").as("uq"))
+      .agg(
+        sum(($"dq".cast("decimal(19,0)") * $"dq".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("r1"),
+        sum(($"uq".cast("decimal(19,0)") * $"uq".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("r2"))
+    val orto = u.join(v1, "pos")
+      .agg(sum($"v_micro" * $"u_micro").as("ortho_micro2"))
+    v1.join(u.select($"pos", $"u_micro".as("v2_micro")), "pos")
+      .crossJoin(broadcast(ray)).crossJoin(broadcast(orto))
+      .select($"pos", $"v_micro".as("v1_micro"), $"v2_micro",
+        expr("cast((cast(1000000 as decimal(38,0)) * r2) div r1 as bigint)")
+          .as("lam2_ppm"),
+        $"ortho_micro2")
+      .orderBy($"pos")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     embedMatryoshkaRecall,
     simCosineTopk, simAnnLsh, simBucketedPairs, simIvf, simQuantizedTopk, simRecallAtK,
@@ -1610,5 +1806,5 @@ object SimilarityQueries {
     embedKmeansAssign, embedKmeansUpdate, embedDimStats, hybridRrf,
     embedNormalizeL2, embedOutlierCentroid, simHardNegatives,
     retrievalMmrDiversify, embedPcaPowerIter, embedAbttResidual,
-    simPqAdc)
+    simPqAdc, embedPcaDeflate)
 }

@@ -68,6 +68,9 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "dedup_threshold_sensitivity", // composes dedup_semantic_embed's
                              // centroid cross + broadcast 1-row doc count
     "sketch_cms_bigram",     // broadcast 1-row corpus occurrence total N
+    "embed_pca_deflate",     // corpus x broadcast 1-row direction/norm
+                             // scalars (the embed_pca_power_iter shape,
+                             // twice per deflated round)
     "distinct_kmv_setops")   // 20-row theta table x broadcast 20-row
                              // theta table source-pair grid (the
                              // stats_chisq metadata-grid shape: pair
