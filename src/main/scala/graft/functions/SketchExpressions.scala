@@ -682,6 +682,81 @@ object SketchAlgos {
       Array[Any](nTokens.toLong, sumLen, nUniq, maxC, nStop))
   }
 
+  /** Hashed bag-of-words linear classifier score in ONE row-local pass
+    * — struct<n_tokens, score_raw> with the EXACT semantics of the
+    * `quality_classifier_score` column formulation it replaces: for
+    * every NON-EMPTY space-separated token, bucket =
+    * md5Prefix60(token) mod 1024 (the hashing trick — the vocabulary
+    * never materializes) and weight = (bucket · 2654435761) mod 2²⁰ −
+    * 2¹⁹ (a Knuth multiplicative mix standing in for learned weights);
+    * score_raw = Σ weights, n_tokens = the non-empty token count.
+    * Bit-exact vs `aggregate(tokens, 0L, acc + weight(md5(w)))`
+    * (SketchExprSpec). Row-local kernel for the same JIT-hygiene
+    * reason as [[minhashOphData]]: the HOF-aggregate form inlines one
+    * md5 COLUMN evaluation per token into generated code — the
+    * r15/r17/r18 md5-dense pollution shape — where this is one
+    * compiled method call per document. */
+  def bowScoreData(
+      text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    var nTokens = 0L
+    var score = 0L
+    var start = 0
+    var p = 0
+    while (p <= bytes.length) {
+      if (p == bytes.length || bytes(p) == 0x20) {
+        if (p > start) { // skip empty tokens: the column form filters ''
+          nTokens += 1
+          val bucket = md5Prefix60(bytes, start, p - start) % 1024L
+          score += (bucket * 2654435761L) % 1048576L - 524288L
+        }
+        start = p + 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, score))
+  }
+
+  /** Poisson(1) bootstrap-replica weights in ONE row-local pass —
+    * array<long> of `b` weights, replica i drawn by inverse-CDF on the
+    * uniform u_i = md5Prefix60(key ++ ":" ++ i) mod 10⁹ against the
+    * cumulative-Poisson(1) thresholds in exact ppb (floor of
+    * e⁻¹·Σ 1/j! · 10⁹; weights capped at 6 — P(X ≥ 7) < 10⁻⁴ is below
+    * the ppb lattice anyway). The draw is a pure function of (key, i),
+    * so a bootstrap at 100 TB needs no RNG state, no sampling shuffle,
+    * and replays bit-identically in any engine that can md5 a string
+    * (the DuckDB oracle recomputes the exact column form). Row-local
+    * kernel, not an exploded md5 column, for the same JIT-hygiene
+    * reason as [[minhashOphData]] — B md5 calls per row stay inside one
+    * compiled method. */
+  def bootPoisData(key: UTF8String, b: Int): ArrayData = {
+    val keyBytes = key.getBytes
+    var buf = new Array[Byte](keyBytes.length + 12)
+    System.arraycopy(keyBytes, 0, buf, 0, keyBytes.length)
+    val out = new Array[Long](b)
+    var i = 0
+    while (i < b) {
+      val suffix = (":" + i).getBytes("UTF-8")
+      if (buf.length < keyBytes.length + suffix.length) {
+        buf = java.util.Arrays.copyOf(buf, keyBytes.length + suffix.length)
+      }
+      System.arraycopy(suffix, 0, buf, keyBytes.length, suffix.length)
+      val u = md5Prefix60(buf, 0, keyBytes.length + suffix.length) %
+        1000000000L
+      out(i) =
+        if (u < 367879441L) 0L
+        else if (u < 735758882L) 1L
+        else if (u < 919698602L) 2L
+        else if (u < 981011843L) 3L
+        else if (u < 996340153L) 4L
+        else if (u < 999405815L) 5L
+        else 6L
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 63-bit SimHash over a token array: per bit, +1 for tokens whose
     * xxhash64 has the bit set, -1 otherwise; the fingerprint sets bit i
     * when the sum is >= 0 (the `when(s >= 0, ...)` tie rule of
@@ -803,6 +878,44 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     defineCodeGen(ctx, ev,
       c => s"graft.functions.SketchAlgos.tokenStats($c, $stopRef)")
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bow_score_md5(text)` — struct<n_tokens, score_raw> hashed
+  * bag-of-words classifier score over non-empty space-separated
+  * tokens, bit-exact with the HOF-aggregate column formulation (see
+  * [[SketchAlgos.bowScoreData]]). */
+case class BowScoreMd5(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "bow_score_md5"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_tokens", "score_raw").map(
+      org.apache.spark.sql.types.StructField(_, LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bow_score_md5 expects a string column, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.bowScoreData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchAlgos.bowScoreData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `boot_pois_md5(key, b)` — array<long> of b deterministic Poisson(1)
+  * bootstrap weights for this row, replica i keyed by
+  * md5(key ++ ":" ++ i) (see [[SketchAlgos.bootPoisData]]). */
+case class BootPoisMd5(child: Expression, b: Int)
+    extends StringSketchExpression {
+  require(b >= 1, s"b=$b must be >= 1")
+  override def prettyName: String = "boot_pois_md5"
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.SketchAlgos.bootPoisData($c, $b)"
+  override def nullSafeEval(input: Any): Any =
+    SketchAlgos.bootPoisData(input.asInstanceOf[UTF8String], b)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

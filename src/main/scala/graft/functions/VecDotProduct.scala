@@ -293,6 +293,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash63_md5", exprs => SimHash63Portable(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bow_score_md5", exprs => BowScoreMd5(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "boot_pois_md5", exprs => BootPoisMd5(exprs(0),
+        intArg(exprs(1), "b")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
     // Spark's own runtime-filter bloom expressions, surfaced as callable
     // functions (they are not in the public registry): `bloom_agg(hash,

@@ -1508,6 +1508,174 @@ object EventQueries {
       .orderBy($"event_type", $"lag")
   }
 
+  /** THEIL-SEN ROBUST TREND + MANN-KENDALL TEST per series — the
+    * outlier-proof answer to "is this series drifting, and how fast"
+    * that complements [[eventsHoltForecast]] (Holt smooths INTO
+    * spikes; the median-of-pairwise-slopes estimator has a 29%
+    * breakdown point, and Kendall's S counts concordant minus
+    * discordant day pairs — a single corrupted close can't flip
+    * either). Slopes live on the integer lattice: milli-cents/day by
+    * one truncating division per pair; the median is emitted DOUBLED
+    * (sum of the two middle order statistics — the low middle twice
+    * when the pair count is odd) so no half ever needs a float; the
+    * `trend` verdict is sign(S).
+    *
+    * Scale shape: the pair table is |days-per-series|² on the DAILY
+    * downsample — metadata-scale, the [[eventsAcfLags]] adjudication
+    * (a decade of closes = ~13M pairs per series, one partial-agg
+    * exchange) — built by a per-type equi-join, never a cartesian;
+    * the median picks two ranks from a per-type window over the
+    * pair rows. */
+  val eventsTheilSen: CatalogEntry = CatalogEntry(
+    "events_theil_sen",
+    s"""WITH $dailyCloseCtesSql,
+      |s AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS t, x
+      |      FROM dcl WHERE rn = 1),
+      |pr AS (SELECT a.event_type,
+      |         (1000 * (b.x - a.x)) // (b.t - a.t) AS slope_milli,
+      |         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |              ELSE 0 END AS sg
+      |       FROM s a JOIN s b
+      |         ON a.event_type = b.event_type AND b.t > a.t),
+      |r AS (SELECT event_type, slope_milli,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY slope_milli) AS rnk,
+      |        count(*) OVER (PARTITION BY event_type) AS m
+      |      FROM pr),
+      |mk AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+      |         sum(sg)::BIGINT AS mk_s FROM pr GROUP BY event_type),
+      |med AS (SELECT event_type,
+      |          (coalesce(sum(slope_milli) FILTER (rnk = (m + 1) // 2), 0)
+      |           + coalesce(sum(slope_milli) FILTER (rnk = m // 2 + 1),
+      |                      0))::BIGINT AS slope_med_milli_x2
+      |        FROM r GROUP BY event_type),
+      |nd AS (SELECT event_type, count(*)::BIGINT AS n_days
+      |       FROM s GROUP BY event_type)
+      |SELECT n.event_type, n.n_days, k.n_pairs, k.mk_s,
+      |  m.slope_med_milli_x2,
+      |  CASE WHEN k.mk_s > 0 THEN 'up' WHEN k.mk_s < 0 THEN 'down'
+      |       ELSE 'flat' END AS trend
+      |FROM nd n JOIN mk k USING (event_type) JOIN med m USING (event_type)
+      |ORDER BY n.event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = dailyCloses(s, d)
+      .select($"event_type",
+        datediff($"day", lit("1970-01-01").cast("date"))
+          .cast("long").as("t"),
+        $"x")
+    val pr = daily.as("a")
+      .join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"b.t" > $"a.t")
+      .select($"a.event_type".as("event_type"),
+        expr("(1000L * (b.x - a.x)) div (b.t - a.t)").as("slope_milli"),
+        when($"b.x" > $"a.x", 1L).when($"b.x" < $"a.x", -1L)
+          .otherwise(0L).as("sg"))
+    val w = Window.partitionBy($"event_type").orderBy($"slope_milli")
+    val r = pr.select($"event_type", $"slope_milli")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val mk = pr.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum($"sg").as("mk_s"))
+    val med = r.groupBy($"event_type")
+      .agg((coalesce(sum(when($"rnk" === expr("(m + 1) div 2"),
+          $"slope_milli")), lit(0L)) +
+        coalesce(sum(when($"rnk" === expr("m div 2 + 1"),
+          $"slope_milli")), lit(0L))).as("slope_med_milli_x2"))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    nd.join(mk, "event_type").join(med, "event_type")
+      .select($"event_type", $"n_days", $"n_pairs", $"mk_s",
+        $"slope_med_milli_x2",
+        when($"mk_s" > 0L, "up").when($"mk_s" < 0L, "down")
+          .otherwise("flat").as("trend"))
+      .orderBy($"event_type")
+  }
+
+  /** DETERMINISTIC POISSON BOOTSTRAP of the per-series mean — the
+    * "how sure are we" companion every point estimate in this catalog
+    * lacks: 32 bootstrap replicas of mean(value), each row weighted by
+    * a Poisson(1) draw keyed on md5(event_id, replica) (Poissonized
+    * resampling — the large-n limit of multinomial bootstrap, and the
+    * ONLY bootstrap that needs no global coordination: each row knows
+    * its own replica weights, so a 100 TB bootstrap is one scan + one
+    * (series, replica) partial agg, no sampling shuffle, no RNG state,
+    * bit-reproducible across engines and re-runs). Emitted per series:
+    * the exact point mean, the replica count, the min/max replica
+    * means (the 1st/32nd order statistics — a ~94% band), and the
+    * unbiased between-replica variance, all in integer milli-cents via
+    * DECIMAL(38,0)/HUGEINT sums.
+    *
+    * Scale shape: `boot_pois_md5` is a row-local kernel (32 md5 calls
+    * inside ONE compiled method — never an exploded md5 column, the
+    * r15/r17/r18 JIT trap); the posexplode carries (type, replica,
+    * wt·x) into a map-side partial agg that collapses to
+    * |series|·32 rows before the only exchange. */
+  val eventsBootstrapCi: CatalogEntry = CatalogEntry(
+    "events_bootstrap_ci",
+    """WITH c AS (SELECT event_type, event_id,
+      |             round(value*100)::BIGINT AS x FROM events),
+      |u AS (SELECT event_type, x, g.b,
+      |        ('0x' || substring(md5(event_id::VARCHAR || ':'
+      |           || g.b::VARCHAR), 1, 15))::BIGINT % 1000000000 AS u
+      |      FROM c, unnest(generate_series(0, 31)) AS g(b)),
+      |w AS (SELECT event_type, x, b,
+      |        CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1
+      |             WHEN u < 919698602 THEN 2 WHEN u < 981011843 THEN 3
+      |             WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5
+      |             ELSE 6 END AS wt
+      |      FROM u),
+      |rm AS (SELECT event_type, b,
+      |         CASE WHEN sum(wt) > 0
+      |           THEN (1000 * sum(wt * x)) // sum(wt) END AS m
+      |       FROM w GROUP BY 1, 2),
+      |bs AS (SELECT event_type, count(m)::BIGINT AS boot_n,
+      |         min(m)::BIGINT AS boot_lo_milli,
+      |         max(m)::BIGINT AS boot_hi_milli,
+      |         sum(m::HUGEINT) AS sm, sum(m::HUGEINT * m::HUGEINT) AS sm2
+      |       FROM rm GROUP BY event_type),
+      |pt AS (SELECT event_type, count(*)::BIGINT AS n_events,
+      |         (1000 * sum(x)) // count(*) AS mean_milli
+      |       FROM c GROUP BY event_type)
+      |SELECT p.event_type, p.n_events, p.mean_milli, b.boot_n,
+      |  b.boot_lo_milli, b.boot_hi_milli,
+      |  CASE WHEN b.boot_n > 1 THEN
+      |    ((b.boot_n * b.sm2 - b.sm * b.sm)
+      |     // (b.boot_n * (b.boot_n - 1)))::BIGINT END AS boot_var_milli2
+      |FROM pt p JOIN bs b USING (event_type)
+      |ORDER BY p.event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val c = Tables.eventsDense(s, d)
+      .select($"event_type", $"event_id",
+        round($"value" * 100).cast("long").as("x"))
+    val rm = c
+      .select($"event_type", $"x",
+        posexplode(call_function("boot_pois_md5",
+          $"event_id".cast("string"), lit(32))).as(Seq("b", "wt")))
+      .groupBy($"event_type", $"b")
+      .agg(sum($"wt" * $"x").as("swx"), sum($"wt").as("sw"))
+      .select($"event_type", $"b",
+        when($"sw" > 0L, expr("(1000L * swx) div sw")).as("m"))
+    val bs = rm.groupBy($"event_type")
+      .agg(count($"m").as("boot_n"),
+        min($"m").as("boot_lo_milli"), max($"m").as("boot_hi_milli"),
+        sum($"m".cast("decimal(38,0)")).as("sm"),
+        sum(($"m".cast("decimal(19,0)") * $"m".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sm2"))
+    val pt = c.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(1000L * sum(x)) div count(*)").as("mean_milli"))
+    pt.join(bs, "event_type")
+      .select($"event_type", $"n_events", $"mean_milli", $"boot_n",
+        $"boot_lo_milli", $"boot_hi_milli",
+        when($"boot_n" > 1L,
+          expr("""(boot_n * sm2 - sm * sm)
+            | div (cast(boot_n as decimal(38,0)) * (boot_n - 1))"""
+            .stripMargin))
+          .cast("long").as("boot_var_milli2"))
+      .orderBy($"event_type")
+  }
+
   /** ROLLING-ORIGIN BACKTEST of the Holt forecast — the evaluation
     * harness that says whether [[eventsHoltForecast]] is worth
     * trusting, closing the forecast loop the way `sim_recall_at_k`
@@ -1715,6 +1883,7 @@ object EventQueries {
     eventsRsi, eventsBollinger, eventsMaxDrawdown, eventsEma16,
     eventsHoltForecast, eventsHoltBacktest, eventsOhlcCandles,
     eventsSeasonalityDow, eventsAcfLags,
+    eventsTheilSen, eventsBootstrapCi,
     eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,

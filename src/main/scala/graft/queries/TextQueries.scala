@@ -322,16 +322,48 @@ object TextQueries {
       |   AND mean_word_len BETWEEN 3 AND 10) AS keep
       |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
+    qualitySignals(s, d)
+      .select($"doc_id", $"n_tokens", $"n_uniq", $"mean_word_len", $"ttr",
+        $"top_word_frac", $"stopword_frac",
+        gateOkLen.as("ok_len"),
+        gateOkTtr.as("ok_ttr"),
+        gateOkTopWord.as("ok_top_word"),
+        gateOkWordLen.as("ok_word_len"),
+        gateKeep.as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  // ---- shared quality-signal builder -------------------------------------
+  // ONE scan of documents computing BOTH row-local kernels — the
+  // token_stats moments behind the Gopher-style gate AND the
+  // bow_score_md5 classifier struct — shared by doc_quality_filter,
+  // quality_classifier_auc and quality_calibration_bins, so the AUC /
+  // calibration label can never drift from the shipped gate and the
+  // score can never drift from the shipped classifier. A consumer that
+  // projects only one side leaves the other kernel to column pruning
+  // (doc_quality_filter never evaluates bow_score_md5).
+
+  /** doc_id, source, the gate's rounded-4dp ratio signals, the
+    * classifier's (non-empty) token count and raw score — null-text
+    * docs dropped like every tokenize-CTE oracle. */
+  private def qualitySignals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val q = Tables.documents(s, d)
+    Tables.documents(s, d)
       // null text: the oracle's tokenize-CTE drops the row (unnest of a
       // NULL list); token_stats(null) would instead keep an all-null
       // row — filter the input column like text_simhash does
       .where($"text".isNotNull)
-      .select($"doc_id",
+      .select($"doc_id", $"source",
         call_function("token_stats", $"text", lit("the,a,of,and,to"))
-          .as("ts"))
-      .select($"doc_id",
+          .as("ts"),
+        call_function("bow_score_md5", $"text").as("bs"),
+        // "has >= 1 non-empty space-split token" (iff some char is not
+        // a space) — the classifier oracle's tokenize-CTE row-set, as
+        // a scan-pushable predicate; a bs.n_tokens > 0 guard would
+        // re-evaluate the bow kernel inside the pushed Filter
+        (trim($"text") =!= "").as("has_clf_tokens"))
+      .select($"doc_id", $"source", $"has_clf_tokens",
         $"ts.n_tokens".as("n_tokens"),
         $"ts.n_uniq".as("n_uniq"),
         round($"ts.sum_len".cast("double") / $"ts.n_tokens", 4)
@@ -340,18 +372,23 @@ object TextQueries {
         round($"ts.max_c".cast("double") / $"ts.n_tokens", 4)
           .as("top_word_frac"),
         round($"ts.n_stop".cast("double") / $"ts.n_tokens", 4)
-          .as("stopword_frac"))
-    q.select($"doc_id", $"n_tokens", $"n_uniq", $"mean_word_len", $"ttr",
-        $"top_word_frac", $"stopword_frac",
-        $"n_tokens".between(20, 100000).as("ok_len"),
-        ($"ttr" >= 0.2).as("ok_ttr"),
-        ($"top_word_frac" <= 0.2).as("ok_top_word"),
-        $"mean_word_len".between(3, 10).as("ok_word_len"),
-        ($"n_tokens".between(20, 100000) && $"ttr" >= 0.2 &&
-          $"top_word_frac" <= 0.2 &&
-          $"mean_word_len".between(3, 10)).as("keep"))
-      .orderBy($"doc_id")
+          .as("stopword_frac"),
+        $"bs.n_tokens".as("clf_n_tokens"),
+        $"bs.score_raw".as("score"))
   }
+
+  /** The gate's component verdicts over [[qualitySignals]]' columns —
+    * single source of truth for the keep predicate (rounded-ratio
+    * thresholds, exactly the doc_quality_filter oracle's). */
+  private def gateOkLen: org.apache.spark.sql.Column =
+    col("n_tokens").between(20, 100000)
+  private def gateOkTtr: org.apache.spark.sql.Column = col("ttr") >= 0.2
+  private def gateOkTopWord: org.apache.spark.sql.Column =
+    col("top_word_frac") <= 0.2
+  private def gateOkWordLen: org.apache.spark.sql.Column =
+    col("mean_word_len").between(3, 10)
+  private def gateKeep: org.apache.spark.sql.Column =
+    gateOkLen && gateOkTtr && gateOkTopWord && gateOkWordLen
 
   /** Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446
     * §A1.1), the second half of the quality gate: the fraction of a
@@ -2012,10 +2049,12 @@ object TextQueries {
     * weight via a Knuth multiplicative mix. The per-doc score is an
     * exact BIGINT sum, so the keep/drop bit is bit-stable across
     * engines — a float sigmoid would add nothing but summation-order
-    * risk. Scale shape: tokenize + hash + weight are scan-local
-    * (codegen'd HOF over the split array — the token rows never
-    * exist), one partial-agg exchange of |docs| rows; a real learned
-    * weight table would broadcast identically. */
+    * risk. Scale shape: tokenize + hash + weight are scan-local (the
+    * row-local `bow_score_md5` kernel — the token rows never exist and
+    * the md5 calls stay inside one compiled method instead of
+    * HOF-inlined md5-dense generated code, the r15/r17/r18 JIT trap),
+    * one partial-agg exchange of |docs| rows; a real learned weight
+    * table would broadcast identically. */
   val qualityClassifierScore: CatalogEntry = CatalogEntry(
     "quality_classifier_score",
     """WITH tok AS (
@@ -2032,19 +2071,148 @@ object TextQueries {
       |  CASE WHEN score_raw >= 0 THEN 1 ELSE 0 END AS kept
       |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val toks = filter(TextOps.tokens($"text"), w => w =!= "")
-    val bucket = (w: org.apache.spark.sql.Column) =>
-      conv(substring(md5(w), 1, 15), 16, 10).cast("long") % 1024L
-    val weight = (w: org.apache.spark.sql.Column) =>
-      (bucket(w) * lit(2654435761L)) % 1048576L - 524288L
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select($"doc_id",
-        size(toks).cast("bigint").as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, w) => acc + weight(w))
-          .as("score_raw"))
+        call_function("bow_score_md5", $"text").as("bs"))
+      .select($"doc_id", $"bs.n_tokens".as("n_tokens"),
+        $"bs.score_raw".as("score_raw"))
       .withColumn("kept",
         when($"score_raw" >= 0L, 1).otherwise(0))
       .orderBy($"doc_id")
+  }
+
+  /** ROC-AUC OF THE QUALITY CLASSIFIER, exactly — per source, the
+    * probability (in ppm) that the hashed-BoW classifier
+    * ([[qualityClassifierScore]]) ranks a gate-kept doc above a
+    * gate-dropped one (ties ½), with the Gopher-style rule gate
+    * ([[docQualityFilter]]'s `keep`) as the reference label: the
+    * measurement behind "can the cheap model-based filter replace the
+    * rule stack per source, or only pre-rank for it". Computed as the
+    * tie-aware Mann-Whitney rank-sum on the INTEGER lattice — scores
+    * are exact BIGINTs, group average-ranks are kept DOUBLED (first +
+    * last rank of the tie run, always an integer), so
+    * AUC = (Σ2R⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻) needs one truncating division
+    * to ppm and can't flip on float summation. Sources where the gate
+    * keeps everything (or nothing) have no ranking question — NULL,
+    * visibly.
+    *
+    * Label and score come from [[qualitySignals]] — the same one-scan
+    * builder doc_quality_filter ships, so the measured gate/classifier
+    * pair IS the deployed pair. Scale shape: both kernels are
+    * scan-local; the rank-sum runs on the (source, score) PARTIAL-AGG
+    * table (≤ |distinct scores| rows — classifier scores collide, docs
+    * never cross the wire), one window + one re-aggregate on that
+    * metadata-scale table. */
+  val qualityClassifierAuc: CatalogEntry = CatalogEntry(
+    "quality_classifier_auc",
+    s"""WITH qf AS (${docQualityFilter.oracle.get.replace("\n", "\n      ")}),
+      |sc AS (${qualityClassifierScore.oracle.get.replace("\n", "\n      ")}),
+      |j AS (SELECT d.source, sc.score_raw AS score,
+      |        CASE WHEN qf.keep THEN 1 ELSE 0 END AS pos
+      |      FROM sc JOIN qf USING (doc_id) JOIN documents d USING (doc_id)),
+      |g AS (SELECT source, score, count(*)::BIGINT AS c,
+      |        sum(pos)::BIGINT AS p
+      |      FROM j GROUP BY 1, 2),
+      |r AS (SELECT source, c, p,
+      |        1 + coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+      |      FROM g),
+      |t AS (SELECT source, sum(c)::BIGINT AS n, sum(p)::BIGINT AS npos,
+      |        sum(p::HUGEINT * (2 * a + c - 1))::HUGEINT AS dsum
+      |      FROM r GROUP BY source)
+      |SELECT source, n AS n_docs, npos AS n_pos,
+      |  CASE WHEN npos > 0 AND npos < n THEN
+      |    ((500000::HUGEINT * (dsum - npos::HUGEINT * (npos + 1)))
+      |     // (npos::HUGEINT * (n - npos)))::BIGINT END AS auc_ppm
+      |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+    import s.implicits._
+    // The score oracle's tokenize-CTE only emits docs with >= 1
+    // non-empty token (none are filtered in this corpus; the predicate
+    // pins the row-set contract anyway)
+    val j = qualitySignals(s, d)
+      .where($"has_clf_tokens")
+      .select($"source", $"score",
+        when(gateKeep, 1L).otherwise(0L).as("pos"))
+    val g = j.groupBy($"source", $"score")
+      .agg(count(lit(1)).as("c"), sum($"pos").as("p"))
+    val w = Window.partitionBy($"source").orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.select($"source", $"c", $"p",
+      (coalesce(sum($"c").over(w), lit(0L)) + 1L).as("a"))
+    r.groupBy($"source")
+      // p·(2a + c − 1) reaches 2n² per tie-group — decimal BEFORE the
+      // multiply so warehouse-scale n can't overflow the rank sum
+      .agg(sum($"c").as("n"), sum($"p").as("npos"),
+        sum($"p".cast("decimal(19,0)") *
+          (lit(2L) * $"a" + $"c" - 1L)).as("dsum"))
+      .select($"source", $"n".as("n_docs"), $"npos".as("n_pos"),
+        when($"npos" > 0L && $"npos" < $"n",
+          expr("""(cast(500000 as decimal(38,0))
+            | * (dsum - cast(npos as decimal(38,0)) * (npos + 1)))
+            | div (cast(npos as decimal(38,0)) * (n - npos))"""
+            .stripMargin))
+          .cast("long").as("auc_ppm"))
+      .orderBy($"source")
+  }
+
+  /** CALIBRATION / RELIABILITY TABLE of the quality classifier — the
+    * corpus split into 10 score deciles (rank-based, ties never split
+    * a score group: a group's bin is its MIDPOINT rank's decile, so
+    * the binning is a pure function of the score multiset), each bin
+    * reporting its doc count, score range, and the empirical
+    * gate-keep rate in exact ppm. The reliability curve is what turns
+    * a raw classifier score into a trustable keep-probability before
+    * anyone thresholds it at scale ([[qualityClassifierAuc]] says IF
+    * the ranking is good; this says WHERE to cut); on this corpus it
+    * also exposes the score-gate ANTI-correlation (keep rate falls as
+    * score rises) that the AUC census quantifies per source.
+    *
+    * Scale shape: identical to the AUC entry — kernels scan-local,
+    * binning + census on the (score → count) partial-agg table; the
+    * total-count denominator arrives as a broadcast 1-row scalar,
+    * never a collect. */
+  val qualityCalibrationBins: CatalogEntry = CatalogEntry(
+    "quality_calibration_bins",
+    s"""WITH qf AS (${docQualityFilter.oracle.get.replace("\n", "\n      ")}),
+      |sc AS (${qualityClassifierScore.oracle.get.replace("\n", "\n      ")}),
+      |j AS (SELECT sc.score_raw AS score,
+      |        CASE WHEN qf.keep THEN 1 ELSE 0 END AS pos
+      |      FROM sc JOIN qf USING (doc_id)),
+      |g AS (SELECT score, count(*)::BIGINT AS c, sum(pos)::BIGINT AS p
+      |      FROM j GROUP BY 1),
+      |r AS (SELECT score, c, p,
+      |        coalesce(sum(c) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a0
+      |      FROM g),
+      |n AS (SELECT sum(c)::BIGINT AS n FROM g),
+      |b AS (SELECT ((2 * a0 + c - 1) * 5) // n AS bin, score, c, p
+      |      FROM r CROSS JOIN n)
+      |SELECT bin::BIGINT AS bin, sum(c)::BIGINT AS n_docs,
+      |  min(score)::BIGINT AS min_score, max(score)::BIGINT AS max_score,
+      |  sum(p)::BIGINT AS n_pos,
+      |  ((1000000 * sum(p)) // sum(c))::BIGINT AS pos_rate_ppm
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val j = qualitySignals(s, d)
+      .where($"has_clf_tokens")
+      .select($"score", when(gateKeep, 1L).otherwise(0L).as("pos"))
+    val g = j.groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"pos").as("p"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.select($"score", $"c", $"p",
+      coalesce(sum($"c").over(w), lit(0L)).as("a0"))
+    val n = g.agg(sum($"c").as("n"))
+    r.crossJoin(broadcast(n))
+      .select(expr("((2 * a0 + c - 1) * 5) div n").as("bin"),
+        $"score", $"c", $"p")
+      .groupBy($"bin")
+      .agg(sum($"c").as("n_docs"),
+        min($"score").as("min_score"), max($"score").as("max_score"),
+        sum($"p").as("n_pos"),
+        expr("(1000000L * sum(p)) div sum(c)").as("pos_rate_ppm"))
+      .orderBy($"bin")
   }
 
   /** Per-document unigram entropy + type/token ratio — the statistical
@@ -3745,6 +3913,74 @@ object TextQueries {
       .orderBy($"lang", $"predicted_lang")
   }
 
+  /** COHEN'S KAPPA of the language-ID heuristic against the reference
+    * `lang` labels — the chance-corrected scalar the confusion matrix
+    * ([[langConfusionMatrix]]) rolls up to: κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed agreement and p_e the marginal-product
+    * chance agreement. Raw accuracy flatters a classifier that just
+    * echoes the majority class; κ ≈ 0 says "no better than guessing
+    * from the marginals" — on this corpus the heuristic's 40% accuracy
+    * is EXACTLY its chance rate (κ slightly negative), the number that
+    * stops a mixture-weighting pipeline from trusting `predicted_lang`
+    * where the confusion matrix's off-diagonal mass already hinted.
+    *
+    * All exact integers: p_o, p_e and κ as one truncating division
+    * each, the marginal products summed in DECIMAL(38,0)/HUGEINT so
+    * N² terms can't overflow at warehouse row counts. The prediction
+    * CTE is [[langIdHeuristic]]'s oracle nested verbatim — the
+    * measured classifier IS the shipped one. Scale shape: prediction
+    * scan-local; everything after lives on the ≤|langs|² cell table;
+    * the two 1-row aggregates meet by broadcast cross join, never a
+    * collect. */
+  val statsCohenKappa: CatalogEntry = CatalogEntry(
+    "stats_cohen_kappa",
+    s"""WITH pred AS (${langIdHeuristic.oracle.get.replace("\n", "\n      ")}),
+      |cm AS (SELECT lang, predicted_lang, count(*)::BIGINT AS n
+      |       FROM pred GROUP BY 1, 2),
+      |tot AS (SELECT sum(n)::BIGINT AS nn,
+      |          coalesce(sum(CASE WHEN lang = predicted_lang THEN n END),
+      |                   0)::BIGINT AS diag
+      |        FROM cm),
+      |rc AS (SELECT coalesce(sum(r.rn::HUGEINT * c.cn::HUGEINT),
+      |                       0)::HUGEINT AS src
+      |       FROM (SELECT lang, sum(n)::BIGINT AS rn FROM cm
+      |             GROUP BY lang) r
+      |       JOIN (SELECT predicted_lang, sum(n)::BIGINT AS cn
+      |             FROM cm GROUP BY predicted_lang) c
+      |         ON r.lang = c.predicted_lang)
+      |SELECT t.nn AS n_docs, t.diag AS n_agree,
+      |  ((1000000 * t.diag) // t.nn)::BIGINT AS po_ppm,
+      |  ((1000000::HUGEINT * r.src) // (t.nn::HUGEINT * t.nn))::BIGINT
+      |    AS pe_ppm,
+      |  CASE WHEN t.nn::HUGEINT * t.nn - r.src <> 0 THEN
+      |    ((1000000::HUGEINT * (t.nn::HUGEINT * t.diag - r.src))
+      |     // (t.nn::HUGEINT * t.nn - r.src))::BIGINT END AS kappa_ppm
+      |FROM tot t, rc r""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cm = langIdHeuristic.query(s, d)
+      .groupBy($"lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.agg(sum($"n").as("nn"),
+      coalesce(sum(when($"lang" === $"predicted_lang", $"n")), lit(0L))
+        .as("diag"))
+    val rows = cm.groupBy($"lang").agg(sum($"n").as("rn"))
+    val cols = cm.groupBy($"predicted_lang").agg(sum($"n").as("cn"))
+    val rc = rows.join(cols, $"lang" === $"predicted_lang")
+      .agg(coalesce(sum($"rn".cast("decimal(38,0)") * $"cn"), lit(0L)
+        .cast("decimal(38,0)")).as("src"))
+    tot.crossJoin(broadcast(rc))
+      .select($"nn".as("n_docs"), $"diag".as("n_agree"),
+        expr("(1000000L * diag) div nn").as("po_ppm"),
+        expr("""(cast(1000000 as decimal(38,0)) * src)
+          | div (cast(nn as decimal(38,0)) * nn)""".stripMargin)
+          .cast("long").as("pe_ppm"),
+        when(expr("cast(nn as decimal(38,0)) * nn - src") =!= lit(0),
+          expr("""(cast(1000000 as decimal(38,0))
+            | * (cast(nn as decimal(38,0)) * diag - src))
+            | div (cast(nn as decimal(38,0)) * nn - src)""".stripMargin))
+          .cast("long").as("kappa_ppm"))
+  }
+
   /** PACKING-EFFICIENCY CENSUS comparing BOTH packers' bin assignments
     * ([[packSequencesGreedy]] doc-order next-fit vs
     * [[packSequencesFfd]] first-fit-decreasing; the oracle nests both
@@ -4526,6 +4762,7 @@ object TextQueries {
   }
 
   def entries: Seq[CatalogEntry] = Seq(
+    qualityClassifierAuc, qualityCalibrationBins, statsCohenKappa,
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
     packSequencesFfd, dedupBbitMinhash, dedupMinhashOph,
     dedupOphVsKhash, docLmExcessRank,

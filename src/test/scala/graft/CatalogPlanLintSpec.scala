@@ -41,6 +41,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "corpus_kl_drift",       // broadcast 1-row (N1,N2,V) totals scalar
     "q15_top_supplier",      // broadcast 1-row global-max scalar
     "stats_chisq_lang_source", // |langs| x broadcast |sources| grid + N scalar
+    "stats_cohen_kappa",     // two broadcast 1-row census scalars joined
+    "quality_calibration_bins", // broadcast 1-row corpus-count scalar
     "embed_matryoshka_recall", // 3 arms x broadcast 1 query prefix
     "doc_lm_excess_rank",    // broadcast 1-row corpus-total scalars (both LMs)
     "embed_kmeans_assign",   // corpus x broadcast k=8 centroid rows, O(k·n)
@@ -252,7 +254,8 @@ class CatalogPlanLintSpec extends SparkTestBase {
     // the round-robin spread in its executed plan
     val denseMarkers = Seq("get_json_object", "from_json", "json_tuple",
       "regexp_extract", "simhash", "minhash", "winnow_fps",
-      "token_stats", "rep_stats", "vec_dot", "sentences(")
+      "token_stats", "rep_stats", "vec_dot", "sentences(",
+      "bow_score", "boot_pois")
     val tablesRe = "(events|documents|embeddings)\\.parquet".r
     val violations = SparkEntry.catalog.toSeq.sortBy(_._1).flatMap {
       case (name, entry) =>

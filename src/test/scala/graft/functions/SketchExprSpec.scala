@@ -452,6 +452,82 @@ class SketchExprSpec extends SparkTestBase with Matchers {
     prod(4L) shouldBe 1L
   }
 
+  /** The quality_classifier_score HOF-aggregate column formulation the
+    * bow_score_md5 kernel replaced (kept here as the reference). */
+  private def refBowScore(df: DataFrame): Map[Long, (Long, Long)] = {
+    val toks = filter(split($"text", " "), w => w =!= "")
+    val bucket = (w: org.apache.spark.sql.Column) =>
+      conv(substring(md5(w), 1, 15), 16, 10).cast("long") % 1024L
+    val weight = (w: org.apache.spark.sql.Column) =>
+      (bucket(w) * lit(2654435761L)) % 1048576L - 524288L
+    df.select($"doc_id", fsize(toks).cast("long").as("n"),
+        aggregate(toks, lit(0L), (acc, w) => acc + weight(w)).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  private def natBowScore(df: DataFrame): Map[Long, (Long, Long)] =
+    df.select($"doc_id", call_function("bow_score_md5", $"text").as("bs"))
+      .select($"doc_id", $"bs.n_tokens", $"bs.score_raw")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("bow_score_md5 is bit-exact with the HOF-aggregate md5 column " +
+      "formulation (empty tokens filtered; empty text scores (0, 0))") {
+    val df = corpus(edgeTexts)
+    natBowScore(df) shouldBe refBowScore(df)
+    val prop = Prop.forAll(Gen.listOfN(25, genText)) { texts =>
+      val c = corpus(texts)
+      natBowScore(c) == refBowScore(c)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(5)
+      .withInitialSeed(Seed(454545L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"bow_score equivalence: ${res.status}")
+  }
+
+  /** The exploded-md5 column formulation of the Poisson(1) draws (what
+    * the events_bootstrap_ci oracle replays). */
+  private def refBootPois(df: DataFrame, b: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id", expr(
+      s"""transform(sequence(0, ${b - 1}), i -> CASE
+        |  WHEN cast(conv(substring(md5(concat(text, ':', i)), 1, 15),
+        |            16, 10) as bigint) % 1000000000 < 367879441 THEN 0L
+        |  WHEN cast(conv(substring(md5(concat(text, ':', i)), 1, 15),
+        |            16, 10) as bigint) % 1000000000 < 735758882 THEN 1L
+        |  WHEN cast(conv(substring(md5(concat(text, ':', i)), 1, 15),
+        |            16, 10) as bigint) % 1000000000 < 919698602 THEN 2L
+        |  WHEN cast(conv(substring(md5(concat(text, ':', i)), 1, 15),
+        |            16, 10) as bigint) % 1000000000 < 981011843 THEN 3L
+        |  WHEN cast(conv(substring(md5(concat(text, ':', i)), 1, 15),
+        |            16, 10) as bigint) % 1000000000 < 996340153 THEN 4L
+        |  WHEN cast(conv(substring(md5(concat(text, ':', i)), 1, 15),
+        |            16, 10) as bigint) % 1000000000 < 999405815 THEN 5L
+        |  ELSE 6L END)""".stripMargin).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  private def natBootPois(df: DataFrame, b: Int): Map[Long, Seq[Long]] =
+    df.select($"doc_id",
+      call_function("boot_pois_md5", $"text", lit(b)).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("boot_pois_md5 is bit-exact with the exploded inverse-CDF md5 " +
+      "column formulation; weights stay in [0, 6] and average near 1") {
+    val keys = (0 until 200).map(_.toString)
+    val df = corpus(keys)
+    val nat = natBootPois(df, 32)
+    nat shouldBe refBootPois(df, 32)
+    val all = nat.values.flatten.toSeq
+    all.min should be >= 0L
+    all.max should be <= 6L
+    // Poisson(1): mean 1 — 6400 draws put the sample mean well inside
+    // (0.9, 1.1) unless the inverse CDF is wired wrong
+    val mean = all.sum.toDouble / all.size
+    mean should be > 0.9
+    mean should be < 1.1
+  }
+
   test("kernels run inside whole-stage codegen (no fallback to eval)") {
     // defineCodeGen emits the static call; a codegen exception would
     // surface as a CodegenFallback warning + interpreted path. Force
@@ -469,7 +545,9 @@ class SketchExprSpec extends SparkTestBase with Matchers {
       df.select(
         call_function("minhash_bands_md5", $"text", lit(8), lit(3)),
         call_function("winnow_fps_md5", $"text", lit(5), lit(4)),
-        call_function("simhash63_md5", TextOps.tokens($"text"))).collect()
+        call_function("simhash63_md5", TextOps.tokens($"text")),
+        call_function("bow_score_md5", $"text"),
+        call_function("boot_pois_md5", $"text", lit(8))).collect()
     }
   }
 
