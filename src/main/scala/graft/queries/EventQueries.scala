@@ -1761,6 +1761,222 @@ object EventQueries {
       .orderBy($"event_type", $"origin_day")
   }
 
+  /** FORECAST-SKILL CENSUS — Holt vs the naive random-walk forecast
+    * over the SAME last-5 rolling origins: the relative-error number
+    * (MASE's origin-matched cousin) that decides whether the smoother
+    * earns its state, because a forecaster that can't beat "tomorrow
+    * equals today" should be replaced BY "tomorrow equals today".
+    * Holt's per-series MAE comes from [[eventsHoltBacktest]] nested
+    * verbatim (the evaluated model IS the shipped recursion); the
+    * naive MAE is the mean |x_{i+1} − x_i| over the identical origin
+    * window; skill_ppm = 10⁶·mae_holt/mae_naive (truncating division;
+    * < 10⁶ means Holt wins), NULL when the naive errors are zero (a
+    * constant series has nothing to rank). On this i.i.d.-noise
+    * corpus the verdict is mostly 'naive' — the honest reading the
+    * backtest's large MAE already implied.
+    *
+    * Scale shape: both arms live on the metadata-scale daily table
+    * (the backtest's fold is one pass; the naive arm is one `lead`
+    * window); the join carries |series| rows. */
+  val eventsForecastSkill: CatalogEntry = CatalogEntry(
+    "events_forecast_skill",
+    s"""WITH bt AS (
+      |  ${eventsHoltBacktest.oracle.get.replace("\n", "\n      ")}),
+      |h AS (SELECT event_type, count(*)::BIGINT AS n_origins,
+      |        max(mae_cents)::BIGINT AS mae_holt_cents
+      |      FROM bt GROUP BY event_type),
+      |c AS (
+      |  SELECT event_type, ts::TIMESTAMP AS tsx, event_id,
+      |         round(value*100)::BIGINT AS x FROM events),
+      |dcl AS (SELECT event_type, tsx::DATE AS day, x,
+      |         row_number() OVER (PARTITION BY event_type, tsx::DATE
+      |                            ORDER BY tsx DESC, event_id DESC) AS rn
+      |        FROM c),
+      |s AS (SELECT event_type, x,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY day) AS i,
+      |        count(*) OVER (PARTITION BY event_type) AS m,
+      |        lead(x) OVER (PARTITION BY event_type ORDER BY day) AS nx
+      |      FROM dcl WHERE rn = 1),
+      |nv AS (SELECT event_type,
+      |         (sum(abs(nx - x)) // count(*))::BIGINT AS mae_naive_cents
+      |       FROM s WHERE i >= greatest(1, m - 5) AND i <= m - 1
+      |       GROUP BY event_type)
+      |SELECT h.event_type, h.n_origins, h.mae_holt_cents,
+      |  nv.mae_naive_cents,
+      |  CASE WHEN nv.mae_naive_cents > 0 THEN
+      |    ((1000000 * h.mae_holt_cents) // nv.mae_naive_cents)::BIGINT
+      |  END AS skill_ppm,
+      |  CASE WHEN nv.mae_naive_cents = 0 THEN 'tie'
+      |       WHEN h.mae_holt_cents < nv.mae_naive_cents THEN 'holt'
+      |       WHEN h.mae_holt_cents > nv.mae_naive_cents THEN 'naive'
+      |       ELSE 'tie' END AS verdict
+      |FROM h JOIN nv USING (event_type)
+      |ORDER BY h.event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val h = eventsHoltBacktest.query(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_origins"),
+        max($"mae_cents").as("mae_holt_cents"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val sDf = dailyCloses(s, d)
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .withColumn("nx", lead($"x", 1).over(wOrd))
+    val nv = sDf
+      .where($"i" >= greatest(lit(1L), $"m" - 5L) && $"i" <= $"m" - 1L)
+      .groupBy($"event_type")
+      .agg(expr("sum(abs(nx - x)) div count(*)").as("mae_naive_cents"))
+    h.join(nv, "event_type")
+      .select($"event_type", $"n_origins", $"mae_holt_cents",
+        $"mae_naive_cents",
+        when($"mae_naive_cents" > 0L,
+          expr("(1000000L * mae_holt_cents) div mae_naive_cents"))
+          .as("skill_ppm"),
+        when($"mae_naive_cents" === 0L, "tie")
+          .when($"mae_holt_cents" < $"mae_naive_cents", "holt")
+          .when($"mae_holt_cents" > $"mae_naive_cents", "naive")
+          .otherwise("tie").as("verdict"))
+      .orderBy($"event_type")
+  }
+
+  /** BENFORD FIRST-DIGIT CENSUS per series — the classic
+    * fabricated-or-degenerate-data screen (Benford 1938; the audit
+    * standard for transaction streams): the observed first-significant-
+    * digit distribution of |cents| against log10(1 + 1/d), both in
+    * exact ppm, per (series, digit). A hand-keyed, truncated, or
+    * unit-mangled feed bends this curve long before a mean/σ monitor
+    * notices; the per-digit delta says WHICH digit leaks (a 4/5
+    * boundary spike = rounding; a flat curve = synthetic uniform).
+    * First digit = x div 10^(len(x)−1) — pure integer/string
+    * arithmetic, no logs on the data path; the Benford expectations
+    * are 9 shared ppm literals (floor(log10(1+1/d)·10⁶)), so the
+    * comparison is engine-exact. Zero values carry no leading digit
+    * and are excluded by definition.
+    *
+    * Scale shape: digit extraction is scan-local; ONE (series, digit)
+    * partial-agg exchange (≤ 9·|series| cells); the expectation table
+    * is a 9-row broadcast literal. */
+  val eventsBenfordCensus: CatalogEntry = CatalogEntry(
+    "events_benford_census",
+    """WITH c AS (SELECT event_type, abs(round(value*100)::BIGINT) AS x
+      |           FROM events WHERE round(value*100)::BIGINT <> 0),
+      |d AS (SELECT event_type,
+      |        x // power(10, length(x::VARCHAR) - 1)::BIGINT AS fd
+      |      FROM c),
+      |cell AS (SELECT event_type, fd, count(*)::BIGINT AS n
+      |         FROM d GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n)::BIGINT AS nt
+      |        FROM cell GROUP BY 1),
+      |bf AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+      |        (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+      |        (9, 45757)) AS t(fd, benford_ppm))
+      |SELECT c.event_type, c.fd::BIGINT AS fd, c.n,
+      |  ((1000000 * c.n) // t.nt)::BIGINT AS obs_ppm,
+      |  b.benford_ppm::BIGINT AS benford_ppm,
+      |  (((1000000 * c.n) // t.nt) - b.benford_ppm)::BIGINT AS delta_ppm
+      |FROM cell c JOIN tot t USING (event_type) JOIN bf b USING (fd)
+      |ORDER BY c.event_type, fd""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = Tables.events(s, d)
+      .select($"event_type",
+        abs(round($"value" * 100).cast("long")).as("x"))
+      .where($"x" =!= 0L)
+    val cell = c
+      .select($"event_type",
+        expr("x div cast(power(10, length(cast(x as string)) - 1) " +
+          "as bigint)").as("fd"))
+      .groupBy($"event_type", $"fd")
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy($"event_type").agg(sum($"n").as("nt"))
+    val bf = Seq((1L, 301029L), (2L, 176091L), (3L, 124938L),
+      (4L, 96910L), (5L, 79181L), (6L, 66946L), (7L, 57991L),
+      (8L, 51152L), (9L, 45757L)).toDF("fd", "benford_ppm")
+    cell.join(tot, "event_type").join(broadcast(bf), "fd")
+      .select($"event_type", $"fd".cast("long").as("fd"), $"n",
+        expr("(1000000L * n) div nt").as("obs_ppm"),
+        $"benford_ppm",
+        expr("(1000000L * n) div nt - benford_ppm").as("delta_ppm"))
+      .orderBy($"event_type", $"fd")
+  }
+
+  /** PSI DRIFT MONITOR per series — the population-stability index
+    * (the banking/ML-ops standard beside `corpus_kl_drift`'s KL) of
+    * the cents-value distribution between the FIRST and SECOND half of
+    * each series' time range: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b),
+    * 10 equal-width bins over the series' own [min, max] with +1/+10
+    * Laplace smoothing so single-sided bins stay finite; cells empty
+    * in BOTH halves carry no term by definition here (with smoothing
+    * they would contribute only the na≠nb imbalance, not drift). The
+    * industry read: < 0.1 stable, > 0.2 investigate — on this
+    * i.i.d. corpus PSI ≈ 0.005–0.014, the honest no-drift verdict.
+    * Float discipline: each bin's term is ln of a ratio of exact
+    * integers, quantized to nano-BIGINTs BEFORE the order-independent
+    * sum (the `corpus_kl_drift` pattern).
+    *
+    * Scale shape: per-series (t_min, t_max, x_min, x_max) scalars come
+    * from one partial agg and broadcast back (|series| rows); half/bin
+    * assignment is scan-local integer arithmetic; ONE (series, bin)
+    * partial-agg exchange (≤ 10·|series| cells). */
+  val eventsPsiDrift: CatalogEntry = CatalogEntry(
+    "events_psi_drift",
+    """WITH c AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS tu,
+      |             round(value*100)::BIGINT AS x FROM events),
+      |sp AS (SELECT event_type, min(tu)::BIGINT AS t0, max(tu)::BIGINT AS t1,
+      |         min(x)::BIGINT AS mn, max(x)::BIGINT AS mx
+      |       FROM c GROUP BY event_type),
+      |h AS (SELECT c.event_type,
+      |        CASE WHEN 2 * c.tu <= s.t0 + s.t1 THEN 0 ELSE 1 END AS half,
+      |        CASE WHEN s.mx = s.mn THEN 0
+      |             ELSE ((c.x - s.mn) * 10) // (s.mx - s.mn + 1) END AS bin
+      |      FROM c JOIN sp s USING (event_type)),
+      |cell AS (SELECT event_type, bin,
+      |           count(*) FILTER (WHERE half = 0)::BIGINT AS ca,
+      |           count(*) FILTER (WHERE half = 1)::BIGINT AS cb
+      |         FROM h GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+      |        FROM cell GROUP BY 1)
+      |SELECT c.event_type, t.na AS n_first, t.nb AS n_second,
+      |  sum(round(1e9 * ((c.ca+1)::DOUBLE/(t.na+10)
+      |                   - (c.cb+1)::DOUBLE/(t.nb+10)) *
+      |      ln(((c.ca+1)::DOUBLE*(t.nb+10))
+      |         / ((c.cb+1)::DOUBLE*(t.na+10))))::BIGINT)::BIGINT AS psi_nano
+      |FROM cell c JOIN tot t USING (event_type)
+      |GROUP BY c.event_type, t.na, t.nb
+      |ORDER BY c.event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = Tables.events(s, d)
+      .select($"event_type",
+        unix_micros($"ts").as("tu"),
+        round($"value" * 100).cast("long").as("x"))
+    val sp = c.groupBy($"event_type".as("et"))
+      .agg(min($"tu").as("t0"), max($"tu").as("t1"),
+        min($"x").as("mn"), max($"x").as("mx"))
+    val cell = c.join(broadcast(sp), $"event_type" === $"et")
+      .select($"event_type",
+        when(lit(2L) * $"tu" <= $"t0" + $"t1", 0L).otherwise(1L)
+          .as("half"),
+        when($"mx" === $"mn", 0L)
+          .otherwise(expr("((x - mn) * 10) div (mx - mn + 1)")).as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(when($"half" === 0L, 1)).as("ca"),
+        count(when($"half" === 1L, 1)).as("cb"))
+    val tot = cell.groupBy($"event_type".as("et2"))
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    cell.join(broadcast(tot), $"event_type" === $"et2")
+      .groupBy($"event_type", $"na", $"nb")
+      .agg(sum(round(lit(1e9) *
+          (($"ca" + 1).cast("double") / ($"na" + 10) -
+            ($"cb" + 1).cast("double") / ($"nb" + 10)) *
+          log((($"ca" + 1).cast("double") * ($"nb" + 10)) /
+              (($"cb" + 1).cast("double") * ($"na" + 10))))
+        .cast("bigint")).as("psi_nano"))
+      .select($"event_type", $"na".as("n_first"), $"nb".as("n_second"),
+        $"psi_nano")
+      .orderBy($"event_type")
+  }
+
   /** CUSUM changepoint detection per series, float-free: the classic
     * statistic Σ_{i≤k}(x_i − μ) is rescaled by n to
     * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term exact.
@@ -1884,6 +2100,7 @@ object EventQueries {
     eventsHoltForecast, eventsHoltBacktest, eventsOhlcCandles,
     eventsSeasonalityDow, eventsAcfLags,
     eventsTheilSen, eventsBootstrapCi,
+    eventsForecastSkill, eventsBenfordCensus, eventsPsiDrift,
     eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,

@@ -2215,6 +2215,88 @@ object TextQueries {
       .orderBy($"bin")
   }
 
+  /** QUALITY-GATE ABLATION CENSUS — per gate rule (length, TTR,
+    * top-word share, mean word length): how many docs FAIL it, and how
+    * many fail ONLY it (the rule's unique contribution — the number
+    * that says which rules earn their place and which are dead weight
+    * behind the others); beside each, the corpus size and the gate's
+    * total drop count. On this corpus the length rule does nearly all
+    * the work and TTR/word-length are entirely shadowed — exactly the
+    * audit a curation pipeline runs before tuning thresholds
+    * ([[qualityClassifierAuc]] asks "can a model replace the stack";
+    * this asks "which rules ARE the stack").
+    *
+    * Rules come from the shared [[qualitySignals]]/gate columns, so the
+    * ablated gate is the shipped gate. Scale shape: the per-rule flags
+    * are scan-local; ONE 1-row aggregate holds all ten counters; the
+    * 4-row output is an explode of that row — no broadcast, no
+    * second pass. */
+  val qualityGateAblation: CatalogEntry = CatalogEntry(
+    "quality_gate_ablation",
+    s"""WITH qf AS (${docQualityFilter.oracle.get.replace("\n", "\n      ")}),
+      |g AS (SELECT NOT ok_len AS f_len, NOT ok_ttr AS f_ttr,
+      |        NOT ok_top_word AS f_top, NOT ok_word_len AS f_wl
+      |      FROM qf),
+      |a AS (SELECT count(*)::BIGINT AS n,
+      |        count(*) FILTER (f_len)::BIGINT AS n_len,
+      |        count(*) FILTER (f_len AND NOT f_ttr AND NOT f_top
+      |                         AND NOT f_wl)::BIGINT AS o_len,
+      |        count(*) FILTER (f_ttr)::BIGINT AS n_ttr,
+      |        count(*) FILTER (f_ttr AND NOT f_len AND NOT f_top
+      |                         AND NOT f_wl)::BIGINT AS o_ttr,
+      |        count(*) FILTER (f_top)::BIGINT AS n_top,
+      |        count(*) FILTER (f_top AND NOT f_len AND NOT f_ttr
+      |                         AND NOT f_wl)::BIGINT AS o_top,
+      |        count(*) FILTER (f_wl)::BIGINT AS n_wl,
+      |        count(*) FILTER (f_wl AND NOT f_len AND NOT f_ttr
+      |                         AND NOT f_top)::BIGINT AS o_wl,
+      |        count(*) FILTER (f_len OR f_ttr OR f_top OR f_wl)::BIGINT
+      |          AS n_any
+      |      FROM g)
+      |SELECT r.rule, r.n_fail, r.n_only_fail, n AS n_docs,
+      |  n_any AS n_dropped,
+      |  ((1000000 * r.n_fail) // n)::BIGINT AS fail_ppm
+      |FROM a, LATERAL (VALUES ('len', n_len, o_len), ('ttr', n_ttr, o_ttr),
+      |  ('top_word', n_top, o_top), ('word_len', n_wl, o_wl))
+      |  AS r(rule, n_fail, n_only_fail)
+      |ORDER BY r.rule""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val g = qualitySignals(s, d)
+      .select((!gateOkLen).as("f_len"), (!gateOkTtr).as("f_ttr"),
+        (!gateOkTopWord).as("f_top"), (!gateOkWordLen).as("f_wl"))
+    val a = g.agg(
+      count(lit(1)).as("n"),
+      count(when($"f_len", 1)).as("n_len"),
+      count(when($"f_len" && !$"f_ttr" && !$"f_top" && !$"f_wl", 1))
+        .as("o_len"),
+      count(when($"f_ttr", 1)).as("n_ttr"),
+      count(when($"f_ttr" && !$"f_len" && !$"f_top" && !$"f_wl", 1))
+        .as("o_ttr"),
+      count(when($"f_top", 1)).as("n_top"),
+      count(when($"f_top" && !$"f_len" && !$"f_ttr" && !$"f_wl", 1))
+        .as("o_top"),
+      count(when($"f_wl", 1)).as("n_wl"),
+      count(when($"f_wl" && !$"f_len" && !$"f_ttr" && !$"f_top", 1))
+        .as("o_wl"),
+      count(when($"f_len" || $"f_ttr" || $"f_top" || $"f_wl", 1))
+        .as("n_any"))
+    a.select(explode(array(
+        struct(lit("len").as("rule"), $"n_len".as("n_fail"),
+          $"o_len".as("n_only_fail")),
+        struct(lit("ttr").as("rule"), $"n_ttr".as("n_fail"),
+          $"o_ttr".as("n_only_fail")),
+        struct(lit("top_word").as("rule"), $"n_top".as("n_fail"),
+          $"o_top".as("n_only_fail")),
+        struct(lit("word_len").as("rule"), $"n_wl".as("n_fail"),
+          $"o_wl".as("n_only_fail")))).as("r"),
+        $"n", $"n_any")
+      .select($"r.rule".as("rule"), $"r.n_fail".as("n_fail"),
+        $"r.n_only_fail".as("n_only_fail"), $"n".as("n_docs"),
+        $"n_any".as("n_dropped"),
+        expr("(1000000L * r.n_fail) div n").as("fail_ppm"))
+      .orderBy($"rule")
+  }
+
   /** Per-document unigram entropy + type/token ratio — the statistical
     * quality signals that catch degenerate text (a doc stuck repeating
     * one token has entropy → 0) without any model. H = ln n − (Σ c·ln c)/n
@@ -4763,6 +4845,7 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     qualityClassifierAuc, qualityCalibrationBins, statsCohenKappa,
+    qualityGateAblation,
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
     packSequencesFfd, dedupBbitMinhash, dedupMinhashOph,
     dedupOphVsKhash, docLmExcessRank,
