@@ -2171,7 +2171,11 @@ object TextQueries {
     * Scale shape: identical to the AUC entry — kernels scan-local,
     * binning + census on the (score → count) partial-agg table; the
     * total-count denominator arrives as a broadcast 1-row scalar,
-    * never a collect. */
+    * never a collect. The cumulative-rank window runs single-partition
+    * over that aggregated table (|distinct scores| rows — fine up to
+    * many millions of one-counter rows); a corpus whose distinct-score
+    * count itself explodes coarsens the score lattice first
+    * (`score div 2^s` — same deciles, 2^s fewer groups). */
   val qualityCalibrationBins: CatalogEntry = CatalogEntry(
     "quality_calibration_bins",
     s"""WITH qf AS (${docQualityFilter.oracle.get.replace("\n", "\n      ")}),
