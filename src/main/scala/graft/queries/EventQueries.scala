@@ -1977,6 +1977,83 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST per series between the first
+    * and second half of its time range — [[eventsPsiDrift]]'s
+    * hypothesis-test sibling: PSI gives a graded drift magnitude on
+    * fixed bins; KS gives the exact supremum distance between the two
+    * EMPIRICAL CDFs (no binning) plus the classic α=0.05 decision.
+    * Entirely on the integer lattice: D is tracked as
+    * max |F₁·n₂ − F₂·n₁| over the merged distinct values (cumulative
+    * counts cross-multiplied — no division until the final ppm), and
+    * the rejection rule D > 1.358·√((n₁+n₂)/(n₁n₂)) is squared into
+    * the cross-multiplied integer test 10⁶·D_int² > 1844164·(n₁+n₂)·
+    * n₁·n₂ (1.358² = 1.844164) that no float can flip. On this
+    * i.i.d. corpus every series accepts — the same honest no-drift
+    * verdict PSI reads.
+    *
+    * Scale shape: per-series time-midpoint scalars broadcast back;
+    * ONE (series, value) partial-agg exchange; the CDF window runs on
+    * those cells — bounded by the value lattice (cents), not rows. */
+  val eventsKsTest: CatalogEntry = CatalogEntry(
+    "events_ks_test",
+    """WITH c AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS tu,
+      |             round(value*100)::BIGINT AS x FROM events),
+      |sp AS (SELECT event_type, min(tu)::BIGINT AS t0, max(tu)::BIGINT AS t1
+      |       FROM c GROUP BY event_type),
+      |h AS (SELECT c.event_type,
+      |        CASE WHEN 2 * c.tu <= s.t0 + s.t1 THEN 0 ELSE 1 END AS half,
+      |        c.x
+      |      FROM c JOIN sp s USING (event_type)),
+      |cell AS (SELECT event_type, x,
+      |           count(*) FILTER (WHERE half = 0)::BIGINT AS ca,
+      |           count(*) FILTER (WHERE half = 1)::BIGINT AS cb
+      |         FROM h GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(ca)::BIGINT AS n1, sum(cb)::BIGINT AS n2
+      |        FROM cell GROUP BY 1),
+      |cum AS (SELECT c.event_type, t.n1, t.n2,
+      |          sum(c.ca) OVER (PARTITION BY c.event_type
+      |                          ORDER BY c.x) AS f1,
+      |          sum(c.cb) OVER (PARTITION BY c.event_type
+      |                          ORDER BY c.x) AS f2
+      |        FROM cell c JOIN tot t USING (event_type)),
+      |d AS (SELECT event_type, n1, n2,
+      |        max(abs(f1 * n2 - f2 * n1))::BIGINT AS d_int
+      |      FROM cum GROUP BY event_type, n1, n2)
+      |SELECT event_type, n1 AS n_first, n2 AS n_second,
+      |  ((1000000 * d_int) // (n1 * n2))::BIGINT AS d_ppm,
+      |  (1000000::HUGEINT * d_int::HUGEINT * d_int
+      |   > 1844164::HUGEINT * (n1 + n2) * n1 * n2) AS reject_05
+      |FROM d ORDER BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = Tables.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("tu"),
+        round($"value" * 100).cast("long").as("x"))
+    val sp = c.groupBy($"event_type".as("et"))
+      .agg(min($"tu").as("t0"), max($"tu").as("t1"))
+    val cell = c.join(broadcast(sp), $"event_type" === $"et")
+      .select($"event_type",
+        when(lit(2L) * $"tu" <= $"t0" + $"t1", 0L).otherwise(1L)
+          .as("half"),
+        $"x")
+      .groupBy($"event_type", $"x")
+      .agg(count(when($"half" === 0L, 1)).as("ca"),
+        count(when($"half" === 1L, 1)).as("cb"))
+    val tot = cell.groupBy($"event_type".as("et2"))
+      .agg(sum($"ca").as("n1"), sum($"cb").as("n2"))
+    val w = Window.partitionBy($"event_type").orderBy($"x")
+    cell.join(broadcast(tot), $"event_type" === $"et2")
+      .select($"event_type", $"n1", $"n2",
+        sum($"ca").over(w).as("f1"), sum($"cb").over(w).as("f2"))
+      .groupBy($"event_type", $"n1", $"n2")
+      .agg(max(abs($"f1" * $"n2" - $"f2" * $"n1")).as("d_int"))
+      .select($"event_type", $"n1".as("n_first"), $"n2".as("n_second"),
+        expr("(1000000L * d_int) div (n1 * n2)").as("d_ppm"),
+        (expr("cast(1000000 as decimal(38,0)) * d_int * d_int") >
+          expr("cast(1844164 as decimal(38,0)) * (n1 + n2) * n1 * n2"))
+          .as("reject_05"))
+      .orderBy($"event_type")
+  }
+
   /** CUSUM changepoint detection per series, float-free: the classic
     * statistic Σ_{i≤k}(x_i − μ) is rescaled by n to
     * S_k = Σ_{i≤k}(n·x_i) − k·Σx — identical argmax, every term exact.
@@ -2101,6 +2178,7 @@ object EventQueries {
     eventsSeasonalityDow, eventsAcfLags,
     eventsTheilSen, eventsBootstrapCi,
     eventsForecastSkill, eventsBenfordCensus, eventsPsiDrift,
+    eventsKsTest,
     eventsChangepointCusum,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,

@@ -2301,6 +2301,74 @@ object TextQueries {
       .orderBy($"rule")
   }
 
+  /** MODEL-vs-GATE FILTER AGREEMENT (2×2 Cohen's kappa) — the decision
+    * companion to [[qualityClassifierAuc]]: the AUC asks "does the
+    * model RANK like the gate"; this asks whether the model's shipped
+    * DECISION (score ≥ 0, `quality_classifier_score`'s `kept` bit)
+    * agrees with the rule gate beyond chance. Emits the full 2×2
+    * confusion (both-keep / model-only / gate-only / both-drop),
+    * observed and chance agreement, and κ in exact ppm (marginal
+    * products in DECIMAL(38,0)/HUGEINT — [[statsCohenKappa]]'s
+    * arithmetic on two categories). On this corpus κ < 0: the hashed
+    * classifier's threshold decision is anti-correlated with the gate,
+    * the same verdict the calibration table shows graphically — the
+    * number that stops anyone swapping the rule stack for this model
+    * at this threshold.
+    *
+    * Scale shape: both bits come from the one-scan [[qualitySignals]]
+    * builder; ONE 1-row aggregate; no joins, no windows. */
+  val qualityFilterAgreement: CatalogEntry = CatalogEntry(
+    "quality_filter_agreement",
+    s"""WITH qf AS (${docQualityFilter.oracle.get.replace("\n", "\n      ")}),
+      |sc AS (${qualityClassifierScore.oracle.get.replace("\n", "\n      ")}),
+      |j AS (SELECT (sc.score_raw >= 0) AS mk, qf.keep AS gk
+      |      FROM sc JOIN qf USING (doc_id)),
+      |ag AS (SELECT count(*)::BIGINT AS n,
+      |         count(*) FILTER (mk AND gk)::BIGINT AS ka,
+      |         count(*) FILTER (mk AND NOT gk)::BIGINT AS kb,
+      |         count(*) FILTER (NOT mk AND gk)::BIGINT AS kc,
+      |         count(*) FILTER (NOT mk AND NOT gk)::BIGINT AS kd
+      |       FROM j)
+      |SELECT n AS n_docs, ka AS n_both_keep, kb AS n_model_only,
+      |  kc AS n_gate_only, kd AS n_both_drop,
+      |  ((1000000 * (ka + kd)) // n)::BIGINT AS po_ppm,
+      |  ((1000000::HUGEINT * ((ka+kb)::HUGEINT*(ka+kc)
+      |      + (kc+kd)::HUGEINT*(kb+kd))) // (n::HUGEINT * n))::BIGINT
+      |    AS pe_ppm,
+      |  CASE WHEN n::HUGEINT * n - ((ka+kb)::HUGEINT*(ka+kc)
+      |           + (kc+kd)::HUGEINT*(kb+kd)) <> 0 THEN
+      |    ((1000000::HUGEINT * (n::HUGEINT*(ka+kd)
+      |        - ((ka+kb)::HUGEINT*(ka+kc) + (kc+kd)::HUGEINT*(kb+kd))))
+      |     // (n::HUGEINT * n - ((ka+kb)::HUGEINT*(ka+kc)
+      |         + (kc+kd)::HUGEINT*(kb+kd))))::BIGINT END AS kappa_ppm
+      |FROM ag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val j = qualitySignals(s, d)
+      .where($"has_clf_tokens")
+      .select(($"score" >= 0L).as("mk"), gateKeep.as("gk"))
+    val ag = j.agg(count(lit(1)).as("n"),
+      count(when($"mk" && $"gk", 1)).as("ka"),
+      count(when($"mk" && !$"gk", 1)).as("kb"),
+      count(when(!$"mk" && $"gk", 1)).as("kc"),
+      count(when(!$"mk" && !$"gk", 1)).as("kd"))
+    // pe's marginal products in decimal so n² terms survive warehouse
+    // row counts (the statsCohenKappa discipline, two categories)
+    val src = "(cast(ka + kb as decimal(38,0)) * (ka + kc)" +
+      " + cast(kc + kd as decimal(38,0)) * (kb + kd))"
+    ag.select($"n".as("n_docs"), $"ka".as("n_both_keep"),
+      $"kb".as("n_model_only"), $"kc".as("n_gate_only"),
+      $"kd".as("n_both_drop"),
+      expr("(1000000L * (ka + kd)) div n").as("po_ppm"),
+      expr(s"(cast(1000000 as decimal(38,0)) * $src)" +
+        " div (cast(n as decimal(38,0)) * n)")
+        .cast("long").as("pe_ppm"),
+      when(expr(s"cast(n as decimal(38,0)) * n - $src") =!= lit(0),
+        expr(s"""(cast(1000000 as decimal(38,0))
+          | * (cast(n as decimal(38,0)) * (ka + kd) - $src))
+          | div (cast(n as decimal(38,0)) * n - $src)""".stripMargin))
+        .cast("long").as("kappa_ppm"))
+  }
+
   /** Per-document unigram entropy + type/token ratio — the statistical
     * quality signals that catch degenerate text (a doc stuck repeating
     * one token has entropy → 0) without any model. H = ln n − (Σ c·ln c)/n
@@ -4849,7 +4917,7 @@ object TextQueries {
 
   def entries: Seq[CatalogEntry] = Seq(
     qualityClassifierAuc, qualityCalibrationBins, statsCohenKappa,
-    qualityGateAblation,
+    qualityGateAblation, qualityFilterAgreement,
     docStripRepeatedSpans, dedupLayerAgreement, dedupThresholdSensitivity,
     packSequencesFfd, dedupBbitMinhash, dedupMinhashOph,
     dedupOphVsKhash, docLmExcessRank,
