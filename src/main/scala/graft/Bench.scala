@@ -1146,12 +1146,13 @@ object Bench {
     // test would match sf0.12 against the sf0.1 record) and the same
     // core/shuffle-partition count (a local[4] run against a local[32]
     // record would compare different parallelism).
-    val (vsBaseline, vsBaselineCal): (Option[Double], Option[Double]) =
+    val (vsBaseline, vsBaselineCal, vsBaselineCalm):
+        (Option[Double], Option[Double], Option[Double]) =
       baselineText match {
-        case None => (None, None)
+        case None => (None, None, None)
         case Some(_) =>
           if (!baselineConfigMatches)
-            (None, None)
+            (None, None, None)
           else {
             val shared = results.collect {
               case (k, v) if v >= 0 && baseKv.contains(k) &&
@@ -1168,13 +1169,28 @@ object Bench {
               r <- raw
               b <- baseKv.get("calibn_sec") if b > 0 && calibN > 0
             } yield r * b / calibN
-            (raw, cal)
+            // Substrate-normalized ratio: divide out the WORST of the
+            // ALU and memory-bandwidth probe drifts. The r18 sessions
+            // showed the mode cal is blind to — calibn flat while
+            // calibm read 1.25-1.33x baseline (shared-host bandwidth
+            // starvation) and the median code-untouched entry tracked
+            // calibm, not calibn. A calm near 1.0 under an elevated
+            // vs_baseline says "substrate, not plans" from the
+            // artifact alone; a calm elevation is real code drift no
+            // probe excuses.
+            val calm = for {
+              r <- raw
+              bn <- baseKv.get("calibn_sec") if bn > 0 && calibN > 0
+              bm <- baseKv.get("calibm_sec") if bm > 0 && calibM > 0
+            } yield r / math.max(calibN / bn, calibM / bm)
+            (raw, cal, calm)
           }
       }
     def ratio3(name: String, v: Option[Double]): String =
       v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
     val extra = ratio3("vs_baseline", vsBaseline) +
-      ratio3("vs_baseline_cal", vsBaselineCal)
+      ratio3("vs_baseline_cal", vsBaselineCal) +
+      ratio3("vs_baseline_calm", vsBaselineCalm)
     // Per-entry outliers, pre-digested: entries reading >= 3x their
     // baseline AND >= 1 s absolute — the rows a cross-round reader
     // would otherwise have to dig out of the 130+-entry queries map
