@@ -2109,6 +2109,80 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** BINARY-SEGMENTATION CHANGEPOINT per series — the least-squares
+    * split (Scott & Knott 1974; the first recursion step of binary
+    * segmentation, and the mean-shift complement to
+    * [[eventsChangepointCusum]]: CUSUM localizes a drift in the raw
+    * event stream, this finds THE level-shift day of the daily closes
+    * by maximizing the between-segment fit W(k) = S_k²/k +
+    * (S−S_k)²/(n−k)). Entirely exact: W is quantized to milli-units by
+    * ONE truncating division per candidate split (numerator and
+    * divisor exact in DECIMAL(38,0)/HUGEINT), the argmax ranks on that
+    * integer with earliest-day tie-break, and the reported gain is
+    * W(k) − W(0) = the SSE reduction, in the same milli lattice; the
+    * segment means are truncating integer divisions. On these
+    * single-event daily closes the "shift" is noise-sized — visible in
+    * gain_milli, not hidden.
+    *
+    * Scale shape: lives on the metadata-scale daily table (the Holt /
+    * ACF / Theil-Sen adjudication): one windowed downsample over raw
+    * events, two chained windows (prefix sum, argmax rank) on one
+    * (series) partitioning. */
+  val eventsChangepointBinseg: CatalogEntry = CatalogEntry(
+    "events_changepoint_binseg",
+    s"""WITH $dailyCloseCtesSql,
+      |s AS (SELECT event_type, day, x,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY day) AS i,
+      |        count(*) OVER (PARTITION BY event_type) AS n,
+      |        sum(x) OVER (PARTITION BY event_type ORDER BY day) AS sk,
+      |        sum(x) OVER (PARTITION BY event_type) AS st
+      |      FROM dcl WHERE rn = 1),
+      |w AS (SELECT event_type, day, i, n, sk, st,
+      |        ((1000::HUGEINT * (sk::HUGEINT * sk * (n - i)
+      |            + (st - sk)::HUGEINT * (st - sk) * i))
+      |         // (i::HUGEINT * (n - i)))::HUGEINT AS w_milli,
+      |        ((1000::HUGEINT * st::HUGEINT * st) // n)::HUGEINT
+      |          AS w0_milli
+      |      FROM s WHERE i < n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY w_milli DESC, i) AS rk FROM w)
+      |SELECT event_type, day::VARCHAR AS split_day, i::BIGINT AS n_left,
+      |  (n - i)::BIGINT AS n_right,
+      |  (w_milli - w0_milli)::BIGINT AS gain_milli,
+      |  (sk // i)::BIGINT AS mean_left_cents,
+      |  ((st - sk) // (n - i))::BIGINT AS mean_right_cents
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val base = dailyCloses(s, d)
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sk", sum($"x").over(wOrd))
+      .withColumn("st", sum($"x").over(wAll))
+      .where($"i" < $"n")
+      .select($"event_type", $"day", $"i", $"n", $"sk", $"st",
+        expr("""(cast(1000 as decimal(38,0))
+          | * (cast(sk as decimal(38,0)) * sk * (n - i)
+          |    + cast(st - sk as decimal(38,0)) * (st - sk) * i))
+          | div (cast(i as decimal(38,0)) * (n - i))""".stripMargin)
+          .as("w_milli"),
+        expr("""(cast(1000 as decimal(38,0))
+          | * cast(st as decimal(38,0)) * st) div n""".stripMargin)
+          .as("w0_milli"))
+    val wRank = Window.partitionBy($"event_type")
+      .orderBy($"w_milli".desc, $"i")
+    base.withColumn("rk", row_number().over(wRank))
+      .where($"rk" === 1)
+      .select($"event_type", $"day".cast("string").as("split_day"),
+        $"i".as("n_left"), ($"n" - $"i").as("n_right"),
+        ($"w_milli" - $"w0_milli").cast("long").as("gain_milli"),
+        expr("sk div i").as("mean_left_cents"),
+        expr("(st - sk) div (n - i)").as("mean_right_cents"))
+      .orderBy($"event_type")
+  }
+
   /** Robust outlier census via MAD (median absolute deviation) — the
     * z-score's breakdown-proof sibling: one fat-finger 1e9 moves a
     * mean/σ band arbitrarily but moves the median-based band not at
@@ -2179,7 +2253,7 @@ object EventQueries {
     eventsTheilSen, eventsBootstrapCi,
     eventsForecastSkill, eventsBenfordCensus, eventsPsiDrift,
     eventsKsTest,
-    eventsChangepointCusum,
+    eventsChangepointCusum, eventsChangepointBinseg,
     eventsInterpolate, eventsCumulativeUniques, eventsRollingCorr,
     eventsInterarrival,
     pivotMapToRows, jsonPropsExtract, eventsTumblingWindow, eventsSessionize,
