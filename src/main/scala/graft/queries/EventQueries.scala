@@ -1634,7 +1634,7 @@ object EventQueries {
       |         sum(m::HUGEINT) AS sm, sum(m::HUGEINT * m::HUGEINT) AS sm2
       |       FROM rm GROUP BY event_type),
       |pt AS (SELECT event_type, count(*)::BIGINT AS n_events,
-      |         (1000 * sum(x)) // count(*) AS mean_milli
+      |         ((1000 * sum(x)) // count(*))::BIGINT AS mean_milli
       |       FROM c GROUP BY event_type)
       |SELECT p.event_type, p.n_events, p.mean_milli, b.boot_n,
       |  b.boot_lo_milli, b.boot_hi_milli,
