@@ -151,8 +151,10 @@ object Bench {
 
   /** Pure decision predicate for the startup-degraded shard HEAL —
     * restore the rotation slice iff the post-warm-up probe reads
-    * healthy (same 1.5x CPU / 5x mem thresholds as the startup test),
-    * there is something to restore, AND the budget arithmetic fits:
+    * healthy (same 1.5x CPU / 1.6x mem thresholds as the startup
+    * test — r19 lowered mem from 5x: the r18 session was ALU-flat
+    * with calibm at 2.0x and the old threshold never fired), there is
+    * something to restore, AND the budget arithmetic fits:
     * restored-entry warm pass (<= `healWarmSec`) + pre-sweep quiesce
     * and probe overhead (~60 s) + two predicted FULL-shard sweeps +
     * the inter-sweep gap (~30 s). `estSweepSec` is None when the
@@ -161,9 +163,31 @@ object Bench {
   private[graft] def healFits(reCpu: Double, reMem: Double,
       restoredCount: Int, estSweepSec: Option[Double],
       elapsedSec: Double, healWarmSec: Double, budgetSec: Double): Boolean =
-    reCpu <= 1.5 && reMem <= 5.0 && restoredCount > 0 &&
+    reCpu <= 1.5 && reMem <= 1.6 && restoredCount > 0 &&
       estSweepSec.exists(est =>
         elapsedSec + healWarmSec + 60.0 + 2 * est + 30.0 <= budgetSec)
+
+  /** Pure shrink for the post-warm budget fit (r19, verdict item 2):
+    * when two predicted sweeps of the warmed timed set no longer fit
+    * the remaining budget, drop entries — rotation slice first, then
+    * core — costliest first within each group, until the arithmetic
+    * fits (or a floor of `minKeep` entries is reached, below which the
+    * artifact stops being worth emitting and the budget overrun is
+    * the lesser evil). Entries with no baseline record (new this
+    * round) rank with core: they are the rows the round exists to
+    * measure. Returns the kept set in the original order. */
+  private[graft] def shrinkToBudget(timed: Seq[String],
+      isCore: String => Boolean, cost: String => Double,
+      fits: Seq[String] => Boolean, minKeep: Int = 20): Seq[String] = {
+    val dropOrder = timed.sortBy(n => (if (isCore(n)) 1 else 0, -cost(n)))
+    var kept = timed
+    val it = dropOrder.iterator
+    while (!fits(kept) && kept.size > minKeep && it.hasNext) {
+      val d = it.next()
+      kept = kept.filterNot(_ == d)
+    }
+    kept
+  }
 
   /** Pure post-hoc single-task attribution (r15 verdict item 4 →
     * r16 item 6): assign each recorded ≥ 3 s one-task stage event to
@@ -439,13 +463,23 @@ object Bench {
       if (!baselineConfigMatches) 1.0
       else baseKv.get("calibm_sec").filter(_ > 0)
         .map(calib0._3 / _).getOrElse(1.0)
-    val degradeFactor = math.max(degradeCpu, degradeMem / 3.33)
+    val degradeFactor = math.max(degradeCpu, degradeMem)
     // `degraded` is a DECISION, revisited once after warm-up (the heal
     // block below): the startup probe fires while the sbt/compile tail
     // is still settling, so it over-detects (r14: calib0 1.75x, both
     // sweeps then AT baseline — the rotation slice was dropped for
     // nothing, r14 verdict item 5).
-    var degraded = !benchAll && (degradeCpu > 1.5 || degradeMem > 5.0)
+    //
+    // r19: the mem threshold dropped 5.0 -> 1.6. The r18 final run's
+    // degradation mode was ALU-flat / bandwidth-2.0x — the old
+    // threshold never fired, the full 158-entry shard was attempted
+    // on a starved host, and the driver got a partial artifact with
+    // 140 cold timings. calibm is noisier than the LCG (hence wider
+    // than the 1.5x CPU bar) but the min-of-two-probes estimator
+    // absorbs one-off spikes; sustained 1.6x bandwidth means warmed
+    // entries will read ~1.2x+ anyway, so a core-only shard (plus the
+    // heal revisit when the window passes) is the right spend.
+    var degraded = !benchAll && (degradeCpu > 1.5 || degradeMem > 1.6)
     var shardHealed = false
     def inRotation(n: String): Boolean =
       math.floorMod(
@@ -477,6 +511,13 @@ object Bench {
     // ratio vs the baseline's probe; 1.0 (always healthy) when no
     // config-matched baseline exists to compare against
     def calNRatio(c: Double): Double = baseCalN.map(c / _).getOrElse(1.0)
+    def calMRatio(c: Double): Double = baseCalM.map(c / _).getOrElse(1.0)
+    // A probe triple reads degraded when EITHER the ALU probe (>1.5x)
+    // or the bandwidth probe (>1.6x) is off baseline (r19: the mem
+    // check is new — the r18 mode was ALU-flat/bandwidth-2x and every
+    // ALU-only health gate passed while sweeps measured starvation)
+    def probeDegraded(c: (Double, Double, Double)): Boolean =
+      calNRatio(c._2) > 1.5 || calMRatio(c._3) > 1.6
     def probeCal(): (Double, Double, Double) = {
       val a = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
       Thread.sleep(2000)
@@ -636,8 +677,15 @@ object Bench {
         if (heavyPrefixes.exists(n.startsWith)) 5.0 else 0.0)
     }
     var unwarmed = -1
-    // Concurrent warm pass over `entries` (8 threads, costliest first,
-    // hard deadline `budget`); returns the count left un-warmed. Used
+    // Entries the warm deadline left cold and that were therefore
+    // DROPPED from the timed set (r19): published so a reader can see
+    // what a shrunk artifact does not cover.
+    var warmDropped = 0
+    var budgetDropped = 0
+    // Concurrent warm pass over `entries` (8 threads, costliest first
+    // within each `priority` tier — LOWER tiers warm first, so when
+    // the deadline truncates, the un-warmed tail is the highest tier;
+    // hard deadline `budget`); returns the names left un-warmed. Used
     // by the main warm-up and by the shard-heal block's warm of the
     // restored rotation entries.
     //
@@ -650,10 +698,11 @@ object Bench {
     // different subsets; the one that missed dedup_cluster_cc paid
     // 55 s for it in sweep 1 and the sweep blew the budget).
     def warmConcurrent(entries: Seq[String], dir: String,
-        budget: Double): Int = {
+        budget: Double,
+        priority: String => Int = _ => 0): Seq[String] = {
       val w0 = System.nanoTime()
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      entries.sortBy(n => -costRank(n)).foreach(queue.add)
+      entries.sortBy(n => (priority(n), -costRank(n))).foreach(queue.add)
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
           // NO unpersist in here: warm-up entries run CONCURRENTLY, and
@@ -694,7 +743,7 @@ object Bench {
       }
       warmThreads.foreach(_.start())
       warmThreads.foreach(_.join())
-      queue.size
+      queue.iterator().asScala.toList
     }
     locally {
       val w0 = System.nanoTime()
@@ -740,15 +789,45 @@ object Bench {
             else known.toSeq.sorted.apply(known.size / 2)
           val baseSum = known.sum + (timedNames.size - known.size) * median
           if (covered && baseSum > 0) {
-            val sessionFactor = baseCalN.map(b =>
-              math.max(0.8, calib0._2 / b)).getOrElse(1.0)
+            // worst of the ALU and bandwidth probe drifts (r19): the
+            // r18 host was ALU-flat / bandwidth-2x, and a CPU-only
+            // factor under-reserved the sweeps by the same 2x
+            val sessionFactor = math.max(
+              baseCalN.map(b => math.max(0.8, calib0._2 / b)).getOrElse(1.0),
+              baseCalM.map(b => calib0._3 / b).getOrElse(1.0))
             val reserved =
               75.0 + 6.0 + 2 * 1.3 * sessionFactor * baseSum + 30.0 + 25.0
             math.max(100.0, math.min(240.0, budgetSec - elapsedSec - reserved))
           } else 100.0
         }
-      val skipped = warmConcurrent(timedNames, warmDir, warmBudget)
+      // Rotation entries warm LAST (r19): when the deadline truncates
+      // the pass, the cold tail must be the droppable tier — core and
+      // new-this-round entries are what the artifact exists to
+      // measure, the rotation slice just has its staleness bounded
+      // and can wait a round.
+      val rotationSet = rotationSlice.toSet
+      val skippedNames = warmConcurrent(timedNames, warmDir, warmBudget,
+        priority = n => if (rotationSet(n)) 1 else 0)
+      val skipped = skippedNames.size
       unwarmed = skipped
+      // Never time a cold entry (r19, verdict item 2b): the r18 run
+      // timed 140 cold entries on a starved host and the artifact
+      // measured JIT/IO warm-up, not plans. Entries the warm deadline
+      // skipped are dropped from the timed set — a complete warmed
+      // 60-entry artifact beats 158 cold timings (the r12 "core-only
+      // beats sharded" principle applied to warm-up). BENCH_ALL keeps
+      // the old behavior: re-record runs need full coverage and run
+      // under an operator-sized budget.
+      if (!benchAll && skipped > 0) {
+        val dropSet = skippedNames.toSet
+        timedNames = timedNames.filterNot(dropSet)
+        warmDropped = skipped
+        unwarmed = 0
+        System.err.println(s"[bench] $skipped un-warmed entries DROPPED " +
+          s"from the timed set (never time cold): " +
+          skippedNames.sorted.take(12).mkString(",") +
+          (if (skipped > 12) ",..." else ""))
+      }
       // Second warm pass over the costliest entries when the first
       // pass finished under budget: one warm execution is NOT enough
       // for the codec/kernel-heavy entries — r16's `multimodal_gif_
@@ -764,7 +843,7 @@ object Bench {
       var pass2Cut = 0
       if (skipped == 0 && warmRemain > 25.0) {
         val top = timedNames.sortBy(n => -costRank(n)).take(16)
-        pass2Cut = warmConcurrent(top, warmDir, warmRemain)
+        pass2Cut = warmConcurrent(top, warmDir, warmRemain).size
       }
       System.err.println(f"[bench] warm-up sweep ($warmDir, 8 threads, " +
         f"budget $warmBudget%.0f s) " +
@@ -843,12 +922,60 @@ object Bench {
         timedNames = full
         degraded = false
         shardHealed = true
-        unwarmed += warmConcurrent(restored, sfDir, healWarmBudget)
+        // restored entries the heal warm pass could not cover are
+        // dropped again, same never-time-cold rule as the main pass
+        val healSkipped = warmConcurrent(restored, sfDir, healWarmBudget)
+        if (healSkipped.nonEmpty) {
+          val dropSet = healSkipped.toSet
+          timedNames = timedNames.filterNot(dropSet)
+          warmDropped += healSkipped.size
+          System.err.println(s"[bench] heal warm pass left " +
+            s"${healSkipped.size} entries cold: dropped from timed set")
+        }
       } else {
         System.err.println(f"[bench] startup degradation stands (cal " +
           f"$reCpu%.2fx/$reMem%.2fx, restorable=${restored.size}, " +
           f"est_sweep=${estSweep.fold("n/a")(e => f"$e%.0f s")}, " +
           f"elapsed=$elapsedSec%.0f s): core-only shard kept")
+      }
+    }
+    // Post-warm budget fit (r19, verdict item 2b): even a fully-warmed
+    // timed set can blow the budget on a degraded host — warmed
+    // entries on the r18 bandwidth-starved box ran 1.2-2x their
+    // baseline, so two sweeps of 158 entries could not fit where the
+    // startup arithmetic (healthy-host costs) said they would. Predict
+    // the two sweeps from the baseline per-entry costs scaled by the
+    // WORST current probe drift (ALU and bandwidth — the r18 mode was
+    // ALU-flat/bandwidth-2x, invisible to a CPU-only factor) and, when
+    // they don't fit, drop entries rotation-first / costliest-first
+    // until they do. The artifact stays COMPLETE over what it times;
+    // "budget_dropped" records what it chose not to cover.
+    if (!benchAll && baselineConfigMatches) {
+      val fit = probeCal()
+      val fCpu = baseCalN.map(fit._2 / _).getOrElse(1.0)
+      val fMem = baseCalM.map(fit._3 / _).getOrElse(1.0)
+      val factor = math.max(0.8, math.max(fCpu, fMem))
+      val known = timedNames.filter(baseKv.contains)
+      if (known.size >= timedNames.size * 0.9 && known.nonEmpty) {
+        val costs = known.map(baseKv).sorted
+        val median = costs(costs.size / 2)
+        def cost(n: String): Double = baseKv.getOrElse(n, median)
+        // 45 s overhead: pre-sweep quiesce + both sweeps' pre/post
+        // probe pairs + the inter-sweep unpersist/gc/quiesce gap
+        def fits(set: Seq[String]): Boolean =
+          elapsedSec + 45.0 + 2 * 1.3 * factor * set.map(cost).sum <=
+            budgetSec
+        if (!fits(timedNames)) {
+          val rotationSet = rotationSlice.toSet
+          val kept = shrinkToBudget(timedNames,
+            isCore = n => !rotationSet(n), cost = cost, fits = fits)
+          budgetDropped = timedNames.size - kept.size
+          System.err.println(f"[bench] predicted 2-sweep cost exceeds " +
+            f"remaining budget (probe drift $factor%.2fx, elapsed " +
+            f"$elapsedSec%.0f/$budgetSec%.0f s): dropping $budgetDropped " +
+            f"entries (rotation-first) -> ${kept.size} timed")
+          timedNames = kept
+        }
       }
     }
     // JIT quiesce, ADAPTIVE (round-11): the concurrent warm-up
@@ -926,10 +1053,15 @@ object Bench {
       // must not veto the replacement sweep that exists to redo its
       // samples
       val lastGoodCal = sweepCals.zip(sweepHealthy)
-        .collect { case (c, true) => c._2 }.lastOption
-        .orElse(sweepCals.lastOption.map(_._2))
-      val sessionFactor = baseCalN.flatMap(b => lastGoodCal
-        .map(c => math.max(0.8, c / b))).getOrElse(1.0)
+        .collect { case (c, true) => c }.lastOption
+        .orElse(sweepCals.lastOption)
+      // worst of the ALU and bandwidth drifts (r19): a CPU-only factor
+      // under-predicted the r18 bandwidth-starved sweeps by ~2x
+      val sessionFactor = math.max(
+        baseCalN.flatMap(b => lastGoodCal.map(c => c._2 / b))
+          .getOrElse(1.0),
+        baseCalM.flatMap(b => lastGoodCal.map(c => c._3 / b))
+          .getOrElse(1.0)).max(0.8)
       if (covered && baseSum > 0) 1.3 * sessionFactor * baseSum
       else lastSweepSec * 1.2
     }
@@ -1005,12 +1137,13 @@ object Bench {
         // session degradation inflates both readings and is still
         // detected.
         var preCal = probeCal()
-        if (calNRatio(preCal._2) > 1.5) {
+        if (probeDegraded(preCal)) {
           // degraded RIGHT NOW: co-located-load windows last minutes —
           // wait one out once instead of spending ~90 s measuring
           // samples that would only be flagged
           System.err.println(f"[bench] pre-sweep calibration " +
-            f"${calNRatio(preCal._2)}%.2fx baseline: waiting 30 s " +
+            f"${calNRatio(preCal._2)}%.2fx cpu / " +
+            f"${calMRatio(preCal._3)}%.2fx mem baseline: waiting 30 s " +
             "for the window to pass")
           Thread.sleep(30000)
           preCal = probeCal()
@@ -1026,7 +1159,7 @@ object Bench {
             sweepLoop.break()
           }
         }
-        if (calNRatio(preCal._2) > 1.5 && healthySweeps > 0) {
+        if (probeDegraded(preCal) && healthySweeps > 0) {
           // still degraded with a healthy sweep already in hand: a
           // flagged sweep's samples would be excluded anyway — stop
           // instead of burning the budget on them. Reported under
@@ -1034,7 +1167,8 @@ object Bench {
           // there is no sweep_cals row to correlate with
           skippedSweeps += s
           System.err.println(f"[bench] sweep attempt $s skipped: " +
-            f"calibration ${calNRatio(preCal._2)}%.2fx baseline persists")
+            f"calibration ${calNRatio(preCal._2)}%.2fx cpu / " +
+            f"${calMRatio(preCal._3)}%.2fx mem baseline persists")
           sweepLoop.break()
         }
         sweepCals += preCal
@@ -1083,14 +1217,14 @@ object Bench {
         // A budget-partial sweep skips it (nothing left to protect).
         val postCal = if (partial) preCal else probeCal()
         sweepCalsPost += postCal
-        val healthy = math.max(calNRatio(preCal._2),
-          calNRatio(postCal._2)) <= 1.5
+        val healthy = !probeDegraded(preCal) && !probeDegraded(postCal)
         sweepHealthy += healthy
         if (!healthy) {
           degradedSweeps += s
           System.err.println(f"[bench] sweep $s DEGRADED (cal pre " +
-            f"${calNRatio(preCal._2)}%.2fx / post " +
-            f"${calNRatio(postCal._2)}%.2fx baseline): samples flagged")
+            f"${calNRatio(preCal._2)}%.2fx/${calMRatio(preCal._3)}%.2fx " +
+            f"/ post ${calNRatio(postCal._2)}%.2fx/" +
+            f"${calMRatio(postCal._3)}%.2fx baseline): samples flagged")
         } else if (!partial) healthySweeps += 1
         sweepSamples.foreach { case (n, v) =>
           samples(n) = (v, healthy) :: samples.getOrElse(n, Nil)
@@ -1188,9 +1322,21 @@ object Bench {
       }
     def ratio3(name: String, v: Option[Double]): String =
       v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
+    // The probe-drift factors calm divides out, published alongside it
+    // (r18 ADVICE): calm is DIAGNOSTIC — it attributes, it does not
+    // gate — and a reader must see how much was divided out to weigh
+    // it. Gate on raw/cal; read calm with drift_cpu/drift_mem beside.
+    val (driftCpu, driftMem): (Option[Double], Option[Double]) =
+      if (!baselineConfigMatches) (None, None)
+      else (baseKv.get("calibn_sec").filter(_ > 0)
+              .map(calibN / _).filter(_ > 0),
+            baseKv.get("calibm_sec").filter(_ > 0)
+              .map(calibM / _).filter(_ > 0))
     val extra = ratio3("vs_baseline", vsBaseline) +
       ratio3("vs_baseline_cal", vsBaselineCal) +
-      ratio3("vs_baseline_calm", vsBaselineCalm)
+      ratio3("vs_baseline_calm", vsBaselineCalm) +
+      ratio3("drift_cpu", driftCpu) +
+      ratio3("drift_mem", driftMem)
     // Per-entry outliers, pre-digested: entries reading >= 3x their
     // baseline AND >= 1 s absolute — the rows a cross-round reader
     // would otherwise have to dig out of the 130+-entry queries map
@@ -1237,6 +1383,8 @@ object Bench {
         s""""skipped_sweeps":${skippedSweeps.sorted.mkString("[", ",", "]")},""" +
         s""""sweep_cals_post":${calsJson(sweepCalsPost)},""" +
         s""""unwarmed":$unwarmed,""" +
+        s""""warm_dropped":$warmDropped,""" +
+        s""""budget_dropped":$budgetDropped,""" +
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
         s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +
         s""""rotation_timed":${rotationSlice.forall(samples.contains)},""" +

@@ -91,7 +91,11 @@ object StreamPsi {
         (series: String, rows: Iterator[ValueArrival],
             state: GroupState[PsiState]) =>
           val ref = refs.getOrElse(series, PsiRef(new Array[Long](Bins), 0L, 0L))
-          val counts = state.getOption.map(_.counts)
+          // clone: the state store may hand back a shared/cached
+          // object — mutating it in place before update() aliases
+          // store-held state (StreamBootstrap.add clones for the same
+          // reason)
+          val counts = state.getOption.map(_.counts.clone())
             .getOrElse(new Array[Long](Bins))
           rows.foreach(r => counts(bin(ref, r.cents)) += 1L)
           state.update(PsiState(counts))

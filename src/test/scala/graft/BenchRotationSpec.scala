@@ -107,15 +107,43 @@ class BenchRotationSpec extends AnyFunSuite {
     assert(Bench.healFits(1.0, 1.0, 44, Some(55.0), 150.0, 45.0, 470.0))
     // persistent degradation (r11's 1.8x): never heal, whatever fits
     assert(!Bench.healFits(1.8, 1.0, 44, Some(55.0), 150.0, 45.0, 470.0))
-    // bandwidth-starved mode the CPU probe is blind to
+    // bandwidth-starved mode the CPU probe is blind to — r19 lowered
+    // the mem threshold to 1.6x (the r18 host read 2.0x and the old
+    // 5x bar never fired)
     assert(!Bench.healFits(1.0, 6.0, 44, Some(55.0), 150.0, 45.0, 470.0))
+    assert(!Bench.healFits(1.0, 2.0, 44, Some(55.0), 150.0, 45.0, 470.0))
     // no credible predictor (baseline doesn't cover the shard): no heal
     assert(!Bench.healFits(1.0, 1.0, 44, None, 150.0, 45.0, 470.0))
     // nothing to restore: no-op
     assert(!Bench.healFits(1.0, 1.0, 0, Some(55.0), 150.0, 45.0, 470.0))
     // thin slack: 250 elapsed + 45 + 60 + 2*55 + 30 = 495 > 470
     assert(!Bench.healFits(1.0, 1.0, 44, Some(55.0), 250.0, 45.0, 470.0))
-    // boundary: exactly equal fits (<=)
-    assert(Bench.healFits(1.5, 5.0, 1, Some(55.0), 225.0, 45.0, 470.0))
+    // boundary: exactly equal fits (<=), both probes AT threshold
+    assert(Bench.healFits(1.5, 1.6, 1, Some(55.0), 225.0, 45.0, 470.0))
+  }
+
+  test("post-warm budget shrink: rotation entries drop first, " +
+      "costliest first, core survives") {
+    val timed = Seq("core_a", "core_b", "rot_x", "rot_y", "new_z")
+    val core = Set("core_a", "core_b", "new_z")
+    val cost = Map("core_a" -> 1.0, "core_b" -> 5.0, "rot_x" -> 4.0,
+      "rot_y" -> 2.0, "new_z" -> 3.0)
+    // capacity admits everything but the two rotation entries' cost:
+    // rot_x (costlier) must go first, then rot_y; core untouched
+    def fitsAt(cap: Double)(set: Seq[String]): Boolean =
+      set.map(cost).sum <= cap
+    assert(Bench.shrinkToBudget(timed, core, cost, fitsAt(11.0),
+      minKeep = 1) === Seq("core_a", "core_b", "rot_y", "new_z"))
+    assert(Bench.shrinkToBudget(timed, core, cost, fitsAt(9.0),
+      minKeep = 1) === Seq("core_a", "core_b", "new_z"))
+    // still not fitting after all rotation dropped: costliest core goes
+    assert(Bench.shrinkToBudget(timed, core, cost, fitsAt(4.0),
+      minKeep = 1) === Seq("core_a", "new_z"))
+    // already fits: untouched, original order preserved
+    assert(Bench.shrinkToBudget(timed, core, cost, fitsAt(100.0),
+      minKeep = 1) === timed)
+    // the floor stops the shrink even when nothing fits
+    assert(Bench.shrinkToBudget(timed, core, cost, fitsAt(0.0),
+      minKeep = 3).size === 3)
   }
 }
