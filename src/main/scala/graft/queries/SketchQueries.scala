@@ -509,7 +509,150 @@ object SketchQueries {
       .orderBy($"week")
   }
 
+  /** Mergeable fixed-lattice QUANTILE sketch per group — the census-
+    * layer sketch still missing beside HLL/KMV/CMS/AMS: exact
+    * `percentile` buffers every group value (the `agg_percentiles`
+    * scale caveat), Spark's `percentile_approx` is an engine-private
+    * KLL state with no cross-engine replay (`agg_approx_percentiles`
+    * is rows-only for exactly that reason) — this entry's state is a
+    * PORTABLE log-lattice histogram both engines compute
+    * bit-identically. Lattice (DDSketch-flavored, Masson et al. 2019,
+    * all-integer): cents v < 16 map to cell v (exact); otherwise with
+    * b = bitlength(v) − 1 the cell is 16·b + top-4-bits-after-MSB —
+    * a base-2^(1/16)-ish bucket whose LOWER BOUND
+    * (16 + cell mod 16)·2^(b−4) decodes the estimate, so the estimate
+    * under-reads by < 2⁻⁴ relative (6.25% worst case; err_ppm vs the
+    * exact arm reports the realized error, SketchQuantilesSpec pins
+    * the bound). Quantile = the smallest cell whose cumulative count
+    * reaches ceil(q·n) (pure integer ranks: (q_num·n + q_den − 1) div
+    * q_den), the same rank definition the exact arm evaluates over the
+    * raw cents census — so est vs exact differ only by lattice
+    * rounding, never by rank convention. state_cells / state_check
+    * (Σ cell·count) gate the full lattice, not just the three decoded
+    * quantiles.
+    *
+    * Scale shape: the state is ≤ 16·64 cells per group no matter the
+    * row count, and cell counts are plain SUMS — map-side-combined,
+    * mergeable across partitions/days/streams (the [[StreamQuantiles]]
+    * face shares this update rule verbatim). The exact arm (a
+    * value-census cumulative window) is the measurement, dropped at
+    * 100 TB; the sketch arm's only exchange is |groups|·|cells| rows. */
+  val sketchQuantiles: CatalogEntry = CatalogEntry(
+    "sketch_quantiles",
+    """WITH v0 AS (SELECT o_orderstatus AS st,
+      |              round(o_totalprice * 100)::BIGINT AS v FROM orders),
+      |iv AS (SELECT st, v,
+      |         CASE WHEN v < 16 THEN v
+      |           ELSE 16 * (length(format('{:b}', v)) - 1)
+      |             + ((v >> (length(format('{:b}', v)) - 5)) & 15)
+      |         END AS idx
+      |       FROM v0),
+      |lat AS (SELECT st, idx, count(*)::BIGINT AS cnt
+      |        FROM iv GROUP BY 1, 2),
+      |n AS (SELECT st, sum(cnt)::BIGINT AS n,
+      |        count(*)::BIGINT AS state_cells,
+      |        sum(idx * cnt)::BIGINT AS state_check
+      |      FROM lat GROUP BY st),
+      |cum AS (SELECT st, idx,
+      |          sum(cnt) OVER (PARTITION BY st ORDER BY idx) AS cum
+      |        FROM lat),
+      |qe AS (SELECT c.st,
+      |         min(CASE WHEN c.cum >= (n.n + 1) // 2
+      |             THEN c.idx END) AS i50,
+      |         min(CASE WHEN c.cum >= (9 * n.n + 9) // 10
+      |             THEN c.idx END) AS i90,
+      |         min(CASE WHEN c.cum >= (99 * n.n + 99) // 100
+      |             THEN c.idx END) AS i99
+      |       FROM cum c JOIN n ON n.st = c.st GROUP BY c.st),
+      |qd AS (SELECT st,
+      |         CASE WHEN i50 < 16 THEN i50
+      |           ELSE (16 + i50 % 16) << (i50 // 16 - 4)::INT END AS q50_est,
+      |         CASE WHEN i90 < 16 THEN i90
+      |           ELSE (16 + i90 % 16) << (i90 // 16 - 4)::INT END AS q90_est,
+      |         CASE WHEN i99 < 16 THEN i99
+      |           ELSE (16 + i99 % 16) << (i99 // 16 - 4)::INT END AS q99_est
+      |       FROM qe),
+      |ec AS (SELECT st, v, count(*)::BIGINT AS c FROM iv GROUP BY 1, 2),
+      |ecum AS (SELECT st, v,
+      |           sum(c) OVER (PARTITION BY st ORDER BY v) AS cum
+      |         FROM ec),
+      |qx AS (SELECT e.st,
+      |         min(CASE WHEN e.cum >= (n.n + 1) // 2
+      |             THEN e.v END) AS q50_exact,
+      |         min(CASE WHEN e.cum >= (9 * n.n + 9) // 10
+      |             THEN e.v END) AS q90_exact,
+      |         min(CASE WHEN e.cum >= (99 * n.n + 99) // 100
+      |             THEN e.v END) AS q99_exact
+      |       FROM ecum e JOIN n ON n.st = e.st GROUP BY e.st)
+      |SELECT n.st AS o_orderstatus, n.n, n.state_cells, n.state_check,
+      |  qd.q50_est::BIGINT AS q50_est, qx.q50_exact::BIGINT AS q50_exact,
+      |  ((1000000 * abs(qd.q50_est - qx.q50_exact)) // qx.q50_exact)
+      |    ::BIGINT AS q50_err_ppm,
+      |  qd.q90_est::BIGINT AS q90_est, qx.q90_exact::BIGINT AS q90_exact,
+      |  ((1000000 * abs(qd.q90_est - qx.q90_exact)) // qx.q90_exact)
+      |    ::BIGINT AS q90_err_ppm,
+      |  qd.q99_est::BIGINT AS q99_est, qx.q99_exact::BIGINT AS q99_exact,
+      |  ((1000000 * abs(qd.q99_est - qx.q99_exact)) // qx.q99_exact)
+      |    ::BIGINT AS q99_err_ppm
+      |FROM n JOIN qd ON qd.st = n.st JOIN qx ON qx.st = n.st
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val v0 = Tables.orders(s, d).select($"o_orderstatus".as("st"),
+      round($"o_totalprice" * 100).cast("long").as("v"))
+    val iv = v0.withColumn("idx", when($"v" < 16, $"v")
+      .otherwise(lit(16L) * (length(bin($"v")) - 1).cast("long") +
+        expr("shiftright(v, cast(length(bin(v)) - 5 as int)) % 16")))
+    // the lattice feeds THREE consumers (n, the cumulative scan, the
+    // final join): localCheckpoint it so the fact scan runs once for
+    // the sketch arm, not once per consumer (the multi-consumer
+    // recompute trap) — at |groups|·|cells| rows the checkpoint is
+    // metadata-sized
+    val lat = iv.groupBy($"st", $"idx").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val n = lat.groupBy($"st").agg(sum($"cnt").as("n"),
+      count(lit(1)).as("state_cells"),
+      sum($"idx" * $"cnt").as("state_check"))
+    val wcum = Window.partitionBy($"st").orderBy($"idx")
+    val qe = lat.withColumn("cum", sum($"cnt").over(wcum))
+      .join(n.select($"st", $"n"), "st")
+      .groupBy($"st").agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"idx")).as("i50"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"idx")).as("i90"),
+        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"idx"))
+          .as("i99"))
+    val qd = qe.select($"st",
+      expr("CASE WHEN i50 < 16 THEN i50 ELSE shiftleft(16 + i50 % 16," +
+        " cast(i50 div 16 - 4 as int)) END").as("q50_est"),
+      expr("CASE WHEN i90 < 16 THEN i90 ELSE shiftleft(16 + i90 % 16," +
+        " cast(i90 div 16 - 4 as int)) END").as("q90_est"),
+      expr("CASE WHEN i99 < 16 THEN i99 ELSE shiftleft(16 + i99 % 16," +
+        " cast(i99 div 16 - 4 as int)) END").as("q99_est"))
+    val wv = Window.partitionBy($"st").orderBy($"v")
+    val qx = iv.groupBy($"st", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wv))
+      .join(n.select($"st", $"n"), "st")
+      .groupBy($"st").agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("q50_exact"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"v"))
+          .as("q90_exact"),
+        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"v"))
+          .as("q99_exact"))
+    n.join(qd, "st").join(qx, "st")
+      .select($"st".as("o_orderstatus"), $"n", $"state_cells",
+        $"state_check",
+        $"q50_est", $"q50_exact",
+        expr("(1000000 * abs(q50_est - q50_exact)) div q50_exact")
+          .as("q50_err_ppm"),
+        $"q90_est", $"q90_exact",
+        expr("(1000000 * abs(q90_est - q90_exact)) div q90_exact")
+          .as("q90_err_ppm"),
+        $"q99_est", $"q99_exact",
+        expr("(1000000 * abs(q99_est - q99_exact)) div q99_exact")
+          .as("q99_err_ppm"))
+      .orderBy($"o_orderstatus")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     distinctHllPortable, distinctKmvSetops, sketchCmsBigram,
-    sketchAmsF2, distinctHllWindowUnion)
+    sketchAmsF2, distinctHllWindowUnion, sketchQuantiles)
 }

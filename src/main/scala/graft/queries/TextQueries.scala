@@ -2970,6 +2970,163 @@ object TextQueries {
       .orderBy(col("doc_id"), col("start_pos"))
   }
 
+  /** Cross-document duplicated-span STRIP — the transform half of
+    * [[dedupSubstringSuffix]] (Lee et al. 2022, arXiv:2107.06499
+    * §4.1 actually REMOVES the duplicated spans; the census entry only
+    * reports them) fused with [[docStripRepeatedSpans]]' surgery layer
+    * generalized to CROSS-doc runs. Semantics, exactly: a position p
+    * in doc d is DUPLICATED when its L = 50-char window content occurs
+    * ≥ 2 times corpus-wide; among all occurrences of one window
+    * content the canonical copy is the (min doc_id, min pos) one
+    * (keep-first-occurrence); every character covered by a
+    * NON-canonical duplicated position's window is removed. Removed
+    * windows merge into maximal char intervals (same-length windows
+    * sorted by start merge iff gap ≤ L — lag-based, no interval tree),
+    * and the doc re-assembles from the surviving segments. Emitted per
+    * doc: char count, interval count, chars removed, and the stripped
+    * text itself — the Lee et al. output corpus plus its
+    * bytes-removed census in one pass.
+    *
+    * Scale shape: inherits [[substringSuffixRuns]]' exchange diet —
+    * ONE `win_hash_x64` kernel call per doc, a narrow hash-count
+    * exchange, broadcast semi-join prefilter, string confirm on the
+    * candidate set only (collision-safe; canonicality is decided on
+    * the CONFIRMED string groups, so a 64-bit collision can neither
+    * remove nor keep the wrong copy). Interval merge + segment
+    * re-assembly are per-doc window + ONE row-local `aggregate` fold
+    * over the (tiny) merged-interval array — the full text shuffles
+    * exactly zero times: the interval table (duplicated-doc-sized)
+    * broadcasts back onto the scan. The oracle replays the literal
+    * formulation: all windows grouped by content, keep-first by the
+    * encoded (doc_id, pos) key, char-level coverage join, string_agg
+    * surgery. */
+  val dedupStripSpans: CatalogEntry = CatalogEntry(
+    "dedup_strip_spans",
+    """WITH docs0 AS (SELECT doc_id, text FROM documents
+      |               WHERE text IS NOT NULL AND length(text) > 0),
+      |dd AS (SELECT doc_id, text FROM docs0 WHERE length(text) >= 50),
+      |px AS (SELECT doc_id, text,
+      |         unnest(generate_series(1, length(text) - 49)) AS pos
+      |       FROM dd),
+      |w AS (SELECT doc_id, pos, substring(text, pos, 50) AS suf FROM px),
+      |f AS (SELECT suf, count(*) AS c,
+      |        min(doc_id * 100000000 + pos) AS first_key
+      |      FROM w GROUP BY suf),
+      |rm AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (suf)
+      |       WHERE f.c >= 2
+      |         AND w.doc_id * 100000000 + w.pos > f.first_key),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > coalesce(lag(pos) OVER (
+      |            PARTITION BY doc_id ORDER BY pos), -100) + 50
+      |        THEN 1 ELSE 0 END AS brk
+      |      FROM rm),
+      |g AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM b),
+      |runs AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 49 AS e
+      |         FROM g GROUP BY doc_id, grp),
+      |ch AS (SELECT doc_id, text,
+      |         unnest(generate_series(1, length(text))) AS i
+      |       FROM docs0),
+      |cv AS (SELECT ch.doc_id, ch.i, substring(ch.text, ch.i, 1) AS c,
+      |         CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS cov
+      |       FROM ch LEFT JOIN runs r
+      |         ON r.doc_id = ch.doc_id AND ch.i BETWEEN r.s AND r.e),
+      |agg AS (SELECT doc_id,
+      |          coalesce(string_agg(c, '' ORDER BY i) FILTER (cov = 0),
+      |                   '') AS clean_text,
+      |          sum(cov)::BIGINT AS n_removed
+      |        FROM cv GROUP BY doc_id),
+      |rn AS (SELECT doc_id, count(*)::BIGINT AS n_runs
+      |       FROM runs GROUP BY doc_id)
+      |SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+      |  coalesce(rn.n_runs, 0)::BIGINT AS n_runs,
+      |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+      |  a.clean_text
+      |FROM docs0 d JOIN agg a USING (doc_id)
+      |LEFT JOIN rn USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    stripCrossDocSpans(Tables.documents(s, d)
+      .select($"doc_id", $"text"), L = 50)
+  }
+
+  /** [[dedupStripSpans]]' operator over any (doc_id, text) frame —
+    * extracted so the spec can plant cross-doc duplicate fixtures.
+    * Output per doc (text non-null, non-empty): (doc_id, n_chars,
+    * n_runs, n_removed, clean_text), ordered by doc_id. */
+  private[queries] def stripCrossDocSpans(docs: DataFrame,
+      L: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs0 = docs
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text")
+    val dd = docs0.where(length($"text") >= L)
+    // ONE kernel call per doc emits every window hash; the window
+    // strings never shuffle (the r18 JIT + exchange-diet shape)
+    val wh = Tables.spreadScan(dd)
+      .select($"doc_id", posexplode(
+        call_function("win_hash_x64", $"text", lit(L)))
+        .as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+    val dupH = wh.groupBy($"h").agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"h")
+    val cand = wh.join(broadcast(dupH), Seq("h"), "left_semi")
+      .select($"doc_id", $"pos")
+    // exact confirm: only candidates re-materialize their window
+    // string; canonicality (keep-first) decided on the string groups.
+    // localCheckpoint: candS feeds TWO consumers (the group census and
+    // the non-canonical filter) — without it each consumer re-runs the
+    // kernel explode + prefilter chain (the multi-consumer recompute
+    // trap); the checkpoint is candidate-sized, never corpus-sized
+    val candS = cand.join(dd, Seq("doc_id"))
+      .select($"doc_id", $"pos",
+        expr(s"substring(text, cast(pos as int), $L)").as("suf"))
+      .localCheckpoint()
+    val sufInfo = candS.groupBy($"suf").agg(count(lit(1)).as("c"),
+      min($"doc_id" * 100000000L + $"pos").as("first_key"))
+      .where($"c" >= 2)
+    val rm = candS.join(broadcast(sufInfo), Seq("suf"))
+      .where($"doc_id" * 100000000L + $"pos" > $"first_key")
+      .select($"doc_id", $"pos")
+    // same-length windows sorted by start merge iff gap <= L: the
+    // lag rule IS the interval merge (coverage [pos, pos+L-1])
+    val wdoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = rm
+      .withColumn("brk",
+        when($"pos" > coalesce(lag($"pos", 1).over(wdoc), lit(-100L)) + L,
+          1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("int").as("s"),
+        (max($"pos") + L - 1).cast("int").as("e"))
+    val runArr = runs.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("runs"),
+        count(lit(1)).as("n_runs"),
+        sum($"e" - $"s" + 1).cast("long").as("n_removed"))
+    // interval table is duplicated-doc-sized: broadcast onto the scan
+    // so the full text never shuffles (at 100 TB, a bucketed-by-doc_id
+    // layout keeps the same join shuffle-free if it outgrows
+    // broadcast)
+    docs0.join(broadcast(runArr), Seq("doc_id"), "left")
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        coalesce($"n_runs", lit(0L)).as("n_runs"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        expr(
+          """aggregate(coalesce(runs, array()),
+            |  named_struct('p', 1, 'acc', ''),
+            |  (st, r) -> named_struct('p', r.e + 1,
+            |    'acc', concat(st.acc, substring(text, st.p, r.s - st.p))),
+            |  st -> concat(st.acc,
+            |    substring(text, st.p, length(text) - st.p + 1)))"""
+            .stripMargin).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-(source, log2-token-count) histogram — the sequence-length
     * profile a packing/batching stage reads before choosing context
     * lengths. The bucket is the BIT LENGTH of the token count
@@ -4923,7 +5080,7 @@ object TextQueries {
     dedupOphVsKhash, docLmExcessRank,
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
-    decontamSubstringExact, dedupSubstringSuffix,
+    decontamSubstringExact, dedupSubstringSuffix, dedupStripSpans,
     tokenLengthHistogram, dedupPriorityKeep,
     dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
     tfidfPerDocTopk,
