@@ -652,7 +652,149 @@ object SketchQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Quantile-lattice UNION across time windows — [[sketchQuantiles]]'
+    * analogue of [[distinctHllWindowUnion]], and the property that
+    * makes the lattice the 100 TB quantile state: exact `percentile`
+    * states DO NOT MERGE (two sorted buffers re-sort), but lattice
+    * cells merge by plain cell-wise SUM — and unlike HLL's max-merge
+    * estimate, the merged lattice is EXACTLY the lattice a one-shot
+    * weekly pass would build, so range-quantile queries (any day span)
+    * answer from pre-aggregated per-DAY states with no second pass
+    * over raw events and no union-order error term. Weekly q50/q90/q99
+    * decode from the summed cells beside the exact weekly
+    * rank-quantiles; err stays the lattice's own < 2⁻⁴ bound
+    * regardless of how many day-states merged. Day/week ids are pure
+    * integer epoch arithmetic (the seasonality-dow lesson).
+    *
+    * Scale shape: ONE (day, cell) partial agg over events, then
+    * everything downstream is lattice metadata (≤ ~640 cells/day);
+    * the exact arm is the measurement, dropped at 100 TB. */
+  val sketchQuantilesWindowUnion: CatalogEntry = CatalogEntry(
+    "sketch_quantiles_window_union",
+    """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+      |             round(value * 100)::BIGINT AS v FROM events),
+      |iv AS (SELECT day, v,
+      |         CASE WHEN v < 16 THEN v
+      |           ELSE 16 * (length(format('{:b}', v)) - 1)
+      |             + ((v >> (length(format('{:b}', v)) - 5)) & 15)
+      |         END AS idx
+      |       FROM e),
+      |dlat AS (SELECT day, idx, count(*)::BIGINT AS cnt
+      |         FROM iv GROUP BY 1, 2),
+      |wlat AS (SELECT day // 7 AS week, idx, sum(cnt)::BIGINT AS cnt
+      |         FROM dlat GROUP BY 1, 2),
+      |n AS (SELECT week, sum(cnt)::BIGINT AS n,
+      |        count(*)::BIGINT AS state_cells,
+      |        sum(idx * cnt)::BIGINT AS state_check
+      |      FROM wlat GROUP BY week),
+      |nd AS (SELECT day // 7 AS week,
+      |         count(DISTINCT day)::BIGINT AS n_days FROM e GROUP BY 1),
+      |cum AS (SELECT week, idx,
+      |          sum(cnt) OVER (PARTITION BY week ORDER BY idx) AS cum
+      |        FROM wlat),
+      |qe AS (SELECT c.week,
+      |         min(CASE WHEN c.cum >= (n.n + 1) // 2
+      |             THEN c.idx END) AS i50,
+      |         min(CASE WHEN c.cum >= (9 * n.n + 9) // 10
+      |             THEN c.idx END) AS i90,
+      |         min(CASE WHEN c.cum >= (99 * n.n + 99) // 100
+      |             THEN c.idx END) AS i99
+      |       FROM cum c JOIN n ON n.week = c.week GROUP BY c.week),
+      |qd AS (SELECT week,
+      |         CASE WHEN i50 < 16 THEN i50
+      |           ELSE (16 + i50 % 16) << (i50 // 16 - 4)::INT END AS q50_est,
+      |         CASE WHEN i90 < 16 THEN i90
+      |           ELSE (16 + i90 % 16) << (i90 // 16 - 4)::INT END AS q90_est,
+      |         CASE WHEN i99 < 16 THEN i99
+      |           ELSE (16 + i99 % 16) << (i99 // 16 - 4)::INT END AS q99_est
+      |       FROM qe),
+      |ec AS (SELECT day // 7 AS week, v, count(*)::BIGINT AS c
+      |       FROM iv GROUP BY 1, 2),
+      |ecum AS (SELECT week, v,
+      |           sum(c) OVER (PARTITION BY week ORDER BY v) AS cum
+      |         FROM ec),
+      |qx AS (SELECT e.week,
+      |         min(CASE WHEN e.cum >= (n.n + 1) // 2
+      |             THEN e.v END) AS q50_exact,
+      |         min(CASE WHEN e.cum >= (9 * n.n + 9) // 10
+      |             THEN e.v END) AS q90_exact,
+      |         min(CASE WHEN e.cum >= (99 * n.n + 99) // 100
+      |             THEN e.v END) AS q99_exact
+      |       FROM ecum e JOIN n ON n.week = e.week GROUP BY e.week)
+      |SELECT n.week, nd.n_days, n.n, n.state_cells, n.state_check,
+      |  qd.q50_est::BIGINT AS q50_est, qx.q50_exact::BIGINT AS q50_exact,
+      |  ((1000000 * abs(qd.q50_est - qx.q50_exact)) // qx.q50_exact)
+      |    ::BIGINT AS q50_err_ppm,
+      |  qd.q90_est::BIGINT AS q90_est, qx.q90_exact::BIGINT AS q90_exact,
+      |  ((1000000 * abs(qd.q90_est - qx.q90_exact)) // qx.q90_exact)
+      |    ::BIGINT AS q90_err_ppm,
+      |  qd.q99_est::BIGINT AS q99_est, qx.q99_exact::BIGINT AS q99_exact,
+      |  ((1000000 * abs(qd.q99_est - qx.q99_exact)) // qx.q99_exact)
+      |    ::BIGINT AS q99_err_ppm
+      |FROM n JOIN nd ON nd.week = n.week
+      |JOIN qd ON qd.week = n.week JOIN qx ON qx.week = n.week
+      |ORDER BY n.week""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        round($"value" * 100).cast("long").as("v"))
+    val iv = e.withColumn("idx", when($"v" < 16, $"v")
+      .otherwise(lit(16L) * (length(bin($"v")) - 1).cast("long") +
+        expr("shiftright(v, cast(length(bin(v)) - 5 as int)) % 16")))
+    // the per-DAY states a production layer would persist; weekly =
+    // cell-wise SUM of the day states, never a second raw pass
+    val dlat = iv.groupBy($"day", $"idx").agg(count(lit(1)).as("cnt"))
+    val wlat = dlat
+      .groupBy(expr("day div 7").as("week"), $"idx")
+      .agg(sum($"cnt").as("cnt"))
+      .localCheckpoint() // three consumers; lattice is metadata-sized
+    val n = wlat.groupBy($"week").agg(sum($"cnt").as("n"),
+      count(lit(1)).as("state_cells"),
+      sum($"idx" * $"cnt").as("state_check"))
+    val nd = e.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct($"day").as("n_days"))
+    val wcum = Window.partitionBy($"week").orderBy($"idx")
+    val qe = wlat.withColumn("cum", sum($"cnt").over(wcum))
+      .join(n.select($"week", $"n"), "week")
+      .groupBy($"week").agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"idx")).as("i50"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"idx")).as("i90"),
+        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"idx"))
+          .as("i99"))
+    val qd = qe.select($"week",
+      expr("CASE WHEN i50 < 16 THEN i50 ELSE shiftleft(16 + i50 % 16," +
+        " cast(i50 div 16 - 4 as int)) END").as("q50_est"),
+      expr("CASE WHEN i90 < 16 THEN i90 ELSE shiftleft(16 + i90 % 16," +
+        " cast(i90 div 16 - 4 as int)) END").as("q90_est"),
+      expr("CASE WHEN i99 < 16 THEN i99 ELSE shiftleft(16 + i99 % 16," +
+        " cast(i99 div 16 - 4 as int)) END").as("q99_est"))
+    val wv = Window.partitionBy($"week").orderBy($"v")
+    val qx = iv.groupBy(expr("day div 7").as("week"), $"v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wv))
+      .join(n.select($"week", $"n"), "week")
+      .groupBy($"week").agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("q50_exact"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"v"))
+          .as("q90_exact"),
+        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"v"))
+          .as("q99_exact"))
+    n.join(nd, "week").join(qd, "week").join(qx, "week")
+      .select($"week", $"n_days", $"n", $"state_cells", $"state_check",
+        $"q50_est", $"q50_exact",
+        expr("(1000000 * abs(q50_est - q50_exact)) div q50_exact")
+          .as("q50_err_ppm"),
+        $"q90_est", $"q90_exact",
+        expr("(1000000 * abs(q90_est - q90_exact)) div q90_exact")
+          .as("q90_err_ppm"),
+        $"q99_est", $"q99_exact",
+        expr("(1000000 * abs(q99_est - q99_exact)) div q99_exact")
+          .as("q99_err_ppm"))
+      .orderBy($"week")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     distinctHllPortable, distinctKmvSetops, sketchCmsBigram,
-    sketchAmsF2, distinctHllWindowUnion, sketchQuantiles)
+    sketchAmsF2, distinctHllWindowUnion, sketchQuantiles,
+    sketchQuantilesWindowUnion)
 }

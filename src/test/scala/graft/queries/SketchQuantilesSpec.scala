@@ -35,4 +35,21 @@ class SketchQuantilesSpec extends SparkTestBase {
       assert(q50e <= q90e && q90e <= q99e, s"$st est order")
     }
   }
+
+  test("window union: weekly quantiles from SUMMED day states keep the " +
+      "lattice bound — merging adds no error term") {
+    val rows = SketchQueries.sketchQuantilesWindowUnion.query(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (week, nDays, n, cells) = (r._1, r._2, r._3, r._4)
+      assert(nDays >= 1 && n > 0 && cells <= 16 * 64, s"week $week")
+      Seq((r._6, r._7, r._8), (r._9, r._10, r._11), (r._12, r._13, r._14))
+        .foreach { case (est, exact, ppm) =>
+          assert(est <= exact && ppm <= 62500,
+            s"week $week: merged-state decode must keep the 2^-4 bound")
+        }
+    }
+  }
 }
