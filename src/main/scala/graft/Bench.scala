@@ -711,9 +711,15 @@ object Bench {
           // (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Blocks
           // accumulated by the warm-up are dropped wholesale by the
           // post-warm-up session restart.
-          var n = queue.poll()
-          while (n != null &&
-              (System.nanoTime() - w0) / 1e9 < budget) {
+          // budget check BEFORE poll: polling first and then testing
+          // the budget let a thread exit holding an entry that was
+          // neither run nor re-queued — absent from the returned
+          // skipped list yet cold, up to 8 entries (one per thread)
+          // silently leaking past the never-time-cold drop
+          var n: String =
+            if ((System.nanoTime() - w0) / 1e9 < budget) queue.poll()
+            else null
+          while (n != null) {
             // Per-entry deadline = REMAINING warm budget (+30 s
             // grace, floor 40 s). A short FLAT deadline was tried
             // (45 s) and made the bench worse — it cancelled the
@@ -737,7 +743,8 @@ object Bench {
             System.err.println(f"[bench] warm $n " +
               f"${(System.nanoTime() - e0) / 1e9}%.1f s (pass " +
               f"${(System.nanoTime() - w0) / 1e9}%.1f/$budget%.0f s)")
-            n = queue.poll()
+            n = if ((System.nanoTime() - w0) / 1e9 < budget) queue.poll()
+                else null
           }
         })
       }
@@ -894,7 +901,7 @@ object Bench {
     // revisited exactly ONCE, here — after warm-up + restart + settle,
     // the last untimed point before sweep 1 — and the slice is
     // restored when (a) the host now probes healthy (same 1.5x CPU /
-    // 5x mem thresholds as the startup test) and (b) the budget
+    // 1.6x mem thresholds as the startup test, r19) and (b) the budget
     // arithmetic fits: restored-entry warm pass + quiesce/probe
     // overhead + two predicted FULL-shard sweeps + inter-sweep gap.
     // Restored entries get a short concurrent warm so they don't enter
@@ -910,7 +917,10 @@ object Bench {
         full.count(baseKv.contains) >= full.size * 0.9
       val estSweep =
         if (covered && baseSumFull > 0)
-          Some(1.3 * math.max(0.8, reCpu) * baseSumFull)
+          // worst of the two drifts, like every other sweep predictor
+          // (a reMem=1.55 host under both heal thresholds would
+          // otherwise under-predict the restored sweeps ~1.55x)
+          Some(1.3 * math.max(0.8, math.max(reCpu, reMem)) * baseSumFull)
         else None // no credible predictor -> no heal (conservative)
       val healWarmBudget = 45.0
       if (healFits(reCpu, reMem, restored.size, estSweep, elapsedSec,

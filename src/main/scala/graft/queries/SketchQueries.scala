@@ -509,6 +509,27 @@ object SketchQueries {
       .orderBy($"week")
   }
 
+  // ---- shared quantile-lattice arithmetic (single source for the
+  // sketch_quantiles family's Spark arms; the oracles and
+  // streaming/StreamQuantiles RESTATE it — a lattice change must land
+  // in all three places together or the bit-for-bit specs fail) ----
+
+  /** Lattice cell of the positive BIGINT column named `v`: < 16 exact,
+    * else 16·(bitlength−1) + top-4-bits-after-MSB. */
+  private def latIdx(v: String) = expr(
+    s"CASE WHEN $v < 16 THEN $v" +
+      s" ELSE 16 * cast(length(bin($v)) - 1 as bigint)" +
+      s" + shiftright($v, cast(length(bin($v)) - 5 as int)) % 16 END")
+
+  /** Lower-bound decode of the lattice cell column named `i`. */
+  private def latDecode(i: String) = expr(
+    s"CASE WHEN $i < 16 THEN $i ELSE shiftleft(16 + $i % 16," +
+      s" cast($i div 16 - 4 as int)) END")
+
+  /** ceil(num·n / den) as an integer rank, over the column named `n`. */
+  private def ceilRank(num: Int, den: Int) =
+    expr(s"($num * n + ${den - 1}) div $den")
+
   /** Mergeable fixed-lattice QUANTILE sketch per group — the census-
     * layer sketch still missing beside HLL/KMV/CMS/AMS: exact
     * `percentile` buffers every group value (the `agg_percentiles`
@@ -599,9 +620,7 @@ object SketchQueries {
     import s.implicits._
     val v0 = Tables.orders(s, d).select($"o_orderstatus".as("st"),
       round($"o_totalprice" * 100).cast("long").as("v"))
-    val iv = v0.withColumn("idx", when($"v" < 16, $"v")
-      .otherwise(lit(16L) * (length(bin($"v")) - 1).cast("long") +
-        expr("shiftright(v, cast(length(bin(v)) - 5 as int)) % 16")))
+    val iv = v0.withColumn("idx", latIdx("v"))
     // the lattice feeds THREE consumers (n, the cumulative scan, the
     // final join): localCheckpoint it so the fact scan runs once for
     // the sketch arm, not once per consumer (the multi-consumer
@@ -616,27 +635,21 @@ object SketchQueries {
     val qe = lat.withColumn("cum", sum($"cnt").over(wcum))
       .join(n.select($"st", $"n"), "st")
       .groupBy($"st").agg(
-        min(when($"cum" >= expr("(n + 1) div 2"), $"idx")).as("i50"),
-        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"idx")).as("i90"),
-        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"idx"))
-          .as("i99"))
+        min(when($"cum" >= ceilRank(1, 2), $"idx")).as("i50"),
+        min(when($"cum" >= ceilRank(9, 10), $"idx")).as("i90"),
+        min(when($"cum" >= ceilRank(99, 100), $"idx")).as("i99"))
     val qd = qe.select($"st",
-      expr("CASE WHEN i50 < 16 THEN i50 ELSE shiftleft(16 + i50 % 16," +
-        " cast(i50 div 16 - 4 as int)) END").as("q50_est"),
-      expr("CASE WHEN i90 < 16 THEN i90 ELSE shiftleft(16 + i90 % 16," +
-        " cast(i90 div 16 - 4 as int)) END").as("q90_est"),
-      expr("CASE WHEN i99 < 16 THEN i99 ELSE shiftleft(16 + i99 % 16," +
-        " cast(i99 div 16 - 4 as int)) END").as("q99_est"))
+      latDecode("i50").as("q50_est"),
+      latDecode("i90").as("q90_est"),
+      latDecode("i99").as("q99_est"))
     val wv = Window.partitionBy($"st").orderBy($"v")
     val qx = iv.groupBy($"st", $"v").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum($"c").over(wv))
       .join(n.select($"st", $"n"), "st")
       .groupBy($"st").agg(
-        min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("q50_exact"),
-        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"v"))
-          .as("q90_exact"),
-        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"v"))
-          .as("q99_exact"))
+        min(when($"cum" >= ceilRank(1, 2), $"v")).as("q50_exact"),
+        min(when($"cum" >= ceilRank(9, 10), $"v")).as("q90_exact"),
+        min(when($"cum" >= ceilRank(99, 100), $"v")).as("q99_exact"))
     n.join(qd, "st").join(qx, "st")
       .select($"st".as("o_orderstatus"), $"n", $"state_cells",
         $"state_check",
@@ -738,9 +751,7 @@ object SketchQueries {
     val e = Tables.events(s, d)
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         round($"value" * 100).cast("long").as("v"))
-    val iv = e.withColumn("idx", when($"v" < 16, $"v")
-      .otherwise(lit(16L) * (length(bin($"v")) - 1).cast("long") +
-        expr("shiftright(v, cast(length(bin(v)) - 5 as int)) % 16")))
+    val iv = e.withColumn("idx", latIdx("v"))
     // the per-DAY states a production layer would persist; weekly =
     // cell-wise SUM of the day states, never a second raw pass
     val dlat = iv.groupBy($"day", $"idx").agg(count(lit(1)).as("cnt"))
@@ -757,28 +768,22 @@ object SketchQueries {
     val qe = wlat.withColumn("cum", sum($"cnt").over(wcum))
       .join(n.select($"week", $"n"), "week")
       .groupBy($"week").agg(
-        min(when($"cum" >= expr("(n + 1) div 2"), $"idx")).as("i50"),
-        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"idx")).as("i90"),
-        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"idx"))
-          .as("i99"))
+        min(when($"cum" >= ceilRank(1, 2), $"idx")).as("i50"),
+        min(when($"cum" >= ceilRank(9, 10), $"idx")).as("i90"),
+        min(when($"cum" >= ceilRank(99, 100), $"idx")).as("i99"))
     val qd = qe.select($"week",
-      expr("CASE WHEN i50 < 16 THEN i50 ELSE shiftleft(16 + i50 % 16," +
-        " cast(i50 div 16 - 4 as int)) END").as("q50_est"),
-      expr("CASE WHEN i90 < 16 THEN i90 ELSE shiftleft(16 + i90 % 16," +
-        " cast(i90 div 16 - 4 as int)) END").as("q90_est"),
-      expr("CASE WHEN i99 < 16 THEN i99 ELSE shiftleft(16 + i99 % 16," +
-        " cast(i99 div 16 - 4 as int)) END").as("q99_est"))
+      latDecode("i50").as("q50_est"),
+      latDecode("i90").as("q90_est"),
+      latDecode("i99").as("q99_est"))
     val wv = Window.partitionBy($"week").orderBy($"v")
     val qx = iv.groupBy(expr("day div 7").as("week"), $"v")
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum($"c").over(wv))
       .join(n.select($"week", $"n"), "week")
       .groupBy($"week").agg(
-        min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("q50_exact"),
-        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"v"))
-          .as("q90_exact"),
-        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"v"))
-          .as("q99_exact"))
+        min(when($"cum" >= ceilRank(1, 2), $"v")).as("q50_exact"),
+        min(when($"cum" >= ceilRank(9, 10), $"v")).as("q90_exact"),
+        min(when($"cum" >= ceilRank(99, 100), $"v")).as("q99_exact"))
     n.join(nd, "week").join(qd, "week").join(qx, "week")
       .select($"week", $"n_days", $"n", $"state_cells", $"state_check",
         $"q50_est", $"q50_exact",
