@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -939,11 +939,92 @@ object AggQueries {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
   }
 
+  /** SPEARMAN rank correlation between two measures per group — the
+    * rank-based association the stats family lacked beside Pearson
+    * (`agg_regr_fit`, `stats_corr_matrix`) and the within-series
+    * Mann-Kendall trend test: monotone-but-nonlinear relations (price
+    * vs quantity) read near ±1 here while Pearson under-reads them,
+    * and ranks are outlier-immune. Exact-integer discipline: ranks
+    * are VALUE-DETERMINED, never row-identity-determined — rx = rank
+    * under lexicographic (x, y) plus the row's index j within its
+    * exact-duplicate (x, y) block, ry symmetric under (y, x) with the
+    * SAME j — so x-ties break by y (and vice versa) and fully
+    * identical rows pair ALIGNED (their d is block-constant),
+    * eliminating the cross-engine ambiguity a physical tie-break
+    * column cannot (this fixture contains byte-identical duplicate
+    * rows; row_number over any column list splits them arbitrarily
+    * per engine). rx/ry are then exact permutations of 1..n, the
+    * classic 1 − 6·Σd²/(n³−n) formula applies, and both engines
+    * compute the identical BIGINT lattice (ppm via one
+    * DECIMAL(38,0)/HUGEINT division; Σd² alone can reach n³/3).
+    * Degenerate n ≤ 1 groups emit NULL rather than divide by zero.
+    *
+    * Scale shape: two per-group rank windows (the exact method's
+    * inherent sorts — each one exchange on the group key) + ONE
+    * partial-agg exchange to |groups| rows. At 100 TB the exact ranks
+    * give way to bucketed ranks from the `sketch_quantiles` lattice
+    * (rank ≈ cumulative cell count), same downstream algebra. */
+  val statsSpearmanRank: CatalogEntry = CatalogEntry(
+    "stats_spearman_rank",
+    """WITH li AS (SELECT l_returnflag AS g,
+      |              round(l_quantity * 100)::BIGINT AS x,
+      |              round(l_extendedprice * 100)::BIGINT AS y
+      |            FROM lineitem),
+      |jj AS (SELECT g, x, y,
+      |         row_number() OVER (PARTITION BY g, x, y ORDER BY x)
+      |           AS j
+      |       FROM li),
+      |r AS (SELECT g,
+      |        rank() OVER (PARTITION BY g ORDER BY x, y) + j - 1 AS rx,
+      |        rank() OVER (PARTITION BY g ORDER BY y, x) + j - 1 AS ry
+      |      FROM jj),
+      |a AS (SELECT g, count(*)::BIGINT AS n,
+      |        sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+      |      FROM r GROUP BY g)
+      |SELECT g AS l_returnflag, n, sum_d2,
+      |  CASE WHEN n > 1 THEN
+      |    (1000000 - (6000000::HUGEINT * sum_d2)
+      |       // (n::HUGEINT * n * n - n))::BIGINT END AS rho_ppm
+      |FROM a ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    spearmanByGroup(Tables.lineitem(s, d).select($"l_returnflag".as("g"),
+      round($"l_quantity" * 100).cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y")))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
+  /** [[statsSpearmanRank]]'s operator over any (g, x, y) frame —
+    * extracted so the spec can plant monotone / anti-monotone
+    * fixtures. Ranks are value-determined: rank under lexicographic
+    * (x, y) (resp. (y, x)) plus the within-(x, y)-block index j,
+    * shared by both ranks so identical rows pair aligned; output
+    * (g, n, sum_d2, rho_ppm) ordered by g. */
+  private[queries] def spearmanByGroup(li: DataFrame): DataFrame = {
+    val wj = Window.partitionBy(col("g"), col("x"), col("y"))
+      .orderBy(col("x")) // constant within the block: j is 1..m
+    val wx = Window.partitionBy(col("g")).orderBy(col("x"), col("y"))
+    val wy = Window.partitionBy(col("g")).orderBy(col("y"), col("x"))
+    li
+      .withColumn("j", row_number().over(wj).cast("long"))
+      .withColumn("rx", rank().over(wx).cast("long") + col("j") - 1)
+      .withColumn("ry", rank().over(wy).cast("long") + col("j") - 1)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .as("sum_d2"))
+      .select(col("g"), col("n"), col("sum_d2"),
+        when(col("n") > 1, expr(
+          "cast(1000000 - cast(6000000 as decimal(38,0)) * sum_d2" +
+            " div (cast(n as decimal(38,0)) * n * n - n) as bigint)"))
+          .as("rho_ppm"))
+      .orderBy(col("g"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
     q14Promo, q19Disjunct, weightedMedian, giniConcentration,
     q13OrderDist, q17SmallQty, q15TopSupplier, q4OrderPriority,
     q8MarketShare, q12PriorityCensus, supplierValueShare,
-    q9ProductProfit, q16SupplierCensus)
+    q9ProductProfit, q16SupplierCensus, statsSpearmanRank)
 }
