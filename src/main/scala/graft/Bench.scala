@@ -89,6 +89,22 @@ import org.apache.spark.sql.SparkSession
   *     "single_task" — the r10/r11 class of scale defect (AQE or a
   *     1-file input collapsing a hot stage onto one core) becomes a
   *     machine-checkable artifact field instead of a log forensic;
+  *   - STALL-MODE exclusion from vs_baseline (round-20, r19 verdict
+  *     item 1b): deadlined samples and entries whose every timed
+  *     window showed run ≫ cpu at an anomalous reading are listed
+  *     under "stall_excluded" and filtered out of the published
+  *     ratio — r19's artifact of record put four 47-120 s stall
+  *     samples into vs_baseline (21.756) while its own drift probes
+  *     read 1.05/1.29; a ratio built on samples that measure the
+  *     host's block-manager stalls is disinformation. Their raw
+  *     numbers stay in "queries" — the exclusion is from the ratio,
+  *     never from the record;
+  *   - mid-warm stall abort + observed-cost fit (round-20, item 1a):
+  *     the warm pass aborts when 6 consecutive warms read ≥ 10× their
+  *     baseline (the probes are blind to this mode), and the post-warm
+  *     fit-shrink prices each entry at the worse of probe-scaled
+  *     baseline and observed-warm/3 — a stall window now shrinks the
+  *     timed set instead of silently eating the sweeps' budget;
   *   - emit the JSON line on stdout AND to bench_out.json, because the
   *     stdout line drowns in sbt log noise ("parsed": null in r01);
   *   - split the total into production vs verification subtotals: the
@@ -206,6 +222,32 @@ object Bench {
       windows.collectFirst { case (n, a, b) if midMs >= a && midMs <= b => n }
     }.toSet
 
+  /** Pure per-entry STALL-MODE attribution (r19 verdict item 1b): an
+    * entry is in stall mode when EVERY one of its timed windows shows
+    * the substrate-stall signature — the ≥ 2 s stages inside the
+    * window total ≥ `minRunSec` of executor wall-time at ≥ `factor`×
+    * their executor CPU-time. That is the shape the r19 CC attribution
+    * pinned (stage run 134.6 s, cpu 8.9 s, 32 tasks, ALU probes flat):
+    * task threads parked on block-manager / IO waits, measuring the
+    * host's stall window, not the plan. "EVERY window" is the
+    * conservative arm: with ≥ 2 sweeps the published lower-median
+    * already sheds a single stalled sample, so only an entry whose
+    * every sample stalled can publish a stall reading. Events outside all
+    * windows (warm-up, settle, gaps) are ignored, same scoping as
+    * [[attributeSingleTask]]. Extracted pure so `BenchRotationSpec`
+    * pins the rule on synthetic logs. */
+  private[graft] def stallModeEntries(
+      windows: Seq[(String, Long, Long)],
+      events: Seq[(Long, Double, Double)],
+      minRunSec: Double = 5.0, factor: Double = 6.0): Set[String] =
+    windows.groupBy(_._1).collect { case (n, ws) if ws.forall {
+      case (_, a, b) =>
+        val es = events.filter(e => e._1 >= a && e._1 <= b)
+        val run = es.map(_._2).sum
+        val cpu = es.map(_._3).sum
+        run >= minRunSec && run >= factor * math.max(cpu, 0.1)
+    } => n }.toSet
+
   @volatile private var calibSink = 0L // defeats dead-code elimination
 
   private def lcgSpin(iters: Long): Long = {
@@ -221,8 +263,11 @@ object Bench {
   /** Fixed-cost CPU probe: `threads` concurrent LCG spins of 2e8 steps
     * each. Pure integer ALU work — no allocation, no I/O — so its wall
     * time moves ONLY with machine load/contention, never with any code
-    * in this repo. */
-  private def calibrate(threads: Int): Double = {
+    * in this repo. `private[graft]` so [[HostProbe]] (the
+    * healthy-window watcher's probe main) reuses the identical
+    * instrument — a watcher probing with different code would detect
+    * a different window than the bench measures. */
+  private[graft] def calibrate(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { _ =>
       new Thread(() => { calibSink = lcgSpin(200000000L) })
@@ -258,7 +303,7 @@ object Bench {
       a
     }
 
-  private def calibrateMem(): Double = {
+  private[graft] def calibrateMem(): Double = {
     val arrays = memProbeArrays // allocated once, reused every sweep
     val t0 = System.nanoTime()
     val ts = arrays.map { a =>
@@ -552,6 +597,15 @@ object Bench {
     // artifact joins the two at the end, when the bus has drained.
     val singleTaskEvents =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    // Numeric stage costs for the STALL-MODE detector (r19 verdict
+    // item 1b): (midpointMs, runSec, cpuSec) for every ≥ 2 s stage.
+    // The canonical substrate-stall signature — pinned by the r19 CC
+    // attribution (stage run 134.6 s, cpu 8.9 s, ALU probes flat) —
+    // is task wall-clock ≫ task CPU: threads parked on block-manager
+    // / IO waits, not executing plans. Attribution is post-hoc by
+    // timed window, same scoping as single_task.
+    val stageCostEvents =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double)]()
     val timedWindows =
       new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
     def newSession(): SparkSession = {
@@ -576,6 +630,12 @@ object Bench {
               i.completionTime.foreach(end =>
                 singleTaskEvents.add((end - dur / 2,
                   f"stage ${i.stageId} ${dur / 1000.0}%.1f s")))
+            if (dur >= 2000) {
+              val m = i.taskMetrics
+              i.completionTime.foreach(end =>
+                stageCostEvents.add((end - dur / 2,
+                  m.executorRunTime / 1e3, m.executorCpuTime / 1e9)))
+            }
           }
         })
       s
@@ -601,8 +661,14 @@ object Bench {
     // they are only meaningful when queries run serially — the timed
     // sweeps. The 8-thread warm-up passes false (clears would race
     // with other threads' appends and misattribute stages).
+    // `cancelSink`: when a NON-attributed (warm) run is deadline-
+    // cancelled, its name lands here — the warm pass's caller must
+    // treat a cancelled warm as NOT warmed (r19 ADVICE: an entry whose
+    // warm runOnce was cancelled mid-execution is partially warmed yet
+    // was absent from the skipped list, a residual cold-timed path).
     def runOnce(name: String, dir: String, attribute: Boolean,
-        deadlineSec: Double = queryDeadlineSec): Double = {
+        deadlineSec: Double = queryDeadlineSec,
+        cancelSink: java.util.Set[String] = null): Double = {
       if (attribute) stageLog.clear()
       val wall0 = System.currentTimeMillis()
       val group = s"bench-$name-${groupSeq.incrementAndGet()}"
@@ -629,6 +695,7 @@ object Bench {
           // warm-up cancellation measures contention, not the query
           // (r11: a 2.4 s entry was flagged from its warm-up run).
           if (attribute) deadlined.add(name)
+          else if (cancelSink != null) cancelSink.add(name)
           System.err.println(f"[bench] $name hit the per-query deadline " +
             f"($deadlineSec%.0f s): cancelled" +
             (if (attribute) ", recording lower bound" else " (warm-up)"))
@@ -697,12 +764,36 @@ object Bench {
     // luck-dependent (r11: two runs with the same budget warmed
     // different subsets; the one that missed dedup_cluster_cc paid
     // 55 s for it in sweep 1 and the sweep blew the budget).
+    // Per-entry OBSERVED warm wall-times (r19 verdict item 1a): the
+    // probes are blind to the block-manager/IO stall mode (ALU and
+    // bandwidth read near-baseline while task threads park — the
+    // driver's r19 run published drift 1.05/1.29 around 50-145x entry
+    // samples), so the only instrument that sees a stall window is
+    // the work itself. The warm pass IS that instrument: its per-entry
+    // costs feed the post-warm fit-shrink and the mid-warm abort.
+    val warmObserved =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
     def warmConcurrent(entries: Seq[String], dir: String,
         budget: Double,
         priority: String => Int = _ => 0): Seq[String] = {
       val w0 = System.nanoTime()
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       entries.sortBy(n => (priority(n), -costRank(n))).foreach(queue.add)
+      // Deadline-cancelled warms are NOT warmed (r19 ADVICE): collect
+      // them and return them with the leftovers so the caller's
+      // never-time-cold drop covers the partially-warmed path too.
+      val cancelled =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      // Mid-warm stall abort (r19 verdict item 1a): when the last 6
+      // COMPLETED warms each ran >= 10x their baseline cost (8-way
+      // warm contention on a healthy host reads 2-4x; the r19 stall
+      // windows read 20-145x), the host is inside a stall window —
+      // stop warming so the window shrinks the timed set instead of
+      // eating the sweeps' budget. Ratio floor 0.2 s on the base cost
+      // keeps sub-100ms entries' jitter out of the signal. Only armed
+      // when the baseline credibly prices the entries.
+      val stallStreak = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var stallAbort = false
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
           // NO unpersist in here: warm-up entries run CONCURRENTLY, and
@@ -717,7 +808,8 @@ object Bench {
           // skipped list yet cold, up to 8 entries (one per thread)
           // silently leaking past the never-time-cold drop
           var n: String =
-            if ((System.nanoTime() - w0) / 1e9 < budget) queue.poll()
+            if (!stallAbort && (System.nanoTime() - w0) / 1e9 < budget)
+              queue.poll()
             else null
           while (n != null) {
             // Per-entry deadline = REMAINING warm budget (+30 s
@@ -735,22 +827,36 @@ object Bench {
             val e0 = System.nanoTime()
             runOnce(n, dir, attribute = false,
               deadlineSec = math.min(queryDeadlineSec,
-                math.max(40.0, remain + 30.0)))
+                math.max(40.0, remain + 30.0)),
+              cancelSink = cancelled)
+            val warmSec = (System.nanoTime() - e0) / 1e9
+            if (!cancelled.contains(n)) warmObserved.put(n, warmSec)
+            baseKv.get(n).filter(_ => baselineConfigMatches)
+              .foreach { b =>
+                if (warmSec >= 10.0 * math.max(b, 0.2)) {
+                  if (stallStreak.incrementAndGet() >= 6 && !stallAbort) {
+                    stallAbort = true
+                    System.err.println(f"[bench] MID-WARM STALL: 6 " +
+                      "consecutive warms at >= 10x baseline — aborting " +
+                      "the warm pass, remaining entries drop cold")
+                  }
+                } else stallStreak.set(0)
+              }
             // Per-entry warm wall-time (r16 verdict item 2): when the
             // deadline truncates a warm pass, the log must say what
             // consumed the budget — r16 hit the 100 s deadline having
             // warmed only 68 of 159 entries and nothing recorded why.
-            System.err.println(f"[bench] warm $n " +
-              f"${(System.nanoTime() - e0) / 1e9}%.1f s (pass " +
+            System.err.println(f"[bench] warm $n $warmSec%.1f s (pass " +
               f"${(System.nanoTime() - w0) / 1e9}%.1f/$budget%.0f s)")
-            n = if ((System.nanoTime() - w0) / 1e9 < budget) queue.poll()
+            n = if (!stallAbort &&
+                  (System.nanoTime() - w0) / 1e9 < budget) queue.poll()
                 else null
           }
         })
       }
       warmThreads.foreach(_.start())
       warmThreads.foreach(_.join())
-      queue.iterator().asScala.toList
+      (queue.iterator().asScala.toList ++ cancelled.asScala.toList).distinct
     }
     locally {
       val w0 = System.nanoTime()
@@ -798,10 +904,14 @@ object Bench {
           if (covered && baseSum > 0) {
             // worst of the ALU and bandwidth probe drifts (r19): the
             // r18 host was ALU-flat / bandwidth-2x, and a CPU-only
-            // factor under-reserved the sweeps by the same 2x
-            val sessionFactor = math.max(
-              baseCalN.map(b => math.max(0.8, calib0._2 / b)).getOrElse(1.0),
-              baseCalM.map(b => calib0._3 / b).getOrElse(1.0))
+            // factor under-reserved the sweeps by the same 2x. The
+            // 0.8 floor sits OUTSIDE the max (r19 ADVICE: with calibn
+            // absent and a faster-than-baseline bandwidth probe, an
+            // inner-floored CPU branch of 1.0 vs a mem branch of 0.6
+            // still combined below the floor's intent)
+            val sessionFactor = math.max(0.8, math.max(
+              baseCalN.map(calib0._2 / _).getOrElse(1.0),
+              baseCalM.map(calib0._3 / _).getOrElse(1.0)))
             val reserved =
               75.0 + 6.0 + 2 * 1.3 * sessionFactor * baseSum + 30.0 + 25.0
             math.max(100.0, math.min(240.0, budgetSec - elapsedSec - reserved))
@@ -970,18 +1080,30 @@ object Bench {
         val costs = known.map(baseKv).sorted
         val median = costs(costs.size / 2)
         def cost(n: String): Double = baseKv.getOrElse(n, median)
+        // OBSERVED-cost arm (r19 verdict item 1a): the probes are
+        // blind to the block-manager stall mode (the r19 driver run
+        // published drift 1.05/1.29 around 50-145x entry samples), so
+        // the predictor also reads what the warm pass just MEASURED.
+        // Divide the 8-way-contended warm wall-time by 3 (healthy
+        // contention inflates 2-4x, so /3 ~ solo cost; a stalled 60 s
+        // warm still predicts 20 s >> baseline) and take the worse of
+        // the probe-scaled baseline and the observed estimate.
+        def effCost(n: String): Double = math.max(factor * cost(n),
+          Option(warmObserved.get(n)).map(_.doubleValue / 3.0)
+            .getOrElse(0.0))
         // 45 s overhead: pre-sweep quiesce + both sweeps' pre/post
         // probe pairs + the inter-sweep unpersist/gc/quiesce gap
         def fits(set: Seq[String]): Boolean =
-          elapsedSec + 45.0 + 2 * 1.3 * factor * set.map(cost).sum <=
+          elapsedSec + 45.0 + 2 * 1.3 * set.map(effCost).sum <=
             budgetSec
         if (!fits(timedNames)) {
           val rotationSet = rotationSlice.toSet
           val kept = shrinkToBudget(timedNames,
-            isCore = n => !rotationSet(n), cost = cost, fits = fits)
+            isCore = n => !rotationSet(n), cost = effCost, fits = fits)
           budgetDropped = timedNames.size - kept.size
           System.err.println(f"[bench] predicted 2-sweep cost exceeds " +
-            f"remaining budget (probe drift $factor%.2fx, elapsed " +
+            f"remaining budget (probe drift $factor%.2fx, observed-warm " +
+            f"arm armed, elapsed " +
             f"$elapsedSec%.0f/$budgetSec%.0f s): dropping $budgetDropped " +
             f"entries (rotation-first) -> ${kept.size} timed")
           timedNames = kept
@@ -1215,7 +1337,18 @@ object Bench {
                 f"at $elapsedSec%.1f s (sweep $s, query $n): emitting partial result")
               inner.break()
             }
-            sweepSamples += ((n, runOnce(n, sfDir, attribute = true)))
+            // Tail-entry deadline clamp (r19 verdict item 1c): one
+            // expensive entry near the budget edge must not overrun
+            // the whole run (r19's driver artifact: a 120 s deadline
+            // sample inside the 470 s budget contributed to 0
+            // completed sweeps). The per-entry deadline shrinks toward
+            // the remaining budget, floor 20 s so a healthy heavy
+            // entry still finishes; a clamped cancellation lands in
+            // `deadlined` and is therefore ratio-excluded.
+            val clamp = math.min(queryDeadlineSec,
+              math.max(20.0, budgetSec - elapsedSec - 10.0))
+            sweepSamples +=
+              ((n, runOnce(n, sfDir, attribute = true, deadlineSec = clamp)))
             // NO per-query unpersist here: spreading the cleaner's RPCs
             // through the sweep cost ~100 s/sweep of untimed gaps; the
             // between-sweep unpersist + gc absorbs the same work where
@@ -1277,6 +1410,36 @@ object Bench {
     val calibN = medCal(_._2)
     val calibM = medCal(_._3)
 
+    // Post-hoc attributions (give the async listener bus a moment to
+    // drain first): single-task scale defects, and the STALL-MODE set
+    // (r19 verdict item 1b) — computed BEFORE the ratio block so
+    // stalled samples can be excluded from vs_baseline. An entry is
+    // excluded when (a) it was deadlined (its number is a lower bound
+    // of an unfinished run — 4 such samples made r19's published
+    // 21.756 disinformation), or (b) every timed window showed the
+    // run ≫ cpu stall signature AND its published number is
+    // anomalous (≥ 3 s and ≥ 3× its baseline) — the anomaly guard
+    // keeps a legitimately IO-shaped entry on a healthy host inside
+    // the ratio. Excluded entries keep their numbers in "queries"
+    // (facts are facts) and are listed under "stall_excluded".
+    Thread.sleep(1000)
+    val singleTask: Set[String] = attributeSingleTask(
+      timedWindows.asScala.toSeq, singleTaskEvents.asScala.toSeq)
+    val resultMap = results.toMap
+    val stallExcluded: Set[String] = {
+      val byWindow = stallModeEntries(
+        timedWindows.asScala.toSeq, stageCostEvents.asScala.toSeq)
+      val anomalous = byWindow.filter { n =>
+        resultMap.get(n).exists(v => v >= 3.0 &&
+          baseKv.get(n).forall(b => b <= 0 || v / b >= 3.0))
+      }
+      (anomalous ++ deadlined.asScala).filter(resultMap.contains)
+    }
+    if (stallExcluded.nonEmpty)
+      System.err.println(s"[bench] ${stallExcluded.size} stall-mode " +
+        s"entries EXCLUDED from vs_baseline: " +
+        stallExcluded.toSeq.sorted.mkString(","))
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -1300,7 +1463,7 @@ object Bench {
           else {
             val shared = results.collect {
               case (k, v) if v >= 0 && baseKv.contains(k) &&
-                !verificationOnly(k) => (v, baseKv(k)) }
+                !verificationOnly(k) && !stallExcluded(k) => (v, baseKv(k)) }
             val baseSum = shared.map(_._2).sum
             val raw =
               if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
@@ -1360,14 +1523,6 @@ object Bench {
     }
     def strArr(xs: Iterable[String]): String =
       xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Post-hoc single-task attribution: give the async listener bus a
-    // moment to drain, then assign each recorded ≥3 s one-task stage
-    // to the timed run whose [start, end] wall-clock window contains
-    // the stage's midpoint. Stages outside every window (warm-up,
-    // settle) are dropped — same scope as before, without the race.
-    Thread.sleep(1000)
-    val singleTask: Set[String] = attributeSingleTask(
-      timedWindows.asScala.toSeq, singleTaskEvents.asScala.toSeq)
     def calsJson(
         cs: scala.collection.Seq[(Double, Double, Double)]): String = cs
       .map { case (a, b, c) =>
@@ -1400,6 +1555,7 @@ object Bench {
         s""""rotation_timed":${rotationSlice.forall(samples.contains)},""" +
         s""""skip_list":${strArr(skipList.toSeq.sorted)},""" +
         s""""single_task":${strArr(singleTask)},""" +
+        s""""stall_excluded":${strArr(stallExcluded)},""" +
         s""""regressions":${regressions.mkString("[", ",", "]")},""" +
         s""""deadlined":${strArr(deadlined.asScala)}""" +
         s"""$extra,"sf":"$sfDir"}"""

@@ -46,6 +46,25 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Oracle TYPE audit, wired in (r19 verdict item 7): every oracle
+    // edit gets the HUGEINT/DECIMAL projection audit in the same run
+    // that dumps the SQL, so it cannot be forgotten. BEST-EFFORT and
+    // driver-side only: python3+duckdb exist where Verify is run (the
+    // driver box); the Scala library itself gains no dependency — a
+    // missing interpreter degrades to a note, never a failure.
+    if (Files.exists(Paths.get("tools/audit_oracle_types.py"))) {
+      try {
+        val p = new ProcessBuilder("python3", "tools/audit_oracle_types.py",
+          s"$outDir/oracle_sql.json", sfDir).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes())
+        p.waitFor()
+        System.err.println(s"[verify] oracle type audit (exit " +
+          s"${p.exitValue()}):\n$out")
+      } catch { case e: Exception =>
+        System.err.println(s"[verify] oracle type audit skipped: " +
+          s"${e.getMessage}")
+      }
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

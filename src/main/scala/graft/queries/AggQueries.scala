@@ -953,10 +953,18 @@ object AggQueries {
     * eliminating the cross-engine ambiguity a physical tie-break
     * column cannot (this fixture contains byte-identical duplicate
     * rows; row_number over any column list splits them arbitrarily
-    * per engine). rx/ry are then exact permutations of 1..n, the
-    * classic 1 − 6·Σd²/(n³−n) formula applies, and both engines
-    * compute the identical BIGINT lattice (ppm via one
-    * DECIMAL(38,0)/HUGEINT division; Σd² alone can reach n³/3).
+    * per engine). rx/ry are then exact permutations of 1..n and the
+    * classic 1 − 6·Σd²/(n³−n) formula applies. Σd² can reach n³/3 —
+    * past BIGINT at a few million rows per group — so it is
+    * accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    * squared AFTER widening (the BIGINT product itself overflows
+    * first at |d| ≳ 3e9), and EMITTED as DOUBLE: the exact-integer
+    * contract rides on rho_ppm (one DECIMAL(38,0)/HUGEINT integer
+    * division, bit-identical in both engines up to n ≈ 3.6e10 per
+    * group — the widest 6e6·Σd² fits 38 digits; past that the
+    * lattice path below applies anyway), while sum_d2 is a
+    * diagnostic whose exact-int→double conversion is correctly
+    * rounded identically in both engines.
     * Degenerate n ≤ 1 groups emit NULL rather than divide by zero.
     *
     * Scale shape: two per-group rank windows (the exact method's
@@ -979,11 +987,11 @@ object AggQueries {
       |        rank() OVER (PARTITION BY g ORDER BY y, x) + j - 1 AS ry
       |      FROM jj),
       |a AS (SELECT g, count(*)::BIGINT AS n,
-      |        sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+      |        sum((rx - ry)::HUGEINT * (rx - ry)) AS sd2
       |      FROM r GROUP BY g)
-      |SELECT g AS l_returnflag, n, sum_d2,
+      |SELECT g AS l_returnflag, n, sd2::DOUBLE AS sum_d2,
       |  CASE WHEN n > 1 THEN
-      |    (1000000 - (6000000::HUGEINT * sum_d2)
+      |    (1000000 - (6000000::HUGEINT * sd2)
       |       // (n::HUGEINT * n * n - n))::BIGINT END AS rho_ppm
       |FROM a ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     import s.implicits._
@@ -1008,13 +1016,17 @@ object AggQueries {
       .withColumn("j", row_number().over(wj).cast("long"))
       .withColumn("rx", rank().over(wx).cast("long") + col("j") - 1)
       .withColumn("ry", rank().over(wy).cast("long") + col("j") - 1)
+      // widen BEFORE squaring: the Long product (rx-ry)^2 overflows at
+      // |d| ~ 3e9 and the Long SUM at ~3e6 rows/group (ADVICE r19) —
+      // decimal(38,0) carries both through n ~ 3.6e10
+      .withColumn("d", (col("rx") - col("ry")).cast("decimal(38,0)"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
-        sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
-          .as("sum_d2"))
-      .select(col("g"), col("n"), col("sum_d2"),
+        sum(col("d") * col("d")).as("sd2"))
+      .select(col("g"), col("n"),
+        col("sd2").cast("double").as("sum_d2"),
         when(col("n") > 1, expr(
-          "cast(1000000 - cast(6000000 as decimal(38,0)) * sum_d2" +
+          "cast(1000000 - cast(6000000 as decimal(38,0)) * sd2" +
             " div (cast(n as decimal(38,0)) * n * n - n) as bigint)"))
           .as("rho_ppm"))
       .orderBy(col("g"))

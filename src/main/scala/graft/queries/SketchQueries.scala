@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -798,8 +799,195 @@ object SketchQueries {
       .orderBy($"week")
   }
 
+  /** Arbitrary-span LATTICE SERVING queries — the production read
+    * path of [[sketchQuantilesWindowUnion]] (r19 verdict item 5): the
+    * per-DAY lattice states a pipeline persists answer an AD-HOC
+    * [day_a, day_b] span request by cell-wise SUM of the covered day
+    * states — never a second pass over raw events — and the SAME
+    * summed cells answer Q-RANGE queries (how much mass sits inside a
+    * value band) by summing the cells whose decoded lower bound falls
+    * in the band. Spans are three-plus-one literal requests expressed
+    * as day OFFSETS from the corpus's first day (a serving query's
+    * parameters; offsets keep the entry SF-agnostic), the last
+    * deliberately clipped past the data's edge so partial coverage is
+    * exercised (n_days < span width). Per span: day coverage, total
+    * count, q50/q90 decoded beside the exact arm's rank-quantiles
+    * (the [[sketchQuantiles]] ceil-rank convention), and band mass
+    * est/exact with err in ppm OF TOTAL MASS (band mass can
+    * legitimately be zero; n cannot).
+    *
+    * Scale shape: the only event-sized work is the ONE (day, cell)
+    * partial agg (the layer [[sketchQuantilesWindowUnion]] persists);
+    * the span table broadcasts onto the ≤ ~640-cells-per-day lattice
+    * (a 4-row BroadcastNestedLoopJoin), and everything downstream is
+    * lattice metadata. The exact arm re-scans events per span and is
+    * the measurement, dropped at 100 TB. */
+  val sketchQuantilesSpan: CatalogEntry = CatalogEntry(
+    "sketch_quantiles_span",
+    """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+      |             round(value * 100)::BIGINT AS v FROM events),
+      |iv AS (SELECT day, v,
+      |         CASE WHEN v < 16 THEN v
+      |           ELSE 16 * (length(format('{:b}', v)) - 1)
+      |             + ((v >> (length(format('{:b}', v)) - 5)) & 15)
+      |         END AS idx
+      |       FROM e),
+      |dlat AS (SELECT day, idx, count(*)::BIGINT AS cnt
+      |         FROM iv GROUP BY 1, 2),
+      |d0 AS (SELECT min(day) AS d0 FROM dlat),
+      |sp AS (SELECT * FROM (VALUES (1, 2, 11), (2, 0, 29), (3, 7, 13),
+      |                             (4, 25, 40))
+      |       AS t(span_id, off_a, off_b)),
+      |spd AS (SELECT span_id, d0 + off_a AS day_a, d0 + off_b AS day_b
+      |        FROM sp, d0),
+      |sj AS (SELECT s.span_id, l.day, l.idx, l.cnt
+      |       FROM dlat l JOIN spd s ON l.day BETWEEN s.day_a AND s.day_b),
+      |slat AS (SELECT span_id, idx, sum(cnt)::BIGINT AS cnt
+      |         FROM sj GROUP BY 1, 2),
+      |nd AS (SELECT span_id, count(DISTINCT day)::BIGINT AS n_days
+      |       FROM sj GROUP BY 1),
+      |n AS (SELECT span_id, sum(cnt)::BIGINT AS n,
+      |        count(*)::BIGINT AS state_cells
+      |      FROM slat GROUP BY 1),
+      |cum AS (SELECT span_id, idx,
+      |          sum(cnt) OVER (PARTITION BY span_id ORDER BY idx) AS cum
+      |        FROM slat),
+      |qe AS (SELECT c.span_id,
+      |         min(CASE WHEN c.cum >= (n.n + 1) // 2
+      |             THEN c.idx END) AS i50,
+      |         min(CASE WHEN c.cum >= (9 * n.n + 9) // 10
+      |             THEN c.idx END) AS i90
+      |       FROM cum c JOIN n ON n.span_id = c.span_id
+      |       GROUP BY c.span_id),
+      |qd AS (SELECT span_id,
+      |         CASE WHEN i50 < 16 THEN i50
+      |           ELSE (16 + i50 % 16) << (i50 // 16 - 4)::INT END AS q50_est,
+      |         CASE WHEN i90 < 16 THEN i90
+      |           ELSE (16 + i90 % 16) << (i90 // 16 - 4)::INT END AS q90_est
+      |       FROM qe),
+      |lb AS (SELECT span_id, cnt,
+      |         CASE WHEN idx < 16 THEN idx
+      |           ELSE (16 + idx % 16) << (idx // 16 - 4)::INT END AS lb
+      |       FROM slat),
+      |be AS (SELECT span_id,
+      |         coalesce(sum(CASE WHEN lb >= 1000 AND lb < 5000
+      |             THEN cnt END), 0)::BIGINT AS band_est
+      |       FROM lb GROUP BY span_id),
+      |ivs AS (SELECT s.span_id, i.v FROM iv i
+      |        JOIN spd s ON i.day BETWEEN s.day_a AND s.day_b),
+      |ec AS (SELECT span_id, v, count(*)::BIGINT AS c
+      |       FROM ivs GROUP BY 1, 2),
+      |ecum AS (SELECT span_id, v,
+      |           sum(c) OVER (PARTITION BY span_id ORDER BY v) AS cum
+      |         FROM ec),
+      |qx AS (SELECT e2.span_id,
+      |         min(CASE WHEN e2.cum >= (n.n + 1) // 2
+      |             THEN e2.v END) AS q50_exact,
+      |         min(CASE WHEN e2.cum >= (9 * n.n + 9) // 10
+      |             THEN e2.v END) AS q90_exact
+      |       FROM ecum e2 JOIN n ON n.span_id = e2.span_id
+      |       GROUP BY e2.span_id),
+      |bx AS (SELECT span_id,
+      |         coalesce(sum(CASE WHEN v >= 1000 AND v < 5000
+      |             THEN 1 END), 0)::BIGINT AS band_exact
+      |       FROM ivs GROUP BY span_id)
+      |SELECT n.span_id, spd.day_a, spd.day_b, nd.n_days, n.n,
+      |  n.state_cells,
+      |  qd.q50_est::BIGINT AS q50_est, qx.q50_exact::BIGINT AS q50_exact,
+      |  ((1000000 * abs(qd.q50_est - qx.q50_exact)) // qx.q50_exact)
+      |    ::BIGINT AS q50_err_ppm,
+      |  qd.q90_est::BIGINT AS q90_est, qx.q90_exact::BIGINT AS q90_exact,
+      |  ((1000000 * abs(qd.q90_est - qx.q90_exact)) // qx.q90_exact)
+      |    ::BIGINT AS q90_err_ppm,
+      |  1000::BIGINT AS band_lo, 5000::BIGINT AS band_hi,
+      |  be.band_est, bx.band_exact,
+      |  ((1000000 * abs(be.band_est - bx.band_exact)) // n.n)
+      |    ::BIGINT AS band_err_ppm
+      |FROM n JOIN spd ON spd.span_id = n.span_id
+      |JOIN nd ON nd.span_id = n.span_id
+      |JOIN qd ON qd.span_id = n.span_id
+      |JOIN qx ON qx.span_id = n.span_id
+      |JOIN be ON be.span_id = n.span_id
+      |JOIN bx ON bx.span_id = n.span_id
+      |ORDER BY n.span_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    latticeSpanStats(
+      Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round($"value" * 100).cast("long").as("v")),
+      spans = Seq((1, 2, 11), (2, 0, 29), (3, 7, 13), (4, 25, 40)),
+      bandLo = 1000L, bandHi = 5000L)
+  }
+
+  /** [[sketchQuantilesSpan]]' operator over any (day, v) frame —
+    * extracted so the spec can plant span/band fixtures; reuses
+    * [[latIdx]]/[[latDecode]] (single-sourced lattice rules). Spans
+    * are (span_id, off_a, off_b) day offsets from min(day). */
+  private[queries] def latticeSpanStats(dayVals: DataFrame,
+      spans: Seq[(Int, Int, Int)], bandLo: Long,
+      bandHi: Long): DataFrame = {
+    val s = dayVals.sparkSession
+    import s.implicits._
+    val iv = dayVals.withColumn("idx", latIdx("v"))
+    // the persisted per-day states; every sketch-arm consumer reads
+    // these checkpointed metadata-sized blocks, never the fact scan
+    val dlat = iv.groupBy($"day", $"idx").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val d0 = dlat.agg(min($"day").as("d0"))
+    val spansDf = broadcast(
+      spans.toDF("span_id", "off_a", "off_b").crossJoin(broadcast(d0))
+        .select($"span_id", ($"d0" + $"off_a").as("day_a"),
+          ($"d0" + $"off_b").as("day_b")))
+    val sj = dlat.join(spansDf, $"day".between($"day_a", $"day_b"))
+    val slat = sj.groupBy($"span_id", $"idx").agg(sum($"cnt").as("cnt"))
+      .localCheckpoint() // three consumers, lattice-metadata-sized
+    val nd = sj.groupBy($"span_id").agg(countDistinct($"day").as("n_days"))
+    val n = slat.groupBy($"span_id").agg(sum($"cnt").as("n"),
+      count(lit(1)).as("state_cells"))
+    val wcum = Window.partitionBy($"span_id").orderBy($"idx")
+    val qe = slat.withColumn("cum", sum($"cnt").over(wcum))
+      .join(n.select($"span_id", $"n"), "span_id")
+      .groupBy($"span_id").agg(
+        min(when($"cum" >= ceilRank(1, 2), $"idx")).as("i50"),
+        min(when($"cum" >= ceilRank(9, 10), $"idx")).as("i90"))
+    val qd = qe.select($"span_id",
+      latDecode("i50").as("q50_est"),
+      latDecode("i90").as("q90_est"))
+    val be = slat.withColumn("lb", latDecode("idx"))
+      .groupBy($"span_id")
+      .agg(coalesce(sum(when($"lb" >= bandLo && $"lb" < bandHi,
+        $"cnt")), lit(0L)).as("band_est"))
+    // exact arm — the measurement, dropped at 100 TB
+    val ivs = iv.join(spansDf, $"day".between($"day_a", $"day_b"))
+    val wv = Window.partitionBy($"span_id").orderBy($"v")
+    val qx = ivs.groupBy($"span_id", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wv))
+      .join(n.select($"span_id", $"n"), "span_id")
+      .groupBy($"span_id").agg(
+        min(when($"cum" >= ceilRank(1, 2), $"v")).as("q50_exact"),
+        min(when($"cum" >= ceilRank(9, 10), $"v")).as("q90_exact"))
+    val bx = ivs.groupBy($"span_id")
+      .agg(coalesce(sum(when($"v" >= bandLo && $"v" < bandHi,
+        lit(1L))), lit(0L)).as("band_exact"))
+    n.join(spansDf, "span_id").join(nd, "span_id").join(qd, "span_id")
+      .join(qx, "span_id").join(be, "span_id").join(bx, "span_id")
+      .select($"span_id", $"day_a", $"day_b", $"n_days", $"n",
+        $"state_cells",
+        $"q50_est", $"q50_exact",
+        expr("(1000000 * abs(q50_est - q50_exact)) div q50_exact")
+          .as("q50_err_ppm"),
+        $"q90_est", $"q90_exact",
+        expr("(1000000 * abs(q90_est - q90_exact)) div q90_exact")
+          .as("q90_err_ppm"),
+        lit(bandLo).as("band_lo"), lit(bandHi).as("band_hi"),
+        $"band_est", $"band_exact",
+        expr("(1000000 * abs(band_est - band_exact)) div n")
+          .as("band_err_ppm"))
+      .orderBy($"span_id")
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     distinctHllPortable, distinctKmvSetops, sketchCmsBigram,
     sketchAmsF2, distinctHllWindowUnion, sketchQuantiles,
-    sketchQuantilesWindowUnion)
+    sketchQuantilesWindowUnion, sketchQuantilesSpan)
 }

@@ -2996,10 +2996,12 @@ object TextQueries {
     * re-assembly are per-doc window + ONE row-local `aggregate` fold
     * over the (tiny) merged-interval array — the full text shuffles
     * exactly zero times: the interval table (duplicated-doc-sized)
-    * broadcasts back onto the scan. The oracle replays the literal
-    * formulation: all windows grouped by content, keep-first by the
-    * encoded (doc_id, pos) key, char-level coverage join, string_agg
-    * surgery. */
+    * broadcasts back onto the scan. Canonicality is a genuine
+    * lexicographic struct-min on (doc_id, pos) — unbounded, unlike
+    * an arithmetic key encoding (ADVICE r19). The oracle replays the
+    * literal formulation: all windows grouped by content, keep-first
+    * by (min doc_id, then min pos within it), char-level coverage
+    * join, string_agg surgery. */
   val dedupStripSpans: CatalogEntry = CatalogEntry(
     "dedup_strip_spans",
     """WITH docs0 AS (SELECT doc_id, text FROM documents
@@ -3009,12 +3011,15 @@ object TextQueries {
       |         unnest(generate_series(1, length(text) - 49)) AS pos
       |       FROM dd),
       |w AS (SELECT doc_id, pos, substring(text, pos, 50) AS suf FROM px),
-      |f AS (SELECT suf, count(*) AS c,
-      |        min(doc_id * 100000000 + pos) AS first_key
+      |f AS (SELECT suf, count(*) AS c, min(doc_id) AS fd
       |      FROM w GROUP BY suf),
-      |rm AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (suf)
-      |       WHERE f.c >= 2
-      |         AND w.doc_id * 100000000 + w.pos > f.first_key),
+      |fp AS (SELECT w.suf, min(w.pos) AS fpos
+      |       FROM w JOIN f ON w.suf = f.suf AND w.doc_id = f.fd
+      |       GROUP BY w.suf),
+      |rm AS (SELECT w.doc_id, w.pos
+      |       FROM w JOIN f USING (suf) JOIN fp USING (suf)
+      |       WHERE f.c >= 2 AND (w.doc_id > f.fd
+      |         OR (w.doc_id = f.fd AND w.pos > fp.fpos))),
       |b AS (SELECT doc_id, pos,
       |        CASE WHEN pos > coalesce(lag(pos) OVER (
       |            PARTITION BY doc_id ORDER BY pos), -100) + 50
@@ -3085,14 +3090,35 @@ object TextQueries {
       .select($"doc_id", $"pos",
         expr(s"substring(text, cast(pos as int), $L)").as("suf"))
       .localCheckpoint()
+    // genuine lexicographic (min doc_id, min pos) canonical copy via
+    // struct-min (ADVICE r19: the old doc_id*1e8+pos encoding silently
+    // changed canonicality for docs ≥ 1e8 chars and overflowed Long at
+    // doc_id ≳ 9.2e10 — struct ordering has no such bounds)
     val sufInfo = candS.groupBy($"suf").agg(count(lit(1)).as("c"),
-      min($"doc_id" * 100000000L + $"pos").as("first_key"))
+      min(struct($"doc_id", $"pos")).as("fk"))
       .where($"c" >= 2)
     val rm = candS.join(broadcast(sufInfo), Seq("suf"))
-      .where($"doc_id" * 100000000L + $"pos" > $"first_key")
+      .where(struct($"doc_id", $"pos") > $"fk")
       .select($"doc_id", $"pos")
-    // same-length windows sorted by start merge iff gap <= L: the
-    // lag rule IS the interval merge (coverage [pos, pos+L-1])
+    stripSurgery(docs0, rm, L)
+  }
+
+  /** Interval-merge + surgery layer shared by [[dedupStripSpans]] and
+    * [[dedupStripIncremental]]: given the output doc set `docs0`
+    * (doc_id, text) and the removed-position set `rm` (doc_id, pos —
+    * each covering chars [pos, pos+L−1]), merge same-length windows
+    * into maximal intervals (gap ≤ L, the lag rule IS the interval
+    * merge), re-assemble each doc from the surviving segments via ONE
+    * row-local `aggregate` fold, and emit per doc (doc_id, n_chars,
+    * n_runs, n_removed, clean_text) ordered by doc_id. The interval
+    * table is duplicated-doc-sized and broadcasts back onto the scan —
+    * the full text shuffles zero times (at 100 TB, a bucketed-by-
+    * doc_id layout keeps the join shuffle-free if it outgrows
+    * broadcast). */
+  private def stripSurgery(docs0: DataFrame, rm: DataFrame,
+      L: Int): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
     val wdoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val runs = rm
       .withColumn("brk",
@@ -3107,10 +3133,6 @@ object TextQueries {
       .agg(sort_array(collect_list(struct($"s", $"e"))).as("runs"),
         count(lit(1)).as("n_runs"),
         sum($"e" - $"s" + 1).cast("long").as("n_removed"))
-    // interval table is duplicated-doc-sized: broadcast onto the scan
-    // so the full text never shuffles (at 100 TB, a bucketed-by-doc_id
-    // layout keeps the same join shuffle-free if it outgrows
-    // broadcast)
     docs0.join(broadcast(runArr), Seq("doc_id"), "left")
       .select($"doc_id",
         length($"text").cast("long").as("n_chars"),
@@ -3125,6 +3147,163 @@ object TextQueries {
             |    substring(text, st.p, length(text) - st.p + 1)))"""
             .stripMargin).as("clean_text"))
       .orderBy($"doc_id")
+  }
+
+  /** INCREMENTAL cross-doc span STRIP — [[dedupStripSpans]] composed
+    * with the `dedup_incremental_ref` batch pattern (r19 verdict item
+    * 6): the streaming face of Lee et al. 2022 (arXiv:2107.06499)
+    * dedup, which is how a 100 TB pipeline actually runs — a NEW
+    * batch (doc_id % 3 = 0, the established incremental split) is
+    * stripped against the persisted window store of the already-
+    * curated corpus (doc_id % 3 != 0) plus its own within-batch
+    * duplicates; the old corpus is never re-surgered. Semantics,
+    * exactly: position p of new doc d is REMOVED when its L = 50-char
+    * window content (a) occurs ANYWHERE in the reference corpus (the
+    * reference copy is already canonical — every new occurrence is a
+    * duplicate), or (b) occurs ≥ 2 times within the new batch and
+    * (d, p) is not the batch's lexicographic struct-min occurrence
+    * (keep-first within batch, [[dedupStripSpans]]' rule). Removed
+    * windows merge and each new doc re-assembles via [[stripSurgery]].
+    * Output: every NEW-batch doc (char count, interval count, chars
+    * removed, stripped text), ordered by doc_id.
+    *
+    * Scale shape: the reference store is what a production run
+    * PERSISTS — distinct window hashes plus a string confirm key;
+    * here it is built inline with ONE `win_hash_x64` kernel pass over
+    * the reference corpus. Decision flow is hash-first: the new
+    * batch's hashes semi-join the store (narrow hash rows, the only
+    * corpus-wide exchange), within-batch duplicate hashes broadcast,
+    * and ONLY hash-matched candidates ever materialize their window
+    * string (collision-safe string confirm on both sides — a 64-bit
+    * collision can neither strip nor keep the wrong span). The full
+    * text of either corpus never shuffles; only the new batch —
+    * typically orders of magnitude smaller than the corpus — pays
+    * surgery. */
+  val dedupStripIncremental: CatalogEntry = CatalogEntry(
+    "dedup_strip_incremental",
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           WHERE text IS NOT NULL AND length(text) > 0),
+      |nd0 AS (SELECT doc_id, text FROM d WHERE doc_id % 3 = 0),
+      |rd AS (SELECT doc_id, text FROM d
+      |       WHERE doc_id % 3 != 0 AND length(text) >= 50),
+      |npx AS (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text) - 49)) AS pos
+      |        FROM nd0 WHERE length(text) >= 50),
+      |nw AS (SELECT doc_id, pos, substring(text, pos, 50) AS suf
+      |       FROM npx),
+      |rpx AS (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text) - 49)) AS pos
+      |        FROM rd),
+      |rs AS (SELECT DISTINCT substring(text, pos, 50) AS suf FROM rpx),
+      |rmref AS (SELECT doc_id, pos FROM nw
+      |          WHERE suf IN (SELECT suf FROM rs)),
+      |nf AS (SELECT suf, count(*) AS c, min(doc_id) AS fd
+      |       FROM nw GROUP BY suf),
+      |nfp AS (SELECT nw.suf, min(nw.pos) AS fpos
+      |        FROM nw JOIN nf ON nw.suf = nf.suf AND nw.doc_id = nf.fd
+      |        GROUP BY nw.suf),
+      |rmnew AS (SELECT nw.doc_id, nw.pos
+      |          FROM nw JOIN nf USING (suf) JOIN nfp USING (suf)
+      |          WHERE nf.c >= 2 AND (nw.doc_id > nf.fd
+      |            OR (nw.doc_id = nf.fd AND nw.pos > nfp.fpos))),
+      |rm AS (SELECT doc_id, pos FROM rmref
+      |       UNION SELECT doc_id, pos FROM rmnew),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > coalesce(lag(pos) OVER (
+      |            PARTITION BY doc_id ORDER BY pos), -100) + 50
+      |        THEN 1 ELSE 0 END AS brk
+      |      FROM rm),
+      |g AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM b),
+      |runs AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 49 AS e
+      |         FROM g GROUP BY doc_id, grp),
+      |ch AS (SELECT doc_id, text,
+      |         unnest(generate_series(1, length(text))) AS i
+      |       FROM nd0),
+      |cv AS (SELECT ch.doc_id, ch.i, substring(ch.text, ch.i, 1) AS c,
+      |         CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS cov
+      |       FROM ch LEFT JOIN runs r
+      |         ON r.doc_id = ch.doc_id AND ch.i BETWEEN r.s AND r.e),
+      |agg AS (SELECT doc_id,
+      |          coalesce(string_agg(c, '' ORDER BY i) FILTER (cov = 0),
+      |                   '') AS clean_text,
+      |          sum(cov)::BIGINT AS n_removed
+      |        FROM cv GROUP BY doc_id),
+      |rn AS (SELECT doc_id, count(*)::BIGINT AS n_runs
+      |       FROM runs GROUP BY doc_id)
+      |SELECT nd0.doc_id, length(nd0.text)::BIGINT AS n_chars,
+      |  coalesce(rn.n_runs, 0)::BIGINT AS n_runs,
+      |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+      |  a.clean_text
+      |FROM nd0 JOIN agg a USING (doc_id)
+      |LEFT JOIN rn USING (doc_id)
+      |ORDER BY nd0.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    stripIncremental(Tables.documents(s, d)
+      .select($"doc_id", $"text"), L = 50)
+  }
+
+  /** [[dedupStripIncremental]]' operator over any (doc_id, text)
+    * frame — extracted so the spec can plant cross-batch duplicate
+    * fixtures. New batch = doc_id % 3 = 0; reference = the rest. */
+  private[queries] def stripIncremental(docs: DataFrame,
+      L: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs0 = docs
+      .where($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text")
+    val newDocs = docs0.where($"doc_id" % 3 === 0)
+    val refDocs = docs0.where($"doc_id" % 3 =!= 0 &&
+      length($"text") >= L)
+    val newDd = newDocs.where(length($"text") >= L)
+    // ONE kernel call per doc per side; window strings never shuffle
+    val nw = Tables.spreadScan(newDd)
+      .select($"doc_id", posexplode(
+        call_function("win_hash_x64", $"text", lit(L)))
+        .as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+    val rw = Tables.spreadScan(refDocs)
+      .select($"doc_id", posexplode(
+        call_function("win_hash_x64", $"text", lit(L)))
+        .as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+    // the persisted store: distinct reference window hashes
+    val refHset = rw.select($"h").distinct()
+    // within-batch duplicate hashes: small by construction → broadcast
+    val newDupH = nw.groupBy($"h").agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"h")
+    // new-batch positions whose hash hit the store: the one
+    // corpus-wide exchange, over 24-byte hash rows
+    val nwRefHit = nw.join(refHset, Seq("h"), "left_semi")
+      .localCheckpoint() // feeds the confirm-hash set AND the confirm
+    // string confirm, candidates only — ref side re-materializes just
+    // the windows whose hash the new batch asked about
+    val refNeedH = nwRefHit.select($"h").distinct()
+    val refS = rw.join(refNeedH, Seq("h"), "left_semi")
+      .join(refDocs, Seq("doc_id"))
+      .select(expr(s"substring(text, cast(pos as int), $L)").as("suf"))
+      .distinct()
+    val rmRef = nwRefHit.join(newDd, Seq("doc_id"))
+      .select($"doc_id", $"pos",
+        expr(s"substring(text, cast(pos as int), $L)").as("suf"))
+      .join(refS, Seq("suf"), "left_semi")
+      .select($"doc_id", $"pos")
+    // within-batch keep-first (the dedupStripSpans struct-min rule)
+    val candNewS = nw.join(broadcast(newDupH), Seq("h"), "left_semi")
+      .join(newDd, Seq("doc_id"))
+      .select($"doc_id", $"pos",
+        expr(s"substring(text, cast(pos as int), $L)").as("suf"))
+      .localCheckpoint() // two consumers, candidate-sized
+    val nfInfo = candNewS.groupBy($"suf").agg(count(lit(1)).as("c"),
+      min(struct($"doc_id", $"pos")).as("fk"))
+      .where($"c" >= 2)
+    val rmNew = candNewS.join(broadcast(nfInfo), Seq("suf"))
+      .where(struct($"doc_id", $"pos") > $"fk")
+      .select($"doc_id", $"pos")
+    stripSurgery(newDocs, rmRef.union(rmNew).distinct(), L)
   }
 
   /** Per-(source, log2-token-count) histogram — the sequence-length
@@ -5081,6 +5260,7 @@ object TextQueries {
     qualityPplBuckets, corpusZipfFit, corpusHeapsFit,
     langConfusionMatrix, packEfficiencyCensus, corpusNoveltyCurve,
     decontamSubstringExact, dedupSubstringSuffix, dedupStripSpans,
+    dedupStripIncremental,
     tokenLengthHistogram, dedupPriorityKeep,
     dedupCandidateQuality, dedupLshScurve, vocabBpeMerges,
     tfidfPerDocTopk,

@@ -38,6 +38,23 @@ object EntryProfile {
     // isolation instead of inside a full sweep.
     val showStages = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
     val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Always-on I/O accounting (r20, for the CC diet's done criterion):
+    // shuffle write/read bytes summed across every stage of a rep —
+    // byte counts are load-independent, so this measures the PLAN's
+    // block movement even on a noisy host where wall time measures the
+    // substrate.
+    val shufW = new java.util.concurrent.atomic.AtomicLong()
+    val shufR = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      })
     if (showStages)
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -64,6 +81,8 @@ object EntryProfile {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm: codegen + catalog caches, untimed
+      Thread.sleep(300) // drain warm-rep stage events off the bus
+      shufW.set(0L); shufR.set(0L)
       val ts = (1 to reps).map { _ =>
         stageLog.clear()
         val t = once()
@@ -77,8 +96,11 @@ object EntryProfile {
         t
       }.sorted
       val med = ts((ts.length - 1) / 2)
+      Thread.sleep(300) // drain the last rep's stage events
       println(f"[profile] $name%-28s median $med%6.3f s  " +
-        f"min ${ts.head}%6.3f  max ${ts.last}%6.3f  (n=$reps, $sfDir)")
+        f"min ${ts.head}%6.3f  max ${ts.last}%6.3f  (n=$reps, $sfDir)  " +
+        f"shufW ${shufW.get / 1048576.0 / reps}%8.2f MB/rep  " +
+        f"shufR ${shufR.get / 1048576.0 / reps}%8.2f MB/rep")
     }
     spark.stop()
   }

@@ -146,4 +146,32 @@ class BenchRotationSpec extends AnyFunSuite {
     assert(Bench.shrinkToBudget(timed, core, cost, fitsAt(0.0),
       minKeep = 3).size === 3)
   }
+
+  test("stall-mode attribution: run >> cpu in EVERY window flags the " +
+      "entry; one healthy window acquits it; warm-up events ignored") {
+    // the r19 CC signature: stage run 134.6 s, cpu 8.9 s — run/cpu 15x
+    val windows = Seq(
+      ("stalled", 1000L, 10000L),            // one window, stalled
+      ("mixed", 20000L, 30000L), ("mixed", 40000L, 50000L),
+      ("healthy", 60000L, 70000L),
+      ("quiet", 80000L, 81000L))             // no >=2 s stages at all
+    val events = Seq(
+      (500L, 200.0, 2.0),       // warm-up stage: outside every window
+      (5000L, 134.6, 8.9),      // stalled's window: run/cpu 15x
+      (25000L, 90.0, 3.0),      // mixed window 1: stalled
+      (45000L, 12.0, 11.5),     // mixed window 2: cpu-bound -> acquit
+      (65000L, 30.0, 28.0))     // healthy: run ~ cpu
+    assert(Bench.stallModeEntries(windows, events) === Set("stalled"))
+    // a fast entry with NO recorded stages is never stall-mode (the
+    // forall must not vacuously flag stage-free windows as stalled):
+    // run = 0 < minRunSec
+    assert(!Bench.stallModeEntries(windows, events).contains("quiet"))
+    // below the absolute floor: a 3 s run at 20x cpu is noise, not a
+    // stall verdict
+    assert(Bench.stallModeEntries(Seq(("tiny", 0L, 1000L)),
+      Seq((500L, 3.0, 0.15))) === Set.empty[String])
+    // no windows: nothing flagged
+    assert(Bench.stallModeEntries(Seq.empty, events) ===
+      Set.empty[String])
+  }
 }

@@ -21,6 +21,7 @@ class CatalogPlanLintSpec extends SparkTestBase {
     "sim_quantized_topk",    // broadcast 1 query embedding (rescore ANN)
     "sim_ivf",               // centroid table (|clusters| rows) x 1 query row
     "sim_ivf_recall_curve",  // 3 IVF arms, same centroid x 1-query cross
+    "sketch_quantiles_span", // 4-row broadcast span table (day BETWEEN)
     "events_grouping_sets",  // grouping-sets expand over broadcast scalar
     "decontam_bloom_prefilter", // broadcast 1-row bloom-filter sketch
     "vocab_coverage",        // broadcast 1-row corpus token total

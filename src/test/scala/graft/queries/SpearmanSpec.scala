@@ -13,9 +13,9 @@ class SpearmanSpec extends SparkTestBase {
   import spark.implicits._
 
   private def run(rows: Seq[(String, Long, Long)])
-      : Map[String, (Long, Long, Option[Long])] =
+      : Map[String, (Long, Double, Option[Long])] =
     AggQueries.spearmanByGroup(rows.toDF("g", "x", "y"))
-      .as[(String, Long, Long, Option[Long])].collect()
+      .as[(String, Long, Double, Option[Long])].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
   private def rho(rows: Seq[(String, Long, Long)]): Map[String, Long] =
@@ -40,7 +40,7 @@ class SpearmanSpec extends SparkTestBase {
   test("degenerate n = 1 group emits NULL rho, not a division by zero") {
     val got = AggQueries.spearmanByGroup(
       Seq(("solo", 5L, 7L)).toDF("g", "x", "y"))
-      .as[(String, Long, Long, Option[Long])].collect()
+      .as[(String, Long, Double, Option[Long])].collect()
     assert(got.head._4.isEmpty)
   }
 
@@ -62,14 +62,14 @@ class SpearmanSpec extends SparkTestBase {
     val rows = Seq[(String, Long, Long)](
       ("g", 1L, 10L), ("g", 5L, 50L), ("g", 5L, 50L), ("g", 9L, 90L))
     val got = run(rows)("g")
-    assert(got._2 == 0L, s"sum_d2 must be 0, got $got")
+    assert(got._2 == 0.0, s"sum_d2 must be 0, got $got")
     assert(got._3.contains(1000000L))
     // and x-ties with DIFFERENT y break by y on both sides: still a
     // permutation, sum_d2 stable
     val ties = Seq[(String, Long, Long)](
       ("t", 1L, 10L), ("t", 5L, 70L), ("t", 5L, 30L), ("t", 9L, 90L))
     val t = run(ties)("t")
-    assert(t._1 == 4L && t._2 == 0L,
+    assert(t._1 == 4L && t._2 == 0.0,
       s"x-tie broken by y aligns with the y-order here: $t")
   }
 }

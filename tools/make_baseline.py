@@ -11,11 +11,23 @@ sharding contract:
   - "core":       entries Bench times EVERY round,
   - "rotation_k": the non-core entries rotate across this many rounds.
 """
-import json, sys
+import json, os, sys
 
 def main(bench_path, core_path, note):
     b = json.load(open(bench_path))
     core = json.load(open(core_path))
+    # r20 (r19 verdict item 2 fallback): GRAFT_ALLOW_DEGRADED=1 relaxes
+    # the sweep-health refusals to record an explicitly-LABELED
+    # degraded-tier denominator set (same-substrate ratios beat no
+    # ratios) — but NEVER over the healthy baseline file: the degraded
+    # tier must go to a different GRAFT_BASELINE_OUT.
+    out_path = os.environ.get("GRAFT_BASELINE_OUT", "BASELINE_BENCH.json")
+    tier = os.environ.get("GRAFT_BASELINE_TIER")
+    allow_degraded = os.environ.get("GRAFT_ALLOW_DEGRADED") == "1"
+    if allow_degraded and out_path == "BASELINE_BENCH.json":
+        sys.exit("refusing: GRAFT_ALLOW_DEGRADED requires a non-default "
+                 "GRAFT_BASELINE_OUT (the healthy baseline is never "
+                 "overwritten by a degraded-tier record)")
     if b.get("partial"):
         sys.exit("refusing: bench run is partial")
     # round-18: SPARK_GRAFT_BENCH_SKIP runs exist only for A/B drift
@@ -36,9 +48,18 @@ def main(bench_path, core_path, note):
         sys.exit("refusing: need >= 2 completed sweeps")
     # round-14: sweeps that calibrated >1.5x baseline are flagged in
     # the artifact — a baseline must come from healthy sweeps only
-    if b.get("degraded_sweeps"):
+    if b.get("degraded_sweeps") and not allow_degraded:
         sys.exit(f"refusing: degraded sweeps {b['degraded_sweeps']}")
-    if b.get("healthy_sweeps", b.get("sweeps_completed", 0)) < 2:
+    # round-20: stall-mode / deadlined samples are excluded from the
+    # run's own ratio — recording them as denominators would bake a
+    # host stall window into every future comparison (NOT relaxed by
+    # the degraded tier: a stalled sample is wrong at every tier)
+    if b.get("stall_excluded"):
+        sys.exit(f"refusing: stall-mode samples {b['stall_excluded']}")
+    if b.get("deadlined"):
+        sys.exit(f"refusing: deadlined samples {b['deadlined']}")
+    if (b.get("healthy_sweeps", b.get("sweeps_completed", 0)) < 2
+            and not allow_degraded):
         sys.exit("refusing: need >= 2 healthy sweeps")
     # a routine sharded round passes the two checks above yet covers
     # only ~2/3 of the catalog; recording it would leave the rotation
@@ -63,13 +84,23 @@ def main(bench_path, core_path, note):
         "calibn_sec": b["calibn_sec"],
         "calibm_sec": b.get("calibm_sec"),
         "sf": b["sf"],
-        "rotation_k": 3,
+        # r19 verdict item 2: re-records at the 273-entry catalog use
+        # rotation_k 4 so the per-round sweep stays ~135 entries
+        "rotation_k": int(os.environ.get("GRAFT_ROTATION_K", "4")),
         "core": sorted(core),
         "source": note,
         "queries": queries,
     }
-    json.dump(out, open("BASELINE_BENCH.json", "w"), indent=1, sort_keys=False)
-    print(f"wrote BASELINE_BENCH.json: {len(queries)} queries, "
+    if tier:
+        out["tier"] = tier
+        # the run's own probe drift readings travel with the tier so a
+        # reader can place these denominators on the substrate scale
+        for k in ("drift_cpu", "drift_mem", "degraded_sweeps",
+                  "healthy_sweeps"):
+            if b.get(k) is not None:
+                out[f"run_{k}"] = b[k]
+    json.dump(out, open(out_path, "w"), indent=1, sort_keys=False)
+    print(f"wrote {out_path}: {len(queries)} queries, "
           f"{len(core)} core, production {b['production_sec']:.1f}s, "
           f"calib1 {b['calib1_sec']} calibn {b['calibn_sec']} "
           f"calibm {b.get('calibm_sec')}")
