@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1032,11 +1032,182 @@ object AggQueries {
       .orderBy(col("g"))
   }
 
+  /** LATTICE-RANKED Spearman — the 100 TB path [[statsSpearmanRank]]'s
+    * scaladoc names beside both arms so their agreement is measured,
+    * not asserted: exact ranks need two per-group SORTS of the raw
+    * rows; here each measure buckets into the `sketch_quantiles`
+    * log-lattice cell ([[SketchQueries.latIdx]], single-sourced), ranks
+    * come from the lattice's cumulative counts as cell MIDRANKS
+    * (doubled — r2 = 2·cum_before + cnt + 1 — so they stay on the
+    * integer lattice), and rho is Pearson over the midranks (the
+    * standard tie treatment: cell-mates are ties). The only event-
+    * sized work is ONE (g, ix, iy) partial agg to the sparse JOINT
+    * lattice (≤ ~640² cells per group whatever the row count, in
+    * practice a few hundred); marginals, midranks and moments are all
+    * lattice-metadata arithmetic — mergeable across partitions/days
+    * exactly like the quantile lattice itself. Cross-engine float
+    * discipline follows `stats_corr_matrix`: every moment is an exact
+    * DECIMAL(38,0)/HUGEINT integer, each converted ONCE to double
+    * (correctly rounded in both engines), then identical IEEE
+    * multiply/subtract/sqrt/divide — n·Σ products stay in double
+    * space so no 38-digit ceiling applies at any n. Output: both
+    * arms' rho in ppm plus their absolute disagreement and the
+    * lattice state sizes; NULL lattice rho on n ≤ 1 or zero variance
+    * (a group collapsed into one cell). Positive-domain input, like
+    * every lattice entry. */
+  val statsSpearmanLattice: CatalogEntry = CatalogEntry(
+    "stats_spearman_lattice",
+    """WITH li AS (SELECT l_returnflag AS g,
+      |              round(l_quantity * 100)::BIGINT AS x,
+      |              round(l_extendedprice * 100)::BIGINT AS y
+      |            FROM lineitem),
+      |jj AS (SELECT g, x, y,
+      |         row_number() OVER (PARTITION BY g, x, y ORDER BY x)
+      |           AS j
+      |       FROM li),
+      |r AS (SELECT g,
+      |        rank() OVER (PARTITION BY g ORDER BY x, y) + j - 1 AS rx,
+      |        rank() OVER (PARTITION BY g ORDER BY y, x) + j - 1 AS ry
+      |      FROM jj),
+      |a AS (SELECT g, count(*)::BIGINT AS n,
+      |        sum((rx - ry)::HUGEINT * (rx - ry)) AS sd2
+      |      FROM r GROUP BY g),
+      |ex AS (SELECT g, n,
+      |         CASE WHEN n > 1 THEN
+      |           (1000000 - (6000000::HUGEINT * sd2)
+      |              // (n::HUGEINT * n * n - n))::BIGINT END AS rho_ppm
+      |       FROM a),
+      |cells AS (SELECT g,
+      |            CASE WHEN x < 16 THEN x
+      |              ELSE 16 * (length(format('{:b}', x)) - 1)
+      |                + ((x >> (length(format('{:b}', x)) - 5)) & 15)
+      |            END AS ix,
+      |            CASE WHEN y < 16 THEN y
+      |              ELSE 16 * (length(format('{:b}', y)) - 1)
+      |                + ((y >> (length(format('{:b}', y)) - 5)) & 15)
+      |            END AS iy
+      |          FROM li),
+      |joint AS (SELECT g, ix, iy, count(*)::BIGINT AS cnt
+      |          FROM cells GROUP BY 1, 2, 3),
+      |xl AS (SELECT g, ix, sum(cnt)::BIGINT AS cx
+      |       FROM joint GROUP BY 1, 2),
+      |xr AS (SELECT g, ix,
+      |         2 * sum(cx) OVER (PARTITION BY g ORDER BY ix)
+      |           - cx + 1 AS r2x
+      |       FROM xl),
+      |yl AS (SELECT g, iy, sum(cnt)::BIGINT AS cy
+      |       FROM joint GROUP BY 1, 2),
+      |yr AS (SELECT g, iy,
+      |         2 * sum(cy) OVER (PARTITION BY g ORDER BY iy)
+      |           - cy + 1 AS r2y
+      |       FROM yl),
+      |mm AS (SELECT j.g, sum(j.cnt)::HUGEINT AS n2,
+      |         count(DISTINCT j.ix)::BIGINT AS state_cells_x,
+      |         count(DISTINCT j.iy)::BIGINT AS state_cells_y,
+      |         sum(j.cnt::HUGEINT * xr.r2x) AS sx,
+      |         sum(j.cnt::HUGEINT * yr.r2y) AS sy,
+      |         sum(j.cnt::HUGEINT * xr.r2x * xr.r2x) AS sxx,
+      |         sum(j.cnt::HUGEINT * yr.r2y * yr.r2y) AS syy,
+      |         sum(j.cnt::HUGEINT * xr.r2x * yr.r2y) AS sxy
+      |       FROM joint j
+      |       JOIN xr ON xr.g = j.g AND xr.ix = j.ix
+      |       JOIN yr ON yr.g = j.g AND yr.iy = j.iy
+      |       GROUP BY j.g),
+      |lt AS (SELECT g, state_cells_x, state_cells_y,
+      |         CASE WHEN n2 > 1
+      |           AND (n2::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |             > 0
+      |           AND (n2::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+      |             > 0
+      |         THEN round(1000000.0
+      |           * (n2::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |           / (sqrt(n2::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |            * sqrt(n2::DOUBLE * syy::DOUBLE
+      |                - sy::DOUBLE * sy::DOUBLE)))::BIGINT
+      |         END AS rho_lattice_ppm
+      |       FROM mm)
+      |SELECT ex.g AS l_returnflag, ex.n, lt.state_cells_x,
+      |  lt.state_cells_y, ex.rho_ppm, lt.rho_lattice_ppm,
+      |  abs(lt.rho_lattice_ppm - ex.rho_ppm)::BIGINT AS lattice_err_ppm
+      |FROM ex JOIN lt ON lt.g = ex.g
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_returnflag".as("g"),
+      round($"l_quantity" * 100).cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y"))
+    val exact = spearmanByGroup(li).select($"g", $"n", $"rho_ppm")
+    exact.join(spearmanLatticeByGroup(li), Seq("g"))
+      .select($"g".as("l_returnflag"), $"n", $"state_cells_x",
+        $"state_cells_y", $"rho_ppm", $"rho_lattice_ppm",
+        abs($"rho_lattice_ppm" - $"rho_ppm").as("lattice_err_ppm"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** [[statsSpearmanLattice]]' lattice arm over any (g, x, y) frame —
+    * extracted so the spec can pin the midrank algebra: sub-16 values
+    * occupy exact cells, so on TIE-FREE such fixtures the lattice rho
+    * matches the exact arm's to the 1-ppm truncation-vs-rounding
+    * quantum (the exact arm truncates its integer ppm division; this
+    * arm rounds the IEEE ratio). With duplicate rows the two arms
+    * follow the two classical tie conventions — the exact arm splits
+    * duplicate blocks into aligned distinct ranks (Σd² stays on the
+    * permutation lattice), this arm MIDRANKS cell-mates (the Pearson-
+    * on-midranks tie treatment) — so they legitimately differ there.
+    * Output: (g, state_cells_x, state_cells_y, rho_lattice_ppm). */
+  private[queries] def spearmanLatticeByGroup(li: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = li.select(col("g"),
+      SketchQueries.latIdx("x").as("ix"),
+      SketchQueries.latIdx("y").as("iy"))
+    // ONE fact-sized partial agg; everything below is lattice metadata
+    val joint = cells.groupBy(col("g"), col("ix"), col("iy"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // three consumers: two marginals + moments
+    val wx = Window.partitionBy(col("g")).orderBy(col("ix"))
+    val xr = joint.groupBy(col("g"), col("ix"))
+      .agg(sum(col("cnt")).as("cx"))
+      .select(col("g"), col("ix"),
+        (lit(2L) * sum(col("cx")).over(wx) - col("cx") + 1L).as("r2x"))
+    val wy = Window.partitionBy(col("g")).orderBy(col("iy"))
+    val yr = joint.groupBy(col("g"), col("iy"))
+      .agg(sum(col("cnt")).as("cy"))
+      .select(col("g"), col("iy"),
+        (lit(2L) * sum(col("cy")).over(wy) - col("cy") + 1L).as("r2y"))
+    joint.join(xr, Seq("g", "ix")).join(yr, Seq("g", "iy"))
+      .groupBy(col("g"))
+      .agg(sum(dec(col("cnt"))).as("n2"),
+        countDistinct(col("ix")).as("state_cells_x"),
+        countDistinct(col("iy")).as("state_cells_y"),
+        sum(dec(col("cnt")) * dec(col("r2x"))).as("sx"),
+        sum(dec(col("cnt")) * dec(col("r2y"))).as("sy"),
+        sum(dec(col("cnt")) * dec(col("r2x")) * dec(col("r2x")))
+          .as("sxx"),
+        sum(dec(col("cnt")) * dec(col("r2y")) * dec(col("r2y")))
+          .as("syy"),
+        sum(dec(col("cnt")) * dec(col("r2x")) * dec(col("r2y")))
+          .as("sxy"))
+      .select(col("g"), col("state_cells_x"), col("state_cells_y"),
+        expr("""CASE WHEN n2 > 1
+          AND (cast(n2 as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double)) > 0
+          AND (cast(n2 as double) * cast(syy as double)
+            - cast(sy as double) * cast(sy as double)) > 0
+        THEN cast(round(1000000.0d
+          * (cast(n2 as double) * cast(sxy as double)
+            - cast(sx as double) * cast(sy as double))
+          / (sqrt(cast(n2 as double) * cast(sxx as double)
+              - cast(sx as double) * cast(sx as double))
+           * sqrt(cast(n2 as double) * cast(syy as double)
+              - cast(sy as double) * cast(sy as double)))) as bigint)
+        END""").as("rho_lattice_ppm"))
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     q1Agg, latestPerKeyAll, q3Shipping, q5LocalSupplier, q18LargeOrders,
     aggRegrFit, aggFilterClause, q10Returned, q7Volume, q6Forecast,
     q14Promo, q19Disjunct, weightedMedian, giniConcentration,
     q13OrderDist, q17SmallQty, q15TopSupplier, q4OrderPriority,
     q8MarketShare, q12PriorityCensus, supplierValueShare,
-    q9ProductProfit, q16SupplierCensus, statsSpearmanRank)
+    q9ProductProfit, q16SupplierCensus, statsSpearmanRank,
+    statsSpearmanLattice)
 }

@@ -517,13 +517,13 @@ object SketchQueries {
 
   /** Lattice cell of the positive BIGINT column named `v`: < 16 exact,
     * else 16·(bitlength−1) + top-4-bits-after-MSB. */
-  private def latIdx(v: String) = expr(
+  private[queries] def latIdx(v: String) = expr(
     s"CASE WHEN $v < 16 THEN $v" +
       s" ELSE 16 * cast(length(bin($v)) - 1 as bigint)" +
       s" + shiftright($v, cast(length(bin($v)) - 5 as int)) % 16 END")
 
   /** Lower-bound decode of the lattice cell column named `i`. */
-  private def latDecode(i: String) = expr(
+  private[queries] def latDecode(i: String) = expr(
     s"CASE WHEN $i < 16 THEN $i ELSE shiftleft(16 + $i % 16," +
       s" cast($i div 16 - 4 as int)) END")
 
