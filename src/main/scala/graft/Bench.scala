@@ -791,9 +791,15 @@ object Bench {
       // stop warming so the window shrinks the timed set instead of
       // eating the sweeps' budget. Ratio floor 0.2 s on the base cost
       // keeps sub-100ms entries' jitter out of the signal. Only armed
-      // when the baseline credibly prices the entries.
+      // when the baseline credibly prices the entries, and NEVER under
+      // BENCH_ALL (r20 tier run: a stall window at warm time aborted
+      // the pass 51 s into a 900 s budget and 261 entries entered
+      // sweep 1 cold — a re-record run has an operator-sized budget
+      // and exists to produce WARMED numbers; for it, warming through
+      // the window is strictly better than cold sweeps).
       val stallStreak = new java.util.concurrent.atomic.AtomicInteger(0)
       @volatile var stallAbort = false
+      val stallAbortArmed = !benchAll
       val warmThreads = (1 to 8).map { _ =>
         new Thread(() => {
           // NO unpersist in here: warm-up entries run CONCURRENTLY, and
@@ -831,7 +837,8 @@ object Bench {
               cancelSink = cancelled)
             val warmSec = (System.nanoTime() - e0) / 1e9
             if (!cancelled.contains(n)) warmObserved.put(n, warmSec)
-            baseKv.get(n).filter(_ => baselineConfigMatches)
+            baseKv.get(n)
+              .filter(_ => baselineConfigMatches && stallAbortArmed)
               .foreach { b =>
                 if (warmSec >= 10.0 * math.max(b, 0.2)) {
                   if (stallStreak.incrementAndGet() >= 6 && !stallAbort) {
