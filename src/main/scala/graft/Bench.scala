@@ -158,12 +158,49 @@ object Bench {
     * shard, partial run) are skipped entirely — advancing past an
     * untimed group would leave its entries permanently unmeasured.
     * Sequential coverage is per TIMED slice, not per published
-    * number. */
+    * number. A full-catalog BENCH_ALL artifact records
+    * `rotation_timed: true` (its rotation slice is vacuously covered —
+    * every entry was timed), so builder-side BENCH_ALLs advance the
+    * group too once their artifact is in the scanned set (r20 verdict
+    * item 5). */
   private[graft] def nextRotationGroup(rawsNewestFirst: Seq[String],
       rotationK: Int): Option[Int] =
     rawsNewestFirst.iterator.flatMap(rotationRecord(_)).collectFirst {
       case (g, true) => math.floorMod(g + 1, rotationK)
     }
+
+  /** Rotation STALENESS counter (r20 verdict item 5 — "worth a
+    * staleness counter in the artifact"): how many consecutive recent
+    * artifacts failed to time their rotation slice. 0 = the newest
+    * rotation-recording artifact advanced the group; N = the group has
+    * been stuck behind N untimed runs (r18-r20 published
+    * rotation_timed:false three driver rounds running and nothing in
+    * the artifact said how stale the non-core entries were).
+    * Artifacts with no rotation record (pre-r12, truncated) are
+    * skipped, same as in [[nextRotationGroup]]. */
+  private[graft] def rotationAge(rawsNewestFirst: Seq[String]): Int =
+    rawsNewestFirst.iterator.flatMap(rotationRecord(_))
+      .takeWhile(!_._2).size
+
+  /** Pure DEGRADED-TIER cross-check (r20 verdict item 1): on a run
+    * with no healthy sweep (`sweeps_completed: 0`, or every completed
+    * sweep self-flagged), a sample >= `factor`x its SAME-SUBSTRATE
+    * degraded-tier denominator is a co-location-window artifact, not a
+    * plan measurement — the r20 driver artifact published 10 samples
+    * at 13-69x their tier denominators (all ~1-1.5 s in the tier
+    * record hours earlier) because the window was CPU-shaped and the
+    * run>>cpu stall signature never fired. Returns the entries to
+    * exclude from the headline ratios (their raw numbers stay in
+    * "queries"; the exclusion is published under "tier_excluded").
+    * With any healthy sweep in hand the lower-median already prefers
+    * healthy samples, so the cross-check stands down. `minSec` keeps
+    * sub-second jitter out of the signal. */
+  private[graft] def tierExcludedEntries(results: Map[String, Double],
+      tierKv: Map[String, Double], anyHealthySweep: Boolean,
+      factor: Double = 3.0, minSec: Double = 1.0): Set[String] =
+    if (anyHealthySweep) Set.empty
+    else results.collect { case (n, v) if v >= minSec &&
+      tierKv.get(n).exists(t => t > 0 && v / t >= factor) => n }.toSet
 
   /** Pure decision predicate for the startup-degraded shard HEAL —
     * restore the rotation slice iff the post-warm-up probe reads
@@ -426,6 +463,32 @@ object Bench {
         .findFirstMatchIn(text).map(_.group(1))
       baseSf.contains(sfDir) && baseCpus.contains(cpus)
     }
+    // ----- DEGRADED-TIER record (r20 verdict item 1): the same-substrate
+    // denominator set recorded in r20 (BASELINE_BENCH_DEGRADED.json,
+    // 276/276, 3 sweeps on the calibm~1.7x tier). Two uses: (a) on a
+    // run with NO healthy sweep, any sample >= 3x its same-tier
+    // denominator is a co-location-window artifact (r20's driver run
+    // published 13-69x samples — agg_percentiles 70.5 s vs 1.53 tier —
+    // that the run>>cpu stall signature missed because the window was
+    // CPU-shaped); such samples are excluded from the headline ratios
+    // and published under "tier_excluded". (b) "vs_degraded_tier" is
+    // emitted beside vs_baseline so a degraded-host run has a
+    // same-substrate comparison in the artifact itself.
+    val tierPath = Paths.get("BASELINE_BENCH_DEGRADED.json")
+    val tierText: Option[String] =
+      if (Files.exists(tierPath)) Some(Files.readString(tierPath))
+      else None
+    val tierKv: Map[String, Double] = tierText.map { text =>
+      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val tierConfigMatches: Boolean = tierText.exists { text =>
+      val tSf = """"sf":\s*"([^"]+)"""".r
+        .findFirstMatchIn(text).map(_.group(1))
+      val tCpus = """"cpus":\s*"?([0-9]+)"?""".r
+        .findFirstMatchIn(text).map(_.group(1))
+      tSf.contains(sfDir) && tCpus.contains(cpus)
+    }
 
     // ----- timed-catalog shard (round-12). Round index = max committed
     // BENCH_r{N}.json + 1 — deterministic, survives re-runs within a
@@ -455,19 +518,41 @@ object Bench {
     // remains the fallback when no artifact records a timed group. The
     // derivation path is LOGGED: r14's fallback was silent, which is
     // exactly how a dead recovery regex survived a round unnoticed.
+    // Artifact scan, newest first. Two sources (r20 verdict item 5):
+    // the driver's committed BENCH_r{N}.json files (round = file name)
+    // and the working tree's bench_out.json — the builder's most
+    // recent run, which from r21 on self-describes its round via the
+    // artifact's "round" field; a BENCH_ALL bench_out is a full-
+    // catalog timed run and must advance the rotation group just like
+    // a driver artifact would. Ordering: round DESC, BENCH_r file
+    // preferred over bench_out at the same round (the driver runs
+    // after the builder session ends, so its artifact is the later
+    // one). A bench_out without a "round" field (pre-r21) cannot be
+    // ordered and is ignored.
+    val artifactRaws: Seq[String] = {
+      val benchR = Files.list(Paths.get(".")).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+          (s.stripPrefix("BENCH_r").stripSuffix(".json").toInt, 1, s) }
+        .toSeq
+      val benchOut = {
+        val p = Paths.get("bench_out.json")
+        if (!Files.exists(p)) Seq.empty
+        else {
+          val text = scala.util.Try(Files.readString(p)).getOrElse("")
+          """"round":\s*([0-9]+)""".r.findFirstMatchIn(text)
+            .map(m => (m.group(1).toInt, 0, "bench_out.json")).toSeq
+        }
+      }
+      (benchR ++ benchOut).sortBy(t => (-t._1, -t._2))
+        .map { case (_, _, f) => scala.util.Try(
+          Files.readString(Paths.get(f))).getOrElse("") }
+    }
+    val rotAge: Int = rotationAge(artifactRaws)
     val (rotationG, rotationSrc): (Int, String) = {
       val fromArtifacts =
         if (sys.env.contains("SPARK_GRAFT_ROUND")) None
-        else {
-          val raws = Files.list(Paths.get(".")).iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-              (s.stripPrefix("BENCH_r").stripSuffix(".json").toInt, s) }
-            .toSeq.sortBy(-_._1)
-            .map { case (_, f) => scala.util.Try(
-              Files.readString(Paths.get(f))).getOrElse("") }
-          nextRotationGroup(raws, rotationK)
-        }
+        else nextRotationGroup(artifactRaws, rotationK)
       fromArtifacts.map((_, "artifact"))
         .getOrElse((math.floorMod(roundIdx, rotationK),
           if (sys.env.contains("SPARK_GRAFT_ROUND")) "env-override"
@@ -840,7 +925,13 @@ object Bench {
             baseKv.get(n)
               .filter(_ => baselineConfigMatches && stallAbortArmed)
               .foreach { b =>
-                if (warmSec >= 10.0 * math.max(b, 0.2)) {
+                // absolute >= 5 s floor (r20 ADVICE): cost-descending
+                // warm order clusters sub-100 ms entries at the tail,
+                // and 6 of them at ~2 s each (codegen/JIT + 8-way
+                // contention) would satisfy the ratio test on a
+                // healthy host; a real stall window inflates entries
+                // to tens of seconds, far past the floor
+                if (warmSec >= 5.0 && warmSec >= 10.0 * math.max(b, 0.2)) {
                   if (stallStreak.incrementAndGet() >= 6 && !stallAbort) {
                     stallAbort = true
                     System.err.println(f"[bench] MID-WARM STALL: 6 " +
@@ -1446,6 +1537,22 @@ object Bench {
       System.err.println(s"[bench] ${stallExcluded.size} stall-mode " +
         s"entries EXCLUDED from vs_baseline: " +
         stallExcluded.toSeq.sorted.mkString(","))
+    // Degraded-tier cross-check (r20 verdict item 1): with NO healthy
+    // sweep in hand, any sample >= 3x its same-substrate tier
+    // denominator is window arithmetic, not a plan measurement —
+    // excluded from the headline ratios alongside the stall set (raw
+    // numbers stay in "queries"). Disjoint from stall_excluded in the
+    // artifact so a reader sees which detector fired.
+    val tierExcluded: Set[String] =
+      if (!tierConfigMatches) Set.empty
+      else tierExcludedEntries(resultMap, tierKv, healthySweeps > 0)
+        .diff(stallExcluded)
+    if (tierExcluded.nonEmpty)
+      System.err.println(s"[bench] ${tierExcluded.size} entries >= 3x " +
+        s"their degraded-tier denominator on a 0-healthy-sweep run — " +
+        s"EXCLUDED from vs_baseline: " +
+        tierExcluded.toSeq.sorted.mkString(","))
+    val ratioExcluded: Set[String] = stallExcluded ++ tierExcluded
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -1470,7 +1577,7 @@ object Bench {
           else {
             val shared = results.collect {
               case (k, v) if v >= 0 && baseKv.contains(k) &&
-                !verificationOnly(k) && !stallExcluded(k) => (v, baseKv(k)) }
+                !verificationOnly(k) && !ratioExcluded(k) => (v, baseKv(k)) }
             val baseSum = shared.map(_._2).sum
             val raw =
               if (baseSum > 0) Some(shared.map(_._1).sum / baseSum) else None
@@ -1502,6 +1609,20 @@ object Bench {
       }
     def ratio3(name: String, v: Option[Double]): String =
       v.map(r => s""","$name":${math.rint(r * 1000) / 1000}""").getOrElse("")
+    // Same-substrate ratio (r20 verdict item 1): vs the degraded-tier
+    // record, so a degraded-host run carries its own like-for-like
+    // comparison — a sample 2x the HEALTHY baseline but 0.7x the tier
+    // is the substrate, not the plan. Shares the exclusion set with
+    // vs_baseline.
+    val vsTier: Option[Double] =
+      if (!tierConfigMatches) None
+      else {
+        val shared = results.collect {
+          case (k, v) if v >= 0 && tierKv.contains(k) &&
+            !verificationOnly(k) && !ratioExcluded(k) => (v, tierKv(k)) }
+        val s = shared.map(_._2).sum
+        if (s > 0) Some(shared.map(_._1).sum / s) else None
+      }
     // The probe-drift factors calm divides out, published alongside it
     // (r18 ADVICE): calm is DIAGNOSTIC — it attributes, it does not
     // gate — and a reader must see how much was divided out to weigh
@@ -1515,6 +1636,7 @@ object Bench {
     val extra = ratio3("vs_baseline", vsBaseline) +
       ratio3("vs_baseline_cal", vsBaselineCal) +
       ratio3("vs_baseline_calm", vsBaselineCalm) +
+      ratio3("vs_degraded_tier", vsTier) +
       ratio3("drift_cpu", driftCpu) +
       ratio3("drift_mem", driftMem)
     // Per-entry outliers, pre-digested: entries reading >= 3x their
@@ -1558,11 +1680,14 @@ object Bench {
         s""""warm_dropped":$warmDropped,""" +
         s""""budget_dropped":$budgetDropped,""" +
         s""""timed":${timedNames.size},"catalog":${names.size},""" +
+        s""""round":$roundIdx,""" +
         s""""rotation_group":$rotationG,"rotation_k":$rotationK,""" +
         s""""rotation_timed":${rotationSlice.forall(samples.contains)},""" +
+        s""""rotation_age":$rotAge,""" +
         s""""skip_list":${strArr(skipList.toSeq.sorted)},""" +
         s""""single_task":${strArr(singleTask)},""" +
         s""""stall_excluded":${strArr(stallExcluded)},""" +
+        s""""tier_excluded":${strArr(tierExcluded)},""" +
         s""""regressions":${regressions.mkString("[", ",", "]")},""" +
         s""""deadlined":${strArr(deadlined.asScala)}""" +
         s"""$extra,"sf":"$sfDir"}"""

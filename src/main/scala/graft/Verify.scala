@@ -56,10 +56,28 @@ object Verify {
       try {
         val p = new ProcessBuilder("python3", "tools/audit_oracle_types.py",
           s"$outDir/oracle_sql.json", sfDir).redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes())
-        p.waitFor()
+        // Bounded wait (r20 ADVICE): readAllBytes + waitFor with no
+        // timeout let a hung python3/duckdb (file lock) stall Verify
+        // forever, contradicting the best-effort contract. Output is
+        // drained on a daemon thread (so a chatty audit can't fill the
+        // pipe and deadlock the bounded waitFor), and expiry kills the
+        // subprocess tree.
+        val out = new java.io.ByteArrayOutputStream()
+        val drain = new Thread(() => {
+          try p.getInputStream.transferTo(out)
+          catch { case _: Exception => () }
+        })
+        drain.setDaemon(true)
+        drain.start()
+        val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) {
+          p.destroyForcibly()
+          System.err.println(
+            "[verify] oracle type audit TIMED OUT (120 s): killed")
+        }
+        drain.join(5000)
         System.err.println(s"[verify] oracle type audit (exit " +
-          s"${p.exitValue()}):\n$out")
+          s"${if (done) p.exitValue().toString else "timeout"}):\n$out")
       } catch { case e: Exception =>
         System.err.println(s"[verify] oracle type audit skipped: " +
           s"${e.getMessage}")

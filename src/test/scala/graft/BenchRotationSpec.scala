@@ -147,6 +147,62 @@ class BenchRotationSpec extends AnyFunSuite {
       minKeep = 3).size === 3)
   }
 
+  test("rotation_age counts consecutive untimed artifacts newest-first " +
+      "(r20 verdict item 5: the staleness the artifact must publish)") {
+    val untimed =
+      """{"degraded_shard":true,"rotation_group":1,"rotation_timed":false}"""
+    val timed =
+      """{"degraded_shard":false,"partial":false,"rotation_group":0,""" +
+        """"rotation_timed":true}"""
+    assert(Bench.rotationAge(Seq(timed, untimed)) === 0,
+      "newest artifact timed -> age 0")
+    assert(Bench.rotationAge(Seq(untimed, timed)) === 1)
+    assert(Bench.rotationAge(Seq(untimed, untimed, untimed, timed)) === 3,
+      "the r18-r20 shape: three stuck driver rounds read as age 3")
+    // artifacts with no rotation record (truncated tails) are skipped,
+    // not counted as untimed
+    assert(Bench.rotationAge(Seq("""{"n":9,"tail":"..."}""", timed)) === 0)
+    assert(Bench.rotationAge(Seq.empty) === 0)
+    assert(Bench.rotationAge(Seq(untimed)) === 1)
+  }
+
+  test("a full-catalog BENCH_ALL artifact advances the rotation group " +
+      "(its empty slice is vacuously timed — r20 verdict item 5)") {
+    // the shape Bench emits under BENCH_ALL: rotationSlice is empty so
+    // rotation_timed prints true even on a degraded host
+    val benchAll =
+      """{"timed":276,"catalog":276,"round":21,"rotation_group":1,""" +
+        """"rotation_k":4,"rotation_timed":true}"""
+    assert(Bench.rotationRecord(benchAll) === Some((1, true)))
+    val stuckDriver =
+      """{"degraded_shard":true,"rotation_group":1,"rotation_timed":false}"""
+    // builder BENCH_ALL newer than the stuck driver artifact: advances
+    assert(Bench.nextRotationGroup(Seq(benchAll, stuckDriver), 4) ===
+      Some(2))
+  }
+
+  test("degraded-tier cross-check: >= 3x the same-substrate denominator " +
+      "on a 0-healthy-sweep run is excluded; healthy sweeps stand down") {
+    val tier = Map("agg_percentiles" -> 1.53, "roundtrip_csv" -> 1.41,
+      "cheap" -> 0.2, "calibn_sec" -> 0.34)
+    // the r20 driver-run shape: 70.5 s against a 1.53 s tier denominator
+    val results = Map("agg_percentiles" -> 70.5, "roundtrip_csv" -> 1.2,
+      "cheap" -> 0.9, "unknown_entry" -> 50.0)
+    assert(Bench.tierExcludedEntries(results, tier,
+      anyHealthySweep = false) === Set("agg_percentiles"),
+      "70.5 vs 1.53 excluded; 1.2 vs 1.41 kept; sub-1s jitter kept; " +
+        "no tier denominator -> no cross-check")
+    // any healthy sweep: lower-median already prefers healthy samples
+    assert(Bench.tierExcludedEntries(results, tier,
+      anyHealthySweep = true) === Set.empty[String])
+    // boundary: exactly 3.0x at >= 1 s is excluded
+    assert(Bench.tierExcludedEntries(Map("q" -> 3.0), Map("q" -> 1.0),
+      anyHealthySweep = false) === Set("q"))
+    // a zero/absent denominator can never divide
+    assert(Bench.tierExcludedEntries(Map("q" -> 9.0), Map("q" -> 0.0),
+      anyHealthySweep = false) === Set.empty[String])
+  }
+
   test("stall-mode attribution: run >> cpu in EVERY window flags the " +
       "entry; one healthy window acquits it; warm-up events ignored") {
     // the r19 CC signature: stage run 134.6 s, cpu 8.9 s — run/cpu 15x

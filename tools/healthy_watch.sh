@@ -33,9 +33,22 @@ while true; do
   if [ "$consec" -ge 2 ]; then
     attempts=$((attempts+1))
     echo "$(date -u +%F' '%T) WINDOW DETECTED (attempt $attempts): firing BENCH_ALL" >> "$LOG"
+    # r20 ADVICE: a Bench that dies before writing bench_out.json must
+    # not let a STALE artifact from an earlier run masquerade as the
+    # healthy-window re-record — remove it first and require the file
+    # to be newer than the launch.
+    launch_ts=$(date +%s)
+    rm -f bench_out.json
     SPARK_GRAFT_BENCH_ALL=1 SPARK_GRAFT_BENCH_BUDGET_SEC=1200 \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       tools/run_main.sh graft.Bench >> "$LOG" 2>&1
+    if [ ! -f bench_out.json ] || \
+       [ "$(stat -c %Y bench_out.json 2>/dev/null || echo 0)" -lt "$launch_ts" ]; then
+      echo "$(date -u +%F' '%T) Bench left no fresh bench_out.json; skipping record" >> "$LOG"
+      [ "$attempts" -ge 3 ] && exit 0
+      consec=0
+      continue
+    fi
     cp bench_out.json HEALTHY_WINDOW_CANDIDATE.json
     python3 - <<'EOF' >> "$LOG" 2>&1
 import json
@@ -44,7 +57,7 @@ json.dump(sorted(b["core"]), open("/tmp/graft_core.json", "w"))
 EOF
     if python3 tools/make_baseline.py HEALTHY_WINDOW_CANDIDATE.json \
          /tmp/graft_core.json \
-         "r20 healthy-window auto re-record (healthy_watch.sh)" >> "$LOG" 2>&1; then
+         "r21 healthy-window auto re-record (healthy_watch.sh)" >> "$LOG" 2>&1; then
       echo "$(date -u +%F' '%T) BASELINE_BENCH.json RE-RECORDED" >> "$LOG"
       exit 0
     fi
