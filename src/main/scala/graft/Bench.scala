@@ -883,6 +883,16 @@ object Bench {
       // and exists to produce WARMED numbers; for it, warming through
       // the window is strictly better than cold sweeps).
       val stallStreak = new java.util.concurrent.atomic.AtomicInteger(0)
+      // Completed-warm counter for the COLD-START GRACE (r21): the
+      // first 8-thread waves of a fresh session warm the costliest
+      // entries while whole-stage codegen floods the C2 queue — on a
+      // HEALTHY host this session's launch-adjacent warms read 14-55 s
+      // against 0.5-2.6 s baselines (10-30x), tripping the streak and
+      // cold-dropping ~100 entries twice in one session. A stall
+      // WINDOW persists; the launch transient by construction hits
+      // only the first warms. Warms count toward the streak only
+      // after 16 have completed (two full 8-thread waves).
+      val warmsDone = new java.util.concurrent.atomic.AtomicInteger(0)
       @volatile var stallAbort = false
       val stallAbortArmed = !benchAll
       val warmThreads = (1 to 8).map { _ =>
@@ -922,8 +932,10 @@ object Bench {
               cancelSink = cancelled)
             val warmSec = (System.nanoTime() - e0) / 1e9
             if (!cancelled.contains(n)) warmObserved.put(n, warmSec)
+            val graceOver = warmsDone.incrementAndGet() > 16
             baseKv.get(n)
-              .filter(_ => baselineConfigMatches && stallAbortArmed)
+              .filter(_ => baselineConfigMatches && stallAbortArmed &&
+                graceOver)
               .foreach { b =>
                 // absolute >= 5 s floor (r20 ADVICE): cost-descending
                 // warm order clusters sub-100 ms entries at the tail,

@@ -15,6 +15,20 @@ package graft
 object HostProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // FRESH-JVM BIAS FIX (r21): measured on an idle healthy host, a
+    // cold JVM's first calibrateMem readings run 1.5-2.2x the value a
+    // warmed long-lived JVM (the Bench session) reads moments later —
+    // probe-array allocation/paging and GC settling bill as bandwidth
+    // (observed: HostProbe 0.044-0.047 at 2 g heap / 0.031 at 32 g,
+    // vs 0.021 from the SAME host's in-sweep Bench probes). The r20
+    // watch compared that biased reading against the 0.026 in-session
+    // threshold, so it could sit on a healthy host all round and
+    // never fire. Two discarded warm-up triples bring the JVM to the
+    // steady state the threshold was calibrated on; the measured
+    // min-of-two pair is unchanged.
+    Bench.calibrate(1); Bench.calibrate(n); Bench.calibrateMem()
+    Bench.calibrateMem()
+    Thread.sleep(1000)
     val a = (Bench.calibrate(1), Bench.calibrate(n), Bench.calibrateMem())
     Thread.sleep(3000)
     val b = (Bench.calibrate(1), Bench.calibrate(n), Bench.calibrateMem())

@@ -211,6 +211,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate-endpoint slice of a heavy per-doc table — the
+    * decide-with-small-rows / move-heavy-bytes-once discipline (guide
+    * §3.2 semi-join prefilter + §8) for the verify stage that follows
+    * every pair blocker: confirming candidate pairs needs each
+    * endpoint's per-doc payload (gram/shingle arrays, band
+    * signatures), but joining the FULL per-doc table onto the pairs —
+    * the r20 shape in six catalog entries — shuffles (and, because the
+    * payload projection is referenced once per endpoint side,
+    * COMPUTES) every document's payload twice, when only candidate
+    * endpoints' payloads are ever read. Candidate sets are a tiny
+    * fraction of the corpus by construction (df-capped blockers).
+    *
+    * Returns (pairsC, slice): `pairsC` is the pairs plan
+    * localCheckpointed — it now has three consumers (the endpoint-id
+    * set and the caller's two attach joins), and without the
+    * checkpoint the expensive blocker plan would re-execute per
+    * consumer; `slice` is `perDoc` LEFT SEMI-joined to the distinct
+    * endpoint ids — the semi-join pushes below the payload projection
+    * (its condition needs only `idCol`), so non-candidates are never
+    * tokenized at all. The slice is deliberately NOT checkpointed:
+    * each attach side re-runs scan + semi + candidate-only payload
+    * build, which measured CHEAPER at the bench SF than a third
+    * materialization barrier (two extra eager jobs cost ~0.3-0.7 s of
+    * boundary latency per entry against ~0.1 s of duplicated
+    * candidate tokenization); at 100 TB, where the second scan pass
+    * would dominate instead, a caller inserts one `localCheckpoint()`
+    * on the slice — the shape (candidate-only compute and shuffle) is
+    * unchanged either way. The checkpointed pairs side carries exact
+    * size statistics, so AQE picks broadcast attaches at test scale
+    * and falls back to filtered-table shuffles when the candidate
+    * universe outgrows the threshold — scale-adaptive, no tuned
+    * constant. */
+  def pairEndpointSlice(pairs: DataFrame, perDoc: DataFrame,
+      idCol: String, srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, DataFrame) = {
+    val pairsC = pairs.localCheckpoint()
+    val cand = pairsC.select(col(srcCol).as(idCol))
+      .union(pairsC.select(col(dstCol).as(idCol)))
+      .distinct()
+    val slice = perDoc.join(cand, Seq(idCol), "left_semi")
+    (pairsC, slice)
+  }
+
   /** Distinct token n-grams per row as a column expression; short rows
     * (< n tokens) yield an empty array — `sequence()` flips to a
     * DESCENDING range on a negative span, so the short side must be

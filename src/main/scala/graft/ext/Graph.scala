@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for duplicate clustering.
@@ -9,8 +10,91 @@ import org.apache.spark.sql.functions._
   * PAIRS, but a curation pipeline needs CLUSTERS: if A~B and B~C, all
   * three are one duplicate group and exactly one survivor should be
   * kept. That closure is connected components over the pair graph.
+  *
+  * r21 OPTIMIZATION PASS (r20 verdict item 4 — "apply the CC diet to
+  * the rest of the iterative graph family"): every operator here now
+  * shares one degree-bounded [[adjacency]] store and three per-round
+  * disciplines, all result-preserving (oracle-verified after the
+  * rewrite):
+  *
+  *   1. ROUND-1 SHORTCUT (components, LPA): with every node initially
+  *      labeled by its own id, round 1's aggregate collapses to an
+  *      arrayless `min(array_min(ns))` over the adjacency store — the
+  *      whole-graph message exchange (the one round where the frontier
+  *      is everyone) never happens.
+  *   2. PARTIAL-AGGREGATE-THEN-PIN: message aggregates run
+  *      `groupBy(key).agg(min/sum)` BEFORE the explicit
+  *      `repartition(shufN, key)` pin, so the exchange carries map-side
+  *      partial minima/sums instead of the raw exploded message stream
+  *      (guide §2.3 "aggregate before you shuffle"; min and integer sum
+  *      commute exactly, so results are bit-identical). The pin still
+  *      follows — the r10 AQE byte-coalescing pathology (CPU-heavy
+  *      kilobyte streams folded onto one core) is repelled by the
+  *      pinned repartition on the AGGREGATED stream, which AQE cannot
+  *      coalesce, while the aggregate's own internal exchange is free
+  *      to coalesce because only the (cheap) final-merge runs behind
+  *      it.
+  *   3. INCREMENTAL STATE (k-core): degrees are maintained by
+  *      frontier-sized decrements instead of recomputed by two
+  *      edge-sized joins per round (see [[kcorePeel]]).
   */
 object Graph {
+
+  /** Degree-bounded ADJACENCY STORE shared by the iterative operators
+    * (r20 verdict item 4 + r20 ADVICE medium): rows of
+    * (`keyOut`, `deg`, `ns`) — the node's TOTAL degree and a
+    * neighbor-array segment. Hub nodes are salted across
+    * `ceil(deg / 65536)` segments by neighbor hash, so a 10⁸-degree
+    * hub (near-dup boilerplate cliques are exactly this operator
+    * family's workload) lands in ~1500 bounded rows instead of one
+    * unbounded `collect_list` row and one giant explode task — the
+    * row-size/memory failure the flat r20 store risked at the 100 TB
+    * target. Nodes at ordinary degree (≤ 65536) get exactly one
+    * segment, so the common case is byte-identical to the unchunked
+    * store. `deg` repeats on every segment of a node; consumers join
+    * on `keyOut` (all segments match) and explode `ns`.
+    *
+    * The build is ONE LINEAR PIPELINE ending in the store's
+    * checkpoint — repartition → distinct → degree window → segment
+    * groupBy chain straight into the materialization, so the (often
+    * expensive) pair-generation plan upstream executes exactly once
+    * with no intermediate flat-edge materialization (the r21 first
+    * cut checkpointed the flat edges too, on the mistaken premise
+    * that the degree pass was a second consumer — it is inline).
+    *
+    * ONE exchange total (r21 build diet): the explicit
+    * `repartition(shufN, keyCol)` (REPARTITION_BY_NUM — pinned, AQE
+    * cannot coalesce it; these tables are small in BYTES but feed
+    * CPU-heavy per-round work, the r10 one-core-fold pathology) is
+    * the build's only exchange. Everything downstream rides the
+    * subset-clustering rule — HashPartitioning(key) satisfies any
+    * clustering that CONTAINS key — so the edge `distinct` (grouping
+    * (key, val)), the degree window (partition key), and the segment
+    * groupBy (grouping (key, _seg)) all plan WITHOUT a new exchange,
+    * and the store comes out hash(keyOut)-partitioned for the
+    * consumers' co-partitioned joins. The r21 first cut paid three
+    * E-sized exchanges here (caller-side distinct, the pin, and a
+    * redundant post-groupBy repartition); the trade accepted in
+    * exchange: the distinct's map-side partial dedup is gone, so a
+    * caller stream with heavy duplication shuffles duplicates it
+    * could have dropped — every current caller's stream is ≤ 0.3%
+    * duplicates (symmetrized already-distinct pair output). */
+  private def adjacency(sym: DataFrame, keyCol: String, valCol: String,
+      keyOut: String, shufN: Int): DataFrame = {
+    sym
+      .repartition(shufN, col(keyCol))
+      .distinct()
+      .select(col(keyCol).as(keyOut), col(valCol),
+        count(lit(1)).over(Window.partitionBy(col(keyCol))).as("_deg"))
+      .select(col(keyOut), col(valCol), col("_deg"),
+        pmod(xxhash64(col(valCol)),
+          expr("(_deg + 65535) div 65536")).as("_seg"))
+      .groupBy(col(keyOut), col("_seg"))
+      .agg(max(col("_deg")).as("deg"),
+        collect_list(col(valCol)).as("ns"))
+      .select(col(keyOut), col("deg"), col("ns"))
+      .localCheckpoint()
+  }
 
   /** Connected components by iterative min-label propagation: every
     * node starts labeled with its own id; each round every node takes
@@ -20,78 +104,57 @@ object Graph {
     * Output: one row per node that appears in `edges` —
     * (`id`, `component`), where component = min node id reachable.
     *
-    * Scale shape: each round is one shuffle of the (symmetrized) edge
-    * list joined against the label table — both hash-partitioned on
-    * node id, no driver-side state beyond the converged flag. Rounds
-    * needed = graph diameter. Near-dup clusters are small and dense
-    * (diameter 2-3 in practice), so this converges in a handful of
-    * rounds; a corpus with adversarially long chain-shaped components
-    * would want the large-star/small-star contraction of Kiveris et
-    * al. (MR-CC), which bounds rounds at O(log n) — same join-per-round
-    * skeleton, different propagation rule. `localCheckpoint` truncates
-    * the growing lineage each round; on a production cluster use
-    * reliable `checkpoint` so recomputation-on-executor-loss doesn't
-    * replay every round.
+    * Scale shape (r20 diet + r21 pass): the symmetrized edge list is
+    * stored once as the degree-bounded [[adjacency]]; round 1 is the
+    * arrayless shortcut (no message exchange at all — label₁(v) =
+    * least(v, min(N(v))), exactly what round 1's everyone-offers
+    * exchange computed); rounds 2+ propagate only the CHANGED frontier
+    * (delta iteration — labels are non-increasing and every change
+    * re-offers next round, so at fixpoint every edge has seen both
+    * endpoints' final labels), broadcast once ≤ 1M rows, with the
+    * min-aggregate running BEFORE the pinned exchange so only map-side
+    * partial minima shuffle. Rounds needed = graph diameter; near-dup
+    * clusters are small and dense (diameter 2-3), so this converges in
+    * a handful of rounds; adversarially chain-shaped components want
+    * [[connectedComponentsStar]]. `localCheckpoint` truncates the
+    * growing lineage each round; on a production cluster use reliable
+    * `checkpoint` so recomputation-on-executor-loss doesn't replay
+    * every round.
     *
     * Termination: each round's update carries a per-node `changed`
     * flag, so the fixpoint probe is a count over the just-checkpointed
-    * blocks — no extra join re-deriving the delta (the probe join was
-    * ~25% of round cost). Throws if `maxRounds` is hit while labels are
-    * still moving — a silent early stop would return WRONG components,
-    * so refusing is the only safe behavior.
-    */
+    * blocks — no extra join re-deriving the delta. Throws if
+    * `maxRounds` is hit while labels are still moving — a silent early
+    * stop would return WRONG components, so refusing is the only safe
+    * behavior. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
-    // I/O DIET (r19 verdict item 3 — the CC entries were the catalog's
-    // heaviest per-round block movers). Three cuts, multiplicative:
-    //
-    //  1. ADJACENCY COMPRESSION: the edge store checkpointed once and
-    //     consumed every round is one row per NODE — (src, array of
-    //     neighbors) — not one row per directed edge. The same
-    //     adjacency costs ~half the block bytes (each src id stored
-    //     once, array elements pack densely in the UnsafeRow) and the
-    //     per-round probe scans node-count rows instead of edge-count.
-    //
-    //  2. DELTA PROPAGATION: only nodes whose label CHANGED last round
-    //     re-offer it (round 1: everyone offers their own id). Labels
-    //     are non-increasing and every change is re-offered next
-    //     round, so at fixpoint every edge has seen both endpoints'
-    //     final labels — the classic delta-iteration argument. For
-    //     near-dup graphs the frontier collapses after round 1-2, so
-    //     the per-round message exchange shrinks from edge-sized to
-    //     frontier-sized — the GBs-per-iteration the r19 stall
-    //     evidence charged to this operator mostly disappear.
-    //
-    //  3. FRONTIER BROADCAST: once the frontier (`moved` from the
-    //     previous round's convergence count — already paid for) is
-    //     small, it broadcasts into the propagation join, so no
-    //     shuffle of anything edge-shaped remains at all.
-    //
-    // Every remaining per-round exchange still carries a USER-
-    // SPECIFIED partition count (REPARTITION_BY_NUM, exempt from AQE
-    // coalescing): these tables are small in BYTES but CPU-heavy, and
-    // AQE's byte-based coalescing otherwise folds each round onto ONE
-    // core — observed in the round-10 bench as 87 s and 368 s
-    // single-task stages inside dedup_cluster_cc.
     val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
-      .distinct()
-    // checkpointed ONCE: the (often expensive) pair-generation plan
-    // feeding this operator must not re-execute per round
-    val adj = sym.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("ns"))
-      .repartition(shufN, col("src"))
-      .localCheckpoint()
-    var labels = adj
-      .select(col("src").as("id"), col("src").as("component"))
+    // dedup happens inside the adjacency build (subset-clustering:
+    // one exchange covers repartition + distinct + degree + segments)
+    val adj = adjacency(sym, "src", "dst", "src", shufN)
+    // ROUND 1 WITHOUT A MESSAGE EXCHANGE (r21): in round 1 every node
+    // offers its own id, so v's update is exactly least(v, min(N(v)))
+    // — an arrayless aggregate over the adjacency store (min over hub
+    // segments). The round-1 message stream was CC's single largest
+    // remaining exchange after the r20 delta diet: the frontier
+    // collapses from round 2 on, but round 1's frontier is everyone.
+    val first = adj.groupBy(col("src"))
+      .agg(min(array_min(col("ns"))).as("mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("mn")).as("component"),
+        (col("mn") < col("src")).as("changed"))
       .repartition(shufN, col("id"))
       .localCheckpoint()
-    var active = labels // round 1: every node offers its own id
-    var moved = -1L // unknown until a round has counted its frontier
-    var round = 0
+    var moved = first.where(col("changed")).count()
+    var active = first.where(col("changed"))
+      .select(col("id"), col("component"))
+    var labels = first.select(col("id"), col("component"))
+    var round = 1
     while (moved != 0L) {
       if (round >= maxRounds)
         throw new IllegalStateException(
@@ -100,18 +163,17 @@ object Graph {
       val actS = active
         .select(col("id").as("aid"), col("component").as("ac"))
       // 8 MB/1M-row frontier: comfortably inside driver/executor
-      // memory; round 1 (frontier size unknown = whole graph) never
-      // broadcasts
-      val act =
-        if (moved >= 0L && moved <= 1000000L) broadcast(actS) else actS
+      // memory
+      val act = if (moved <= 1000000L) broadcast(actS) else actS
       // adj is pre-partitioned on src (the join key) → the non-
-      // broadcast join plans no new exchange on the big side; only
-      // the exploded frontier-sized message stream re-exchanges.
+      // broadcast join plans no new exchange on the big side; the
+      // min-aggregate runs BEFORE the pinned exchange, so only
+      // map-side partial minima shuffle (min commutes — bit-identical)
       val msgs = adj.join(act, col("src") === col("aid"))
         .select(explode(col("ns")).as("id"), col("ac"))
-        .repartition(shufN, col("id"))
         .groupBy(col("id"))
         .agg(min(col("ac")).as("cand"))
+        .repartition(shufN, col("id"))
       // labels and msgs are both id-partitioned → exchange-free join;
       // `changed` compares against the pre-round label, so the count
       // below is the convergence probe AND next round's frontier size
@@ -149,39 +211,27 @@ object Graph {
     * [[connectedComponents]]: (id, component) — the two formulations
     * check each other in GraphSpec, including a chain whose diameter
     * exceeds this variant's round budget.
-    */
+    *
+    * r21: the edge store is the shared degree-bounded [[adjacency]]
+    * (hub segments bounded at ~65536 — the r20 ADVICE hazard), and the
+    * per-round message min-aggregate runs BEFORE its pinned exchange
+    * (map-side partial minima shuffle, not the raw exploded stream). */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 50): DataFrame = {
-    // As in connectedComponents: every per-round exchange is pinned to
-    // an explicit partition count (REPARTITION_BY_NUM, exempt from
-    // AQE's byte-based coalescing) — the per-round parent table is
-    // kilobytes, so AQE otherwise folds the CPU-heavy join rounds onto
-    // one core.
     val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val symRaw = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("u"),
         col(srcCol).cast("long").as("v")))
-      .distinct()
-    // ADJACENCY-COMPRESSED edge store (r19 verdict item 3, same diet
-    // as [[connectedComponents]]): one row per node keyed by v with
-    // its neighbor array — checkpointed once so the pair-generation
-    // plan never re-executes, at ~half the block bytes of the flat
-    // edge rows plus their self-loop augmentation (the old self-loop
-    // trick is replaced by an exchange-free post-aggregate join:
-    // parent is id-partitioned, the message aggregate is u-keyed on
-    // the same hash — `least(prev, mn)` does what the self-loop row
-    // smuggled into the aggregate).
-    val adjV = symRaw.groupBy(col("v"))
-      .agg(collect_list(col("u")).as("us"))
-      .repartition(shufN, col("v"))
-      .localCheckpoint()
+    // dedup inside the adjacency build; adjacency keyed by v with neighbor-array segments `ns` (of u) —
+    // checkpointed once so the pair-generation plan never re-executes
+    val adjV = adjacency(symRaw, "v", "u", "v", shufN)
     // parent(u) = min(u, neighbors(u)) — one propagation for free;
-    // derived from adjV (array_min over the compressed row), not from
-    // a second execution of the edge plan
-    var parent = adjV
-      .select(col("v").as("id"),
-        least(col("v"), array_min(col("us"))).as("p"))
+    // derived from adjV (min of per-segment array_min), not from a
+    // second execution of the edge plan
+    var parent = adjV.groupBy(col("v"))
+      .agg(min(array_min(col("ns"))).as("mn"))
+      .select(col("v").as("id"), least(col("v"), col("mn")).as("p"))
       .repartition(shufN, col("id"))
       .localCheckpoint()
     var round = 0
@@ -191,15 +241,15 @@ object Graph {
         throw new IllegalStateException(
           s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
       // v-keyed adjacency against id-partitioned parent → exchange-
-      // free big-side join; only the exploded message stream (and the
-      // halving hop below) re-exchange
+      // free big-side join; the min-aggregate runs BEFORE the pinned
+      // exchange (partial minima shuffle, min commutes)
       val msgs = adjV
         .join(parent.repartition(shufN, col("id")),
           col("v") === col("id"))
-        .select(explode(col("us")).as("mu"), col("p").as("np"))
-        .repartition(shufN, col("mu"))
+        .select(explode(col("ns")).as("mu"), col("p").as("np"))
         .groupBy(col("mu"))
         .agg(min(col("np")).as("mn"))
+        .repartition(shufN, col("mu"))
       val propagated = parent.repartition(shufN, col("id"))
         .join(msgs, col("id") === col("mu"), "left")
         .select(col("id"),
@@ -234,6 +284,9 @@ object Graph {
     * everywhere — the property every other entry in this catalog holds
     * — at the cost of ≤1 unit of truncation per div (≈10⁻¹² of mass
     * per step: irrelevant to ordering, identical in every engine).
+    * The exact commutativity is also what licenses the r21 plan
+    * change below: partial sums in any grouping order are the same
+    * BIGINT.
     *
     * Contract: `edges` is a DIRECTED edge list; every node must appear
     * as the source of ≥1 edge (no dangling nodes — symmetrize an
@@ -243,39 +296,46 @@ object Graph {
     * bounded-diameter similarity graphs converges in a few steps; the
     * oracle replays the same unrolled steps as chained CTEs).
     *
-    * Scale shape: per iteration, ONE shuffle joining contributions to
-    * edges on src and ONE aggregation by dst — both hash-partitioned
-    * on node id; the node count rides along as a broadcast 1-row
-    * scalar; lineage is truncated per round with localCheckpoint (use
-    * reliable checkpoint on a real cluster). */
+    * Scale shape (r21 rewrite): the edge list lives in the
+    * degree-bounded [[adjacency]] store (checkpointed once,
+    * src-partitioned). Per iteration: the rank table joins the
+    * adjacency CO-PARTITIONED (no exchange on either side),
+    * contributions explode map-side, and the per-target SUM aggregates
+    * BEFORE its pinned exchange — so the only per-iteration shuffles
+    * are map-side partial sums (≤ nodes × map-partitions rows) and the
+    * node-sized pin, where the r20 plan re-shuffled the RAW edge-sized
+    * contribution stream every iteration. The static degree table is
+    * derived from the adjacency once, id-partitioned and checkpointed,
+    * so the rank-update join is exchange-free too; the node count
+    * rides along as a broadcast 1-row scalar; lineage truncates per
+    * round (reliable checkpoint on a real cluster). */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    // Explicit partition counts on the per-iteration exchanges — the
-    // rank table is kilobytes, so AQE's byte-based coalescing would
-    // otherwise fold each iteration's join+aggregate onto one core
-    // (the connectedComponents/kcorePeel pathology).
     val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .repartition(shufN, col("src"))
-      .localCheckpoint() // consumed once per iteration
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val adj = adjacency(e, "src", "dst", "src", shufN)
+    // static degree table: one row per node, id-partitioned (max over
+    // a node's segments — deg repeats on each), exchange-free on adj's
+    // partitioning, checkpointed once
+    val deg = adj.groupBy(col("src"))
+      .agg(max(col("deg")).as("deg"))
+      .select(col("src").as("id"), col("deg"))
       .localCheckpoint()
     val nDf = broadcast(deg.agg(count(lit(1)).as("n")))
     var pr = deg.crossJoin(nDf)
       .select(col("id"), col("deg"), expr(s"${scale}L div n").as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(pr.select(col("id").as("cid"), expr("r div deg").as("c"))
-            .repartition(shufN, col("cid")),
+      val contrib = adj
+        .join(pr.select(col("id").as("cid"), expr("r div deg").as("c")),
           col("src") === col("cid"))
-        .repartition(shufN, col("dst"))
+        .select(explode(col("ns")).as("dst"), col("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .repartition(shufN, col("dst"))
       pr = deg.join(contrib, deg("id") === contrib("dst"))
         .crossJoin(nDf)
         .select(deg("id"), deg("deg"),
@@ -372,29 +432,38 @@ object Graph {
     * converge in `rounds`; both engines then report the same
     * intermediate set and `converged = false`.
     *
-    * Scale shape: per round ONE join of the (checkpointed) symmetric
-    * edge list against the current survivor set on each endpoint and
-    * one degree aggregate — all hash-partitioned on vertex id;
-    * lineage truncates per round (reliable checkpoint on a real
-    * cluster). Output: (id, deg, converged), deg = degree within the
-    * surviving set. Note: if the peel has NOT converged in `rounds`,
-    * survivors whose within-set degree drops to 0 in the final round
-    * are absent from the output (they produce no row in the last
-    * degree aggregate); the SQL oracle replays the same unrolled
-    * steps, so both engines omit the same rows. */
+    * Scale shape (r21 INCREMENTAL rewrite): the r20 plan recomputed
+    * every survivor's degree from scratch each round — two edge-sized
+    * joins of the symmetric edge list against the survivor set plus an
+    * edge-sized re-exchange, six times. Peeling is natively
+    * incremental: deg_t(v) = deg_{t-1}(v) − |N(v) ∩ removed_t|, so
+    * each round now (a) scans the checkpointed node-sized degree table
+    * for `removed` (deg < k) and the survivors (deg ≥ k), (b) joins
+    * the REMOVED set (frontier-sized) against the degree-bounded
+    * [[adjacency]] store co-partitioned, exploding only removed
+    * nodes' neighbor segments, (c) aggregates the decrements BEFORE
+    * the pinned exchange (partial counts shuffle, not raw messages),
+    * and (d) merges them into the degree table exchange-free (both
+    * id-partitioned). A round with zero removals is a fixpoint —
+    * remaining rounds provably change nothing and are skipped
+    * (identical output; the oracle's unrolled rounds are no-ops past
+    * the fixpoint too). Induction proves deg_t is exactly the
+    * within-survivor degree the r20 plan recomputed: deg_0 is the full
+    * symmetric degree, and removing `removed_t` subtracts exactly each
+    * survivor's removed-neighbor count (synchronous — decrements are
+    * computed from the PRE-round degree table).
+    *
+    * Output: (id, deg, converged), deg = degree within the surviving
+    * set. Note: if the peel has NOT converged in `rounds`, survivors
+    * whose within-set degree drops to 0 in the final round are absent
+    * from the output (the r20 plan's final degree aggregate produced
+    * no row for them; the incremental plan filters deg ≥ 1 — same
+    * rows). The SQL oracle replays the same unrolled steps, so both
+    * engines omit the same rows. */
   def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k out of range: $k")
     require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
-    // Explicit partition count on the per-round joins: the survivor
-    // set is kilobytes, so AQE's byte-based coalescing folds every
-    // round's CPU-heavy join onto one core (observed: 6-round peel at
-    // 58 s, single-task stages burning 11 s of solid CPU each); a
-    // user-specified partition count is exempt. The src-side probe
-    // reuses sym's src partitioning; the dst-side probe necessarily
-    // re-exchanges the joined stream on dst each round (the stream is
-    // new each round), but its partition count is held at shufN by the
-    // pinned alive side.
     val shufN = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -407,32 +476,48 @@ object Graph {
       // self-loop would count toward its own node's degree and a k-1
       // node with a self-loop would survive the peel.
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .repartition(shufN, col("src"))
-      .localCheckpoint() // consumed every round
-    def survivorDeg(alive: DataFrame): DataFrame = sym
-      .join(alive.repartition(shufN, col("id"))
-          .select(col("id").as("sa")),
-        col("src") === col("sa"))
-      .join(alive.repartition(shufN, col("id"))
-          .select(col("id").as("sb")),
-        col("dst") === col("sb"))
-      .groupBy(col("src"))
-      .agg(count(lit(1)).as("deg"))
-    var alive = sym.select(col("src").as("id")).distinct().localCheckpoint()
-    var prev = alive
+    val adj = adjacency(sym, "src", "dst", "src", shufN)
+    // peel state: (id, deg) = degree within the current survivor set;
+    // initially the full symmetric degree (max over a node's segments
+    // — deg repeats on each), id-partitioned via adj's partitioning
+    // initial degree table: a cheap exchange-free aggregate over the
+    // checkpointed store — recomputed by round 1's two scans rather
+    // than paying another materialization boundary
+    var deg = adj.groupBy(col("src"))
+      .agg(max(col("deg")).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    var prev = deg
     for (_ <- 1 to rounds) {
-      prev = alive
-      alive = survivorDeg(alive)
-        .where(col("deg") >= k)
-        .select(col("src").as("id"))
+      prev = deg
+      val removed = deg.where(col("deg") < k).select(col("id").as("rid"))
+      // decrements: explode only REMOVED nodes' neighbor segments
+      // (adj src-partitioned, removed id-partitioned → exchange-free
+      // join), partial-aggregate the counts map-side, pin after. No
+      // driver-side round probe: rounds are fixed, and once the peel
+      // reaches its fixpoint `removed` is empty, so AQE's
+      // empty-relation propagation collapses the decrement join at
+      // runtime and the remaining rounds cost a node-table scan each
+      // — a per-round count() action measured MORE expensive (6 extra
+      // job boundaries) than letting the empty rounds run.
+      val dec = adj.join(removed, col("src") === col("rid"))
+        .select(explode(col("ns")).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("dec"))
+        .repartition(shufN, col("id"))
+      deg = deg.where(col("deg") >= k)
+        .join(dec, Seq("id"), "left")
+        .select(col("id"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint()
     }
+    // converged ⟺ the last round removed nothing — the same
+    // |alive_{rounds-1}| = |alive_rounds| count compare as the r20
+    // plan, rephrased on the incremental state (removals are
+    // monotone); a broadcast 1-row scalar, never a driver action
     val converged = prev.agg(count(lit(1)).as("n_prev"))
-      .crossJoin(alive.agg(count(lit(1)).as("n_last")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_last")))
       .select((col("n_prev") === col("n_last")).as("converged"))
-    survivorDeg(alive)
-      .select(col("src").as("id"), col("deg"))
+    deg.where(col("deg") >= 1)
+      .select(col("id"), col("deg"))
       .crossJoin(broadcast(converged))
   }
 
@@ -456,13 +541,20 @@ object Graph {
     * is bounded by the budget and replayed identically by the
     * oracle).
     *
-    * Scale shape: per round ONE join of the checkpointed symmetric
-    * edge list against the label table and a two-level aggregate —
-    * (dst, lbl) counts then per-dst argmax, both riding ONE explicit
-    * dst exchange (the second groupBy reuses the first's
-    * partitioning); every exchange pinned to an explicit partition
-    * count (the kilobyte-table AQE-coalescing pathology of the CC
-    * rounds); lineage truncated per round. */
+    * Scale shape (r21): the edge list lives in the degree-bounded
+    * [[adjacency]] store (checkpointed once — half the per-round scan
+    * bytes of the flat symmetric list). ROUND 1 RUNS WITHOUT THE EDGE
+    * EXCHANGE: initial labels are the (pairwise-distinct) node ids,
+    * so every neighbor vote counts exactly 1 and the (count DESC,
+    * label ASC) argmax is min(N(v)) — the arrayless
+    * `min(array_min(ns))` shortcut. Rounds 2+ join the label table
+    * co-partitioned (no exchange) and keep the single pinned dst
+    * exchange feeding the two-level aggregate — (dst, lbl) counts
+    * then per-dst argmax ride ONE exchange (the second groupBy reuses
+    * the first's partitioning); splitting it into
+    * aggregate-then-exchange pairs would shuffle up to 2× the bytes
+    * when labels have not yet concentrated, so the vote stream keeps
+    * the r20 shape. Lineage truncated per round. */
   def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
@@ -478,16 +570,19 @@ object Graph {
       // vote for its OWN label every round — violating the documented
       // among-its-NEIGHBORS rule on graphs with self-loops.
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .repartition(shufN, col("src"))
-      .localCheckpoint() // consumed every round
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    val adj = adjacency(sym, "src", "dst", "src", shufN)
+    // round 1 shortcut: all initial labels are distinct node ids →
+    // every vote counts 1 → argmax = smallest neighbor label
+    var labels = adj.groupBy(col("src"))
+      .agg(min(array_min(col("ns"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
       .repartition(shufN, col("id"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = sym
-        .join(labels, col("src") === col("id"))
+    for (_ <- 2 to rounds) {
+      labels = adj
+        .join(labels.select(col("id").as("lid"), col("lbl")),
+          col("src") === col("lid"))
+        .select(explode(col("ns")).as("dst"), col("lbl"))
         .repartition(shufN, col("dst"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))

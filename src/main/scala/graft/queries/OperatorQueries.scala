@@ -484,6 +484,41 @@ object OperatorQueries {
       .limit(30)
   }
 
+  /** Shared co-purchase edge generation for the graph family (r21):
+    * the distinct (order, part) baskets table is built ONCE —
+    * ord-repartitioned so the `distinct` rides the same exchange
+    * (subset clustering) — and localCheckpointed, so the self-join's
+    * two branches read one materialization with co-partitioned sides
+    * (zero join exchange) instead of each branch re-running the
+    * lineitem scan + distinct and re-exchanging on the order key (the
+    * r20 shape: 2 scans + 4 exchanges per entry; now 1 scan + 1
+    * exchange + the pair aggregate). `minShared` adds the
+    * ≥-n-distinct-orders sparsification kcore/LPA use; the pair
+    * groupBy's own exchange partial-aggregates map-side. Row output
+    * is identical to the inline r20 construction — the consuming
+    * entries' oracles are unchanged and re-verified. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, minShared: Option[Long]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val shufN = s.sessionState.conf.numShufflePartitions
+    val baskets = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("pk"))
+      .repartition(shufN, $"ord")
+      .distinct()
+      .localCheckpoint()
+    val joined = baskets.as("a")
+      .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
+    minShared match {
+      case Some(m) =>
+        joined.groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
+          .agg(count(lit(1)).as("n_ab"))
+          .where($"n_ab" >= m)
+          .select($"src", $"dst")
+      case None =>
+        joined.select($"a.pk".as("src"), $"b.pk".as("dst"))
+    }
+  }
+
   /** Exact-integer PageRank over the part co-purchase graph (parts
     * linked when they share an order) — graph centrality as a data-
     * quality/recommendation signal, via
@@ -522,11 +557,7 @@ object OperatorQueries {
       |SELECT id AS part_id, deg, r AS rank_ppt
       |FROM pr3 ORDER BY r DESC, id LIMIT 20""".stripMargin) { (s, d) =>
     import s.implicits._
-    val baskets = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
-    val edges = baskets.as("a")
-      .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
-      .select($"a.pk".as("src"), $"b.pk".as("dst"))
+    val edges = coPurchaseEdges(s, d, minShared = None)
     graft.ext.Graph.pageRankInt(edges, "src", "dst", iters = 3)
       .select($"id".as("part_id"), $"deg", $"rank".as("rank_ppt"))
       .orderBy($"rank_ppt".desc, $"part_id")
@@ -568,14 +599,7 @@ object OperatorQueries {
         |    AS converged
         |FROM deg ORDER BY part_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val baskets = Tables.lineitem(s, d)
-        .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
-      val edges = baskets.as("a")
-        .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
-        .groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
-        .agg(count(lit(1)).as("n_ab"))
-        .where($"n_ab" >= 2)
-        .select($"src", $"dst")
+      val edges = coPurchaseEdges(s, d, minShared = Some(2L))
       graft.ext.Graph.kcorePeel(edges, "src", "dst", k = 2, rounds = 6)
         .select($"id".as("part_id"), $"deg", $"converged")
         .orderBy($"part_id")
@@ -617,14 +641,7 @@ object OperatorQueries {
         |FROM lab4 GROUP BY lbl
         |ORDER BY n_members DESC, community LIMIT 20""".stripMargin) { (s, d) =>
       import s.implicits._
-      val baskets = Tables.lineitem(s, d)
-        .select($"l_orderkey".as("ord"), $"l_partkey".as("pk")).distinct()
-      val edges = baskets.as("a")
-        .join(baskets.as("b"), $"a.ord" === $"b.ord" && $"a.pk" =!= $"b.pk")
-        .groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
-        .agg(count(lit(1)).as("n_ab"))
-        .where($"n_ab" >= 2)
-        .select($"src", $"dst")
+      val edges = coPurchaseEdges(s, d, minShared = Some(2L))
       graft.ext.Graph.labelPropagate(edges, "src", "dst", rounds = 4)
         .groupBy($"lbl".as("community"))
         .agg(count(lit(1)).as("n_members"),

@@ -1740,18 +1740,24 @@ object SimilarityQueries {
         .agg(transform(array_sort(collect_list($"pu")),
           p => p.getField("ud")).as("u"))
       val c = u.join(v1, "pos").agg(sum($"v_micro" * $"u_micro").as("c"))
+      // r21: the per-row vector rides THROUGH the checkpoint so the A
+      // aggregate below reads it straight back instead of re-scanning
+      // the corpus and joining on vec_id each round — at 100 TB that
+      // join is two corpus-sized exchanges per round (emb and tp both
+      // hash-partitioned on vec_id); the carry costs only checkpoint
+      // block bytes (local, no network). Same integers either way.
       val tp = emb
         .crossJoin(broadcast(vaf)).crossJoin(broadcast(ua))
         .crossJoin(broadcast(c)).crossJoin(broadcast(nrm))
-        .select($"vec_id",
+        .select($"vec_id", $"embedding",
           dotNano($"embedding", $"v").as("dq"),
           dotNano($"embedding", $"u").as("tq"), $"n1", $"c")
-        .select($"vec_id", $"dq", expr(
+        .select($"vec_id", $"embedding", $"dq", expr(
           "cast(tq as decimal(38,0)) - (cast(dq as decimal(38,0))" +
             " * cast(c as decimal(38,0))) div cast(n1 as decimal(38,0))")
           .as("tp"))
         .localCheckpoint()
-      val a = emb.join(tp, "vec_id")
+      val a = tp
         .select(($"tp".cast("double") / lit(1e9)).as("sd"),
           posexplode($"embedding").as(Seq("pos", "x")))
         .select($"pos",

@@ -3070,12 +3070,17 @@ object TextQueries {
       .select($"doc_id", $"text")
     val dd = docs0.where(length($"text") >= L)
     // ONE kernel call per doc emits every window hash; the window
-    // strings never shuffle (the r18 JIT + exchange-diet shape)
+    // strings never shuffle (the r18 JIT + exchange-diet shape).
+    // localCheckpoint (r21): wh feeds TWO consumers (the duplicate-
+    // hash census and the candidate prefilter) — without it each
+    // consumer re-ran the win_hash_x64 kernel over the whole corpus;
+    // the checkpointed rows are 24-byte (doc, pos, hash) triples.
     val wh = Tables.spreadScan(dd)
       .select($"doc_id", posexplode(
         call_function("win_hash_x64", $"text", lit(L)))
         .as(Seq("p0", "h")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+      .localCheckpoint()
     val dupH = wh.groupBy($"h").agg(count(lit(1)).as("c"))
       .where($"c" >= 2).select($"h")
     val cand = wh.join(broadcast(dupH), Seq("h"), "left_semi")
@@ -3259,17 +3264,26 @@ object TextQueries {
     val refDocs = docs0.where($"doc_id" % 3 =!= 0 &&
       length($"text") >= L)
     val newDd = newDocs.where(length($"text") >= L)
-    // ONE kernel call per doc per side; window strings never shuffle
+    // ONE kernel call per doc per side; window strings never shuffle.
+    // Both position streams are localCheckpointed (r21): nw has THREE
+    // consumers (within-batch dup census, store probe, keep-first
+    // confirm) and rw TWO (store build, ref confirm) — without the
+    // materialization each consumer re-ran the win_hash_x64 kernel
+    // over its whole side (3 + 2 corpus-scale kernel passes where 1 +
+    // 1 suffice); the checkpointed rows are 24-byte (doc, pos, hash)
+    // triples, never window strings.
     val nw = Tables.spreadScan(newDd)
       .select($"doc_id", posexplode(
         call_function("win_hash_x64", $"text", lit(L)))
         .as(Seq("p0", "h")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+      .localCheckpoint()
     val rw = Tables.spreadScan(refDocs)
       .select($"doc_id", posexplode(
         call_function("win_hash_x64", $"text", lit(L)))
         .as(Seq("p0", "h")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+      .localCheckpoint()
     // the persisted store: distinct reference window hashes
     val refHset = rw.select($"h").distinct()
     // within-batch duplicate hashes: small by construction → broadcast
@@ -3429,10 +3443,15 @@ object TextQueries {
       |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+    val pairs0 = Dedup.sharedGramPairs(docs, "doc_id", "text",
       n = 13, maxDf = 50)
-    val gl = Tables.spreadScan(docs.where($"text".isNotNull))
+    val gl0 = Tables.spreadScan(docs.where($"text".isNotNull))
       .select($"doc_id", Dedup.tokenNgrams($"text", 13).as("gs"))
+    // candidate-endpoint slice (r21, guide §3.2/§8): the 13-gram
+    // arrays are computed and shuffled for candidate endpoints only —
+    // the r20 plan joined the FULL per-doc array table onto the pairs
+    // twice
+    val (pairs, gl) = Dedup.pairEndpointSlice(pairs0, gl0, "doc_id")
     pairs
       .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
       .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
@@ -3555,13 +3574,17 @@ object TextQueries {
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+      val pairs0 = Dedup.sharedGramPairs(docs, "doc_id", "text",
         n = 5, maxDf = 25)
       graft.functions.GraftFunctions.register(s)
-      val base = Tables.spreadScan(docs.where($"text".isNotNull))
+      val base0 = Tables.spreadScan(docs.where($"text".isNotNull))
         .select($"doc_id", TextOps.shingles($"text", 3).as("shg"),
           call_function("minhash_bands_md5", $"text", lit(k), lit(3))
             .as("bands"))
+      // candidate-endpoint slice (r21, guide §3.2/§8): shingle sets
+      // and band arrays are computed and shuffled for candidate
+      // endpoints only
+      val (pairs, base) = Dedup.pairEndpointSlice(pairs0, base0, "doc_id")
       pairs
         .join(base.select($"doc_id".as("src"), $"shg".as("sa"),
           $"bands".as("ba")), "src")
@@ -3956,10 +3979,13 @@ object TextQueries {
       |ORDER BY src, dst""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+    val pairs0 = Dedup.sharedGramPairs(docs, "doc_id", "text",
       n = 5, maxDf = 25)
-    val gl = Tables.spreadScan(docs.where($"text".isNotNull))
+    val gl0 = Tables.spreadScan(docs.where($"text".isNotNull))
       .select($"doc_id", Dedup.tokenNgrams($"text", 5).as("gs"))
+    // candidate-endpoint slice (r21, guide §3.2/§8): gram arrays are
+    // computed and shuffled for candidate endpoints only
+    val (pairs, gl) = Dedup.pairEndpointSlice(pairs0, gl0, "doc_id")
     pairs
       .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
       .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
@@ -4045,14 +4071,20 @@ object TextQueries {
     // df cap, bounded postings, and explicit partitioning are the
     // maintained-once machinery), kept only where the pair crosses
     // the new/ref boundary and oriented (new, ref)
-    val pairs = Dedup.sharedGramPairs(docs, "doc_id", "text",
+    val pairs0 = Dedup.sharedGramPairs(docs, "doc_id", "text",
       n = 5, maxDf = 25)
       .where(($"src" % 3 === 0) =!= ($"dst" % 3 === 0))
       .select(
         when($"src" % 3 === 0, $"src").otherwise($"dst").as("nid"),
         when($"src" % 3 === 0, $"dst").otherwise($"src").as("rid"))
-    val gl = Tables.spreadScan(docs)
+    val gl0 = Tables.spreadScan(docs)
       .select($"doc_id", Dedup.tokenNgrams($"text", 5).as("gs"))
+    // candidate-endpoint slice (r21, guide §3.2/§8), taken AFTER the
+    // new/ref boundary filter so the endpoint universe is the oriented
+    // cross-boundary one: gram arrays are computed and shuffled for
+    // candidate endpoints only
+    val (pairs, gl) = Dedup.pairEndpointSlice(pairs0, gl0, "doc_id",
+      srcCol = "nid", dstCol = "rid")
     val cand = pairs
       .join(gl.select($"doc_id".as("nid"), $"gs".as("ga")), "nid")
       .join(gl.select($"doc_id".as("rid"), $"gs".as("gb")), "rid")
@@ -4858,10 +4890,14 @@ object TextQueries {
         .select($"id_b".as("did")).distinct()
 
       // Containment layer: the dedup_containment pipeline, drop = dst
-      val ctCand = graft.ext.Dedup.sharedGramPairs(
+      // (candidate-endpoint slice r21, guide §3.2/§8: gram arrays
+      // computed/shuffled for candidate endpoints only)
+      val ctCand0 = graft.ext.Dedup.sharedGramPairs(
         docs, "doc_id", "text", n = 5, maxDf = 25)
-      val gl = Tables.spreadScan(dd)
+      val gl0 = Tables.spreadScan(dd)
         .select($"doc_id", graft.ext.Dedup.tokenNgrams($"text", 5).as("gs"))
+      val (ctCand, gl) = graft.ext.Dedup.pairEndpointSlice(
+        ctCand0, gl0, "doc_id")
       val dropContainment = ctCand
         .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
         .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")
@@ -5161,11 +5197,15 @@ object TextQueries {
           lit(1).as("f_h3"))
 
       // Containment: rare-gram candidate pairs ONCE; per-doc MAX
-      // containment, thresholds as flag bits
-      val ctCand = graft.ext.Dedup.sharedGramPairs(
+      // containment, thresholds as flag bits (candidate-endpoint
+      // slice r21, guide §3.2/§8: gram arrays computed/shuffled for
+      // candidate endpoints only)
+      val ctCand0 = graft.ext.Dedup.sharedGramPairs(
         docs, "doc_id", "text", n = 5, maxDf = 25)
-      val gl = Tables.spreadScan(dd)
+      val gl0 = Tables.spreadScan(dd)
         .select($"doc_id", graft.ext.Dedup.tokenNgrams($"text", 5).as("gs"))
+      val (ctCand, gl) = graft.ext.Dedup.pairEndpointSlice(
+        ctCand0, gl0, "doc_id")
       val cflag = ctCand
         .join(gl.select($"doc_id".as("src"), $"gs".as("ga")), "src")
         .join(gl.select($"doc_id".as("dst"), $"gs".as("gb")), "dst")

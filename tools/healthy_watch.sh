@@ -20,7 +20,10 @@ attempts=0
 consec=0
 echo "$(date -u +%F' '%T) watch started (thresholds c1<=0.30 cm<=0.026)" >> "$LOG"
 while true; do
-  out=$(SPARK_DRIVER_MEM=2g tools/run_main.sh graft.HostProbe 2>/dev/null | tail -1)
+  # 8g heap (r21): at 2g the probe's 512 MB of bandwidth arrays GC-
+  # thrash and calibm over-reads ~2x — part of the fresh-JVM bias that
+  # kept the r20 watch from ever firing (see HostProbe scaladoc)
+  out=$(SPARK_DRIVER_MEM=8g tools/run_main.sh graft.HostProbe 2>/dev/null | tail -1)
   c1=$(echo "$out" | grep -o 'calib1=[0-9.]*' | cut -d= -f2)
   cm=$(echo "$out" | grep -o 'calibm=[0-9.]*' | cut -d= -f2)
   if [ -n "$c1" ] && [ -n "$cm" ] && \
