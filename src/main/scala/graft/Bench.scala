@@ -575,6 +575,18 @@ object Bench {
     // both (observed: a genuinely starving host read 2.48x here and
     // 3.9x by sweep time — the shrink was correct).
     val calib0 = {
+      // FRESH-JVM BIAS FIX (r22, the HostProbe r21 fix applied to the
+      // bench's own startup probe): a cold JVM's first calibrateMem
+      // readings run 1.5-2.2x the warmed value (probe-array
+      // allocation/paging and GC settling bill as bandwidth), so
+      // calib0 over-fired the startup-degraded core-only shard on
+      // healthy hosts (r21 carry item: startup 0.045 vs in-sweep
+      // 0.022). Two discarded warm-up triples bring the instruments
+      // to the steady state the 1.5x/1.6x thresholds were calibrated
+      // on; the measured min-of-two pair below is unchanged.
+      calibrate(1); calibrate(cpus.toInt); calibrateMem()
+      calibrateMem()
+      Thread.sleep(1000)
       val a = (calibrate(1), calibrate(cpus.toInt), calibrateMem())
       Thread.sleep(3000)
       val b = (calibrate(1), calibrate(cpus.toInt), calibrateMem())

@@ -98,9 +98,18 @@ object Dedup {
   def simhashBandIndex(df: DataFrame, idCol: String, textCol: String,
       kernel: String = "simhash63"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // coalesce(kernel, 0): the kernel never returns null for non-null
+    // text (guarded above), but its column is DECLARED nullable, so
+    // the band equi-join used to INFER `isnotnull(fp)` and push it to
+    // the scan WITH THE KERNEL INLINED — every doc paid the simhash
+    // pass twice per join side (the r22 before-plans' scan Condition
+    // shows `isnotnull(simhash63_md5(split(text..)))`). The non-null
+    // literal makes the column provably non-nullable, so the inferred
+    // filter constant-folds away; the coalesce itself never fires.
     val fp = df.where(col(textCol).isNotNull)
       .select(col(idCol),
-        call_function(kernel, TextOps.tokens(col(textCol))).as("fp"))
+        coalesce(call_function(kernel, TextOps.tokens(col(textCol))),
+          lit(0L)).as("fp"))
     fp.select(col(idCol), col("fp"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
@@ -164,21 +173,66 @@ object Dedup {
     * clusters — near-copies share many RARE grams, so a capped hot gram
     * links nothing that rarer shared grams weren't already linking.
     *
-    * Plan shape (100 TB): two shuffles of the gram stream, both with
-    * map-side partial aggregation — (1) `groupBy(gram).count()` for df,
-    * (2) an explicit gram-keyed repartition feeding the `collect_set`
-    * groupBy (the semi-join broadcasts the rare set, so this is the
-    * posting build's only exchange). Because the df filter runs BEFORE
-    * the collect, every
-    * aggregation buffer is structurally bounded at `maxDf` ids — a hot
-    * gram can never balloon an executor — and pair expansion is
-    * row-local (`transform` over the sorted posting, no join). */
+    * Plan shape (r22 HASH-KEYED rewrite — r21 verdict item 2, guide
+    * §2.3 "shuffle keys and metadata instead of payloads"): the two
+    * gram-stream shuffles used to carry GRAM TEXT (at sf0.1 the df
+    * census alone ships ~200k distinct grams × ~27-71 chars — the
+    * measured ~3/4-of-wall shuffle floor every dedup entry paid).
+    * Both now carry xxhash64(gram) — 8-byte keys — with EXACTNESS
+    * preserved structurally, not probabilistically:
+    *
+    *   P1 census: `groupBy(xxhash64(gram)).count()` — cnt(h) is the
+    *      summed df of every gram hashing to h, so cnt < 2 proves
+    *      every such gram has df < 2 (safe drop), cnt ∈ [2, maxDf]
+    *      proves every such gram has df ≤ maxDf (posting-safe), and
+    *      cnt > maxDf is UNDECIDED (a rare gram could be inflated by
+    *      a colliding partner) → routed to the recovery pass.
+    *   P2 postings: hash-keyed `collect_list(struct(gram, doc))` for
+    *      the cnt ∈ [2, maxDf] hashes. The struct carries the gram
+    *      TEXT through the aggregate, so an ok-band collision (two
+    *      distinct grams sharing a hash, joint cnt ≤ maxDf) is
+    *      resolved ROW-LOCALLY and exactly: pair expansion only links
+    *      entries whose gram strings are EQUAL (exact comparison —
+    *      a collision can never add a pair), and it can never drop
+    *      one either (both grams' entries are all present in the one
+    *      posting). Text bytes ride only the RARE rows that survive
+    *      the semi (~10% of the stream at sf0.1), never the census.
+    *   P3 recovery recount: rows whose hash the census left UNDECIDED
+    *      (cnt > maxDf — a rare gram could be inflated by a colliding
+    *      hot partner) recount df BY GRAM TEXT (map-side partial
+    *      counts — the exchange carries distinct hot grams per
+    *      partition, never their row mass).
+    *   P4 recovery postings: text-keyed postings for recounted grams
+    *      that are genuinely rare — nonempty only under a true 64-bit
+    *      hash collision against a hot gram. P3 hangs off the CENSUS
+    *      alone (not off P2 — no extra stage wave on the pair path);
+    *      both recovery passes exist in the plan ONLY when the
+    *      checkpointed census actually holds a hot hash (a driver-side
+    *      limit-1 probe — measured: planning-then-AQE-eliminating the
+    *      always-empty branches cost +5 stage waves per entry at
+    *      sf0.1), and P4 additionally collapses via AQE empty-relation
+    *      propagation unless a hot collision occurred. A hash collision can
+    *      therefore never add OR drop a pair — ok-band collisions are
+    *      split in-row, hot-band ones re-route to the text-keyed
+    *      path; the r21-rejected band-key-only variant (collision
+    *      adds a false edge) is not what this is.
+    *
+    * Because the cnt ≤ maxDf filter runs BEFORE the collect, every P2
+    * aggregation buffer is structurally bounded at maxDf entries (a
+    * hot gram's rows never reach it — cnt(h) ≥ df(hot) > maxDf routes
+    * them out), P3's count buffers are O(1), and P4 collects only
+    * recounted-rare grams — a hot gram can never balloon an executor.
+    * Pair expansion stays row-local (`transform` over the sorted
+    * posting, no join). At 100 TB the ok-hash set outgrows broadcast
+    * and the P2 semi plans as a shuffle — the decontam bloom_agg
+    * machinery slots in front as a scan-local prefilter if that
+    * exchange ever dominates (hashes, not text, either way). */
   def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf cannot link any pair")
     // Explicit partition count on the posting-build and pair exchanges:
-    // the rare-gram set is small, so the semi-join broadcasts and the
-    // posting aggregate's exchange carries only partially-aggregated
+    // the surviving key sets are small, so the semi-joins broadcast and
+    // the posting aggregate's exchange carries only partially-aggregated
     // postings — tiny in BYTES, so AQE's byte-based coalescing folds
     // the final collect_set + pair explode (the CPU-heavy part) onto
     // ONE core (round-10 bench: a 368 s single-task stage inside
@@ -186,27 +240,87 @@ object Dedup {
     // exempt from coalescing, and the groupBy/distinct reuse it.
     val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
     // spreadScan: the tokenize+explode CPU must not inherit the scan's
-    // byte-sized (possibly single-task) parallelism
-    val grams = Tables.spreadScan(docs.where(col(textCol).isNotNull))
+    // byte-sized (possibly single-task) parallelism. A def: each pass
+    // plans its own subtree (P3/P4's collapse at runtime when their
+    // semi sets are empty).
+    def grams: DataFrame = Tables.spreadScan(docs.where(col(textCol).isNotNull))
       .select(col(idCol).cast("long").as("doc_id"),
         explode(tokenNgrams(col(textCol), n)).as("gram"))
     // per-doc grams are already distinct (tokenNgrams array_distinct),
-    // so count(*) per gram IS document frequency
-    val rare = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, maxDf))
-      .select(col("gram"))
-    val postings = grams.join(rare, Seq("gram"), "left_semi")
-      .repartition(shufN, col("gram"))
-      .groupBy(col("gram"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-    // all (i < j) pairs within one posting, row-local: for each element
-    // x at 0-based index i, pair it with every later element
-    val pairs = flatten(transform(col("docs"), (x, i) =>
-      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-        y => struct(x.as("src"), y.as("dst")))))
-    postings.select(explode(pairs).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // so count(*) per hash is the summed df of the grams under it.
+    // The census is materialized once, AFTER dropping the df-1 mass
+    // (~90% of distinct hashes): the checkpoint holds only
+    // pair-capable and hot hashes (~9-12k rows at sf0.1; distinct
+    // rare+hot hashes at scale), its exact statistics make the P2
+    // semi-join's broadcast decision reliable, and the driver-side
+    // hot-hash probe below reads these blocks instead of re-running
+    // the census pass.
+    val censusC = grams
+      .groupBy(xxhash64(col("gram")).as("gh"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .localCheckpoint()
+    val okH = censusC.where(col("cnt") <= maxDf).select(col("gh"))
+    // Driver-side plan probe (the iterative operators' established
+    // pattern — connectedComponents' per-round `count()`, kcore's
+    // fixpoint): when NO hash exceeds maxDf (no hot gram anywhere —
+    // the common case on a deduplicated-gram stream), the recovery
+    // subtrees are omitted from the plan ENTIRELY instead of being
+    // planned and then AQE-eliminated at runtime: measured at sf0.1,
+    // carrying the always-empty recovery branches cost +5 AQE stage
+    // waves (~0.5 s) per entry. The probe is one limit-1 job over the
+    // checkpointed census blocks. Results are identical either way —
+    // the probe steers plan topology, never semantics.
+    val hasHot = !censusC.where(col("cnt") > maxDf).isEmpty
+    // P2: the ok-hash postings — (gram, doc) entries sorted by
+    // (gram, doc), so same-gram entries are contiguous and per-gram
+    // docs ascend; collect_list suffices because (doc, gram) rows are
+    // distinct by construction (tokenNgrams is array_distinct per doc)
+    val post = grams
+      .select(xxhash64(col("gram")).as("gh"),
+        struct(col("gram").as("g"), col("doc_id").as("d")).as("e"))
+      .join(okH, Seq("gh"), "left_semi")
+      .repartition(shufN, col("gh"))
+      .groupBy(col("gh"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    // all (i < j) pairs within one posting whose gram strings are
+    // EQUAL, row-local: for each entry x at 0-based index i, pair it
+    // with every later same-gram entry (when/filter drop the
+    // cross-gram combinations a collided posting would otherwise emit)
+    val okPairs = post
+      .select(explode(flatten(transform(col("es"), (x, i) =>
+        filter(transform(slice(col("es"), i + lit(2), size(col("es"))),
+          y => when(y.getField("g") === x.getField("g"),
+            struct(x.getField("d").as("src"), y.getField("d").as("dst")))),
+          p => p.isNotNull)))).as("e2"))
+      .select(col("e2.src").as("src"), col("e2.dst").as("dst"))
+    val allPairs = if (!hasHot) okPairs else {
+      val hotH = censusC.where(col("cnt") > maxDf).select(col("gh"))
+      // P3: exact text recount for the hashes the census left
+      // undecided (a rare gram could hide behind a colliding hot
+      // partner's inflated cnt)
+      val rdf = grams
+        .join(hotH, xxhash64(col("gram")) === col("gh"), "left_semi")
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, maxDf))
+        .select(col("gram"))
+      // P4: text-keyed postings for the recovered rare grams
+      // (nonempty only under a genuine 64-bit collision with a hot
+      // gram); empty ⇒ AQE empty-relation propagation skips its scan.
+      // Pairs expand over the plain sorted doc posting.
+      val recPost = grams
+        .join(rdf, Seq("gram"), "left_semi")
+        .repartition(shufN, col("gram"))
+        .groupBy(col("gram"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      val recPairs = recPost
+        .select(explode(flatten(transform(col("docs"), (x, i) =>
+          transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+            y => struct(x.as("src"), y.as("dst")))))).as("e2"))
+        .select(col("e2.src").as("src"), col("e2.dst").as("dst"))
+      okPairs.union(recPairs)
+    }
+    allPairs
       .repartition(shufN, col("src"), col("dst"))
       .distinct()
   }

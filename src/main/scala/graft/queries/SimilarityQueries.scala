@@ -18,6 +18,36 @@ import graft.functions.GraftFunctions
   */
 object SimilarityQueries {
 
+  /** Row-local centroid ASSIGN (r22, guide §2.4 remove shuffles),
+    * shared by the kmeans/outlier/SemDeDup family: the k reference
+    * centroids fold into ONE broadcast array row and the per-vector
+    * argmin is `array_min` over in-row (d2q, cid) structs. The r21
+    * shape — explode k candidate rows per vector, re-group with
+    * min(struct(d2q, cid, ...)) — paid a corpus-wide exchange whose
+    * struct-min plans as a SortAggregate and whose byte-small stream
+    * AQE coalesced onto ONE core (measured: ~0.9 s single-task stages
+    * inside the composite dedup entries). Same nano-quantized
+    * integers, same (d2q, cid) tie-break — identical winners; zero
+    * exchange, zero sort, and the assign rides the spread scan's
+    * parallelism at any corpus size (the broadcast is k rows).
+    * Output: (vec_id, embedding, b{d2q, cid}). */
+  private def centroidAssign(emb: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val centArr = cent
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+    emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        array_min(transform(col("cs"), c =>
+          struct(
+            aggregate(
+              zip_with(col("embedding"), c.getField("cvec"), (a, cc) => {
+                val diff = a.cast("double") - cc.cast("double")
+                round(diff * diff * lit(1e9), 0).cast("long")
+              }),
+              lit(0L), (acc, t) => acc + t).as("d2q"),
+            c.getField("cid").as("cid")))).as("b"))
+  }
+
   /** Exact cosine top-10 against the vec_id=0 query vector. All math in
     * double (floats widened) so the DuckDB list-algebra oracle matches
     * bit-for-bit after rounding. */
@@ -888,24 +918,23 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val cent = emb.where($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-    val asg = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"embedding".as("v"), $"cid",
-        aggregate(
-          zip_with($"embedding", $"cvec", (a, c) => {
-            val diff = a.cast("double") - c.cast("double")
-            round(diff * diff * lit(1e9), 0).cast("long")
-          }),
-          lit(0L), (acc, t) => acc + t).as("d2q"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"d2q", $"cid", $"v")).as("b"))
-      .select($"vec_id", $"b.cid".as("cid"), $"b.v".as("v"))
+    val asg = centroidAssign(emb, cent)
+      .select($"vec_id", $"b.cid".as("cid"), $"embedding".as("v"))
     GraftFunctions.register(s)
     val n = asg.withColumn("nq", expr("vec_dot_q9(v, v)"))
     val x = n.select($"vec_id".as("keep_id"), $"cid",
       $"v".as("xv"), $"nq".as("naq"))
     val y = n.select($"vec_id".as("prune_id"), $"cid".as("ycid"),
       $"v".as("yv"), $"nq".as("nbq"))
-    x.join(y, $"cid" === $"ycid" && $"keep_id" < $"prune_id")
+    // broadcast the keep side (r22): the cluster key has only 8
+    // distinct values, so a shuffled pair join caps at 8-way
+    // parallelism and AQE's byte-based coalescing then folded the
+    // whole within-cluster dot computation onto ONE core (measured:
+    // two ~0.6 s single-task stages). With the build side broadcast
+    // there is no exchange at all and the dots run at the spread
+    // scan's parallelism; at 100 TB the within-cluster pairing is
+    // salted/blocked upstream long before a broadcast would overflow.
+    broadcast(x).join(y, $"cid" === $"ycid" && $"keep_id" < $"prune_id")
       .select($"prune_id", $"cid", $"naq", $"nbq",
         expr("vec_dot_q9(xv, yv)").as("dotq"))
       .where($"dotq" > 0 &&
@@ -970,16 +999,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val cent = emb.where($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-    val asg = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"cid",
-        aggregate(
-          zip_with($"embedding", $"cvec", (a, c) => {
-            val diff = a.cast("double") - c.cast("double")
-            round(diff * diff * lit(1e9), 0).cast("long")
-          }),
-          lit(0L), (acc, t) => acc + t).as("d2q"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"d2q", $"cid")).as("b"))
+    val asg = centroidAssign(emb, cent)
       .select($"vec_id", $"b.cid".as("cluster"), $"b.d2q".as("d2q"))
     val st = asg.groupBy($"cluster")
       .agg(count(lit(1)).as("cluster_n"), sum($"d2q").as("sum_d2q"))
@@ -1021,16 +1041,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val cent = emb.where($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-    emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"cid",
-        aggregate(
-          zip_with($"embedding", $"cvec", (a, c) => {
-            val diff = a.cast("double") - c.cast("double")
-            round(diff * diff * lit(1e9), 0).cast("long")
-          }),
-          lit(0L), (acc, t) => acc + t).as("d2q"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"d2q", $"cid")).as("b"))
+    centroidAssign(emb, cent)
       .select($"vec_id", $"b.cid".as("cluster"),
         round($"b.d2q".cast("double") / lit(1e9), 6).as("dist2"))
       .orderBy($"vec_id")
@@ -1074,18 +1085,11 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val cent = emb.where($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-    val assign = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"cid",
-        aggregate(
-          zip_with($"embedding", $"cvec", (a, c) => {
-            val diff = a.cast("double") - c.cast("double")
-            round(diff * diff * lit(1e9), 0).cast("long")
-          }),
-          lit(0L), (acc, t) => acc + t).as("d2q"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"d2q", $"cid")).as("b"))
-      .select($"vec_id", $"b.cid".as("cluster"))
-    assign.join(emb, "vec_id")
+    // centroidAssign carries the vector through, so the r21 plan's
+    // assign ⋈ emb re-attach join (a second corpus scan) is gone too
+    val assign = centroidAssign(emb, cent)
+      .select($"vec_id", $"embedding", $"b.cid".as("cluster"))
+    assign
       .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
       .select($"cluster", ($"pos" + 1).cast("int").as("dim"),
         round($"v".cast("double") * lit(1e9), 0).cast("long").as("cq"))
@@ -1740,35 +1744,45 @@ object SimilarityQueries {
         .agg(transform(array_sort(collect_list($"pu")),
           p => p.getField("ud")).as("u"))
       val c = u.join(v1, "pos").agg(sum($"v_micro" * $"u_micro").as("c"))
-      // r21: the per-row vector rides THROUGH the checkpoint so the A
-      // aggregate below reads it straight back instead of re-scanning
-      // the corpus and joining on vec_id each round — at 100 TB that
-      // join is two corpus-sized exchanges per round (emb and tp both
-      // hash-partitioned on vec_id); the carry costs only checkpoint
-      // block bytes (local, no network). Same integers either way.
-      val tp = emb
+      // r22 fusion (r21 verdict item 3; guide §1.2 step 1 / §5): the
+      // r21 plan materialized a CORPUS-sized (vec_id, embedding, dq,
+      // tp) localCheckpoint every round and read it back twice (the
+      // A- and B-aggregates). A and B are sums over the same per-row
+      // quantities, so ONE corpus pass computes both: B's addend
+      // rides the pos = 0 slot of A's posexplode (each source row
+      // contributes its bb exactly once — a row whose embedding is
+      // empty/null contributes nothing, exactly the NULL bb it
+      // contributed before), and the per-round checkpoint shrinks
+      // from the corpus to the fused 64-row aggregate. Same integers:
+      // A's and B's addends are unchanged expressions, only their
+      // grouping differs, and DECIMAL(38,0) sums commute exactly.
+      // Per round this removes one corpus-scale job, the corpus-sized
+      // checkpoint write, and both checkpoint re-reads.
+      val ab0 = emb
         .crossJoin(broadcast(vaf)).crossJoin(broadcast(ua))
         .crossJoin(broadcast(c)).crossJoin(broadcast(nrm))
-        .select($"vec_id", $"embedding",
+        .select($"embedding",
           dotNano($"embedding", $"v").as("dq"),
           dotNano($"embedding", $"u").as("tq"), $"n1", $"c")
-        .select($"vec_id", $"embedding", $"dq", expr(
+        .select($"embedding", $"dq", expr(
           "cast(tq as decimal(38,0)) - (cast(dq as decimal(38,0))" +
             " * cast(c as decimal(38,0))) div cast(n1 as decimal(38,0))")
           .as("tp"))
-        .localCheckpoint()
-      val a = tp
-        .select(($"tp".cast("double") / lit(1e9)).as("sd"),
+        .select($"dq", $"tp",
+          ($"tp".cast("double") / lit(1e9)).as("sd"),
           posexplode($"embedding").as(Seq("pos", "x")))
         .select($"pos",
           round($"x".cast("double") * $"sd" * lit(1e6), 0)
-            .cast("long").as("c0"))
-        .groupBy($"pos").agg(sum($"c0".cast("decimal(38,0)")).as("a"))
-      val b = tp
-        .select(expr("(cast(dq as decimal(38,0)) * tp)" +
-          " div 1000000000000").as("bb"))
-        .agg(sum($"bb").as("b"))
-      val w = a.join(v1, "pos")
+            .cast("long").as("c0"),
+          when($"pos" === 0, expr("(cast(dq as decimal(38,0)) * tp)" +
+            " div 1000000000000")).as("bb"))
+        .groupBy($"pos")
+        .agg(sum($"c0".cast("decimal(38,0)")).as("a"),
+          sum($"bb").as("b0"))
+      graft.ext.IterPlan.offer("embedPcaDeflate fused A+B round", ab0)
+      val ab = ab0.localCheckpoint()
+      val b = ab.agg(sum($"b0").as("b"))
+      val w = ab.join(v1, "pos")
         .crossJoin(broadcast(b)).crossJoin(broadcast(nrm))
         .select($"pos", expr(
           "a - (cast(v_micro as decimal(38,0)) * b)" +

@@ -763,11 +763,15 @@ object TextQueries {
     * same docs the SQL replay's `len(toks) >= 3` guard drops. */
   private def ophBandRows(spread: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spread.sparkSession)
+    // token-count guard, not size(ds) — a filter on the kernel's own
+    // output pushes to the scan with the kernel inlined and doubles
+    // the md5 pass (r22; identical row set — the kernel goes empty
+    // exactly below 3 tokens, and size(split) = 1 + spaces = its nTok)
     val dns = spread
+      .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         call_function("minhash_oph_md5", col("text"), lit(k), lit(3))
           .as("ds"))
-      .where(size(col("ds")) > 0)
     dns.select(col("doc_id"), posexplode(array((0 until k / 2).map(j =>
         concat_ws("_",
           element_at(col("ds"), 2 * j + 1).cast("string"),
@@ -909,11 +913,14 @@ object TextQueries {
       graft.functions.GraftFunctions.register(s)
       val spread = gramInput(s, d).localCheckpoint()
       // k-hash surface: exactly dedup_bbit_minhash's kernel + bands
+      // token-count guard, not size(mhs) — a filter on the kernel's
+      // output re-inlines the kernel into the pushed scan condition
+      // and doubles the md5 pass (see dedup_layer_agreement, r22)
       val mh = spread
+        .where(size(split($"text", " ")) >= 3)
         .select($"doc_id",
           call_function("minhash_words_md5", $"text", lit(k), lit(3))
             .as("mhs"))
-        .where(size($"mhs") > 0)
       val pkh = bandPairs(khashBandRows(mh, k)).withColumn("in_k", lit(1L))
       // OPH surface: exactly dedup_minhash_oph's pipeline
       val poph = bandPairs(ophBandRows(spread, k)).withColumn("in_o", lit(1L))
@@ -3264,26 +3271,27 @@ object TextQueries {
     val refDocs = docs0.where($"doc_id" % 3 =!= 0 &&
       length($"text") >= L)
     val newDd = newDocs.where(length($"text") >= L)
-    // ONE kernel call per doc per side; window strings never shuffle.
-    // Both position streams are localCheckpointed (r21): nw has THREE
-    // consumers (within-batch dup census, store probe, keep-first
-    // confirm) and rw TWO (store build, ref confirm) — without the
-    // materialization each consumer re-ran the win_hash_x64 kernel
-    // over its whole side (3 + 2 corpus-scale kernel passes where 1 +
-    // 1 suffice); the checkpointed rows are 24-byte (doc, pos, hash)
-    // triples, never window strings.
-    val nw = Tables.spreadScan(newDd)
-      .select($"doc_id", posexplode(
-        call_function("win_hash_x64", $"text", lit(L)))
-        .as(Seq("p0", "h")))
-      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+    // ONE kernel pass for BOTH sides (r22, r21 verdict item 4; guide
+    // §5 multi-consumer): new batch and reference partition the
+    // length >= L corpus by doc_id % 3, so the two r21 per-side
+    // kernel passes were two full scans of the same parquet (the % 3
+    // predicate cannot prune row groups) each paying its own job.
+    // One tagged pass runs the win_hash_x64 kernel once over the
+    // union and checkpoints 25-byte (doc, is_new, pos, hash) rows;
+    // the side streams are row-local filters of the checkpoint. The
+    // r21 rationale is otherwise unchanged: nw has THREE consumers
+    // (within-batch dup census, store probe, keep-first confirm) and
+    // rw TWO (store build, ref confirm) — window strings never
+    // shuffle or checkpoint.
+    val wh = Tables.spreadScan(docs0.where(length($"text") >= L))
+      .select($"doc_id", ($"doc_id" % 3 === 0).as("is_new"),
+        posexplode(call_function("win_hash_x64", $"text", lit(L)))
+          .as(Seq("p0", "h")))
+      .select($"doc_id", $"is_new",
+        ($"p0" + 1).cast("long").as("pos"), $"h")
       .localCheckpoint()
-    val rw = Tables.spreadScan(refDocs)
-      .select($"doc_id", posexplode(
-        call_function("win_hash_x64", $"text", lit(L)))
-        .as(Seq("p0", "h")))
-      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
-      .localCheckpoint()
+    val nw = wh.where($"is_new").select($"doc_id", $"pos", $"h")
+    val rw = wh.where(!$"is_new").select($"doc_id", $"pos", $"h")
     // the persisted store: distinct reference window hashes
     val refHset = rw.select($"h").distinct()
     // within-batch duplicate hashes: small by construction → broadcast
@@ -4867,11 +4875,17 @@ object TextQueries {
       // formulation is pinned by SketchExprSpec) -> 4 bands x 2 rows,
       // band equi-join (never all-pairs). Kernel returns the EMPTY
       // array for docs with < 3 tokens — the same docs the SQL
-      // replay's `len(toks) >= 3` guard drops.
-      val mh = dd.select($"doc_id",
-        call_function("minhash_words_md5", $"text", lit(k), lit(3))
-          .as("mhs"))
-        .where(size($"mhs") > 0)
+      // replay's `len(toks) >= 3` guard drops. r22: the guard is the
+      // TOKEN COUNT (size(split) = 1 + spaces = exactly the kernel's
+      // nTok, so the row set is identical), not size(mhs) — a filter
+      // on the kernel's own output pushes to the scan WITH THE KERNEL
+      // INLINED, so every doc paid the k=8 salted-md5 pass twice
+      // (pushed filter + projection; the before-plan's scan Condition
+      // shows `size(minhash_words_md5(..)) > 0`).
+      val mh = dd.where(size(split($"text", " ")) >= 3)
+        .select($"doc_id",
+          call_function("minhash_words_md5", $"text", lit(k), lit(3))
+            .as("mhs"))
       val bands = mh.select($"doc_id", posexplode(array(
         (0 until k / 2).map(j => concat_ws("_",
           element_at($"mhs", 2 * j + 1).cast("string"),
@@ -5154,32 +5168,46 @@ object TextQueries {
       val dd = docs.where($"text".isNotNull)
 
       // MinHash: one k=8 signature EXPRESSION, three band layouts over
-      // it; drop = larger id of a band collision. The three layout
-      // consumers project different band shapes, so no exchange is
-      // reused and the kernel re-evaluates per layout — measured
-      // CHEAPER than forcing single evaluation here (localCheckpoint
-      // A/B at sf0.1: 3.6 s checkpointed vs 3.0 s re-evaluated; the
-      // k=8 kernel is light and materialization overhead dominates).
-      // At production scale the signature table would be persisted
-      // once and all layouts read it.
-      val mh = dd.select($"doc_id",
-        call_function("minhash_words_md5", $"text", lit(k), lit(3))
-          .as("mhs"))
-        .where(size($"mhs") > 0)
-      def layoutDrops(rows: Int): DataFrame = {
-        val b = mh.select($"doc_id", posexplode(array(
-          (0 until k / rows).map(j => concat_ws("_",
-            (0 until rows).map(r =>
-              element_at($"mhs", rows * j + r + 1).cast("string")): _*)): _*))
-          .as(Seq("band", "sig")))
-        b.as("a").join(b.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("b.doc_id").as("did")).distinct()
+      // it; drop = larger id of a band collision. r22 (the round's
+      // measured CPU hog — the formatted plan held TWELVE
+      // `minhash_words_md5` evaluations): the three layouts used to be
+      // three separate band self-joins, each planned broadcast (no
+      // exchange to reuse), so BOTH sides of EACH join re-evaluated
+      // the k=8 salted-md5 kernel over the corpus. All three layouts
+      // now explode into ONE (layout, band, sig) table and ONE
+      // self-join keyed (layout, band, sig) — identical collision
+      // pairs per layout (band equality within a layout is exactly
+      // the tagged three-key equality), same flags, and the kernel
+      // evaluates twice total instead of six+. The r21 trade note
+      // stands: re-evaluation beat a localCheckpoint (3.0 s vs 3.6 s
+      // at sf0.1); this keeps re-evaluation and shrinks its
+      // multiplier. At production scale the signature table would be
+      // persisted once and all layouts read it.
+      // token-count guard, not size(mhs) — a filter on the kernel's
+      // output pushes to the scan with the kernel inlined and doubles
+      // the md5 pass (same fix as dedup_layer_agreement; identical
+      // row set: size(split) = 1 + spaces = the kernel's own nTok)
+      val mh = dd.where(size(split($"text", " ")) >= 3)
+        .select($"doc_id",
+          call_function("minhash_words_md5", $"text", lit(k), lit(3))
+            .as("mhs"))
+      val bandStructs = Seq(1, 2, 4).flatMap { rows =>
+        (0 until k / rows).map(j =>
+          struct(lit(rows).as("s"), lit(j).as("band"),
+            concat_ws("_", (0 until rows).map(r =>
+              element_at($"mhs", rows * j + r + 1).cast("string")): _*)
+              .as("sig")))
       }
-      val mfl = layoutDrops(1).withColumn("s", lit(1))
-        .union(layoutDrops(2).withColumn("s", lit(2)))
-        .union(layoutDrops(4).withColumn("s", lit(4)))
+      val bandsAll = mh.select($"doc_id",
+          explode(array(bandStructs: _*)).as("b"))
+        .select($"doc_id", $"b.s".as("s"), $"b.band".as("band"),
+          $"b.sig".as("sig"))
+      val mfl = bandsAll.as("a").join(bandsAll.as("b"),
+          col("a.s") === col("b.s") && col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("did"), col("a.s").as("s"))
+        .distinct()
         .groupBy($"did")
         .agg(max(when($"s" === 1, 1).otherwise(0)).as("f_b8x1"),
           max(when($"s" === 2, 1).otherwise(0)).as("f_b4x2"),
@@ -5222,23 +5250,33 @@ object TextQueries {
       // Semantic: within-cluster pair dots ONCE (the SemDeDup assign +
       // vec_dot_q9 machinery of dedup_semantic_embed), three cos
       // thresholds as exact-integer bits over the same quantized dots
+      // r22 row-local assign (the dedup_semantic_embed change, same
+      // rationale): centroids fold into one broadcast array and the
+      // argmin is a row-local array_min over (d2q, cid) structs —
+      // the corpus-wide struct-min exchange (AQE-coalescible onto one
+      // core; SortAggregate) disappears; identical winner per vector.
       val emb = Tables.embeddings(s, d)
-      val cent = emb.where($"vec_id" < 8)
+      val centArr = emb.where($"vec_id" < 8)
         .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-      val asg = emb.crossJoin(broadcast(cent))
-        .select($"vec_id", $"embedding".as("v"), $"cid",
-          aggregate(
-            zip_with($"embedding", $"cvec", (a, c) => {
-              val diff = a.cast("double") - c.cast("double")
-              round(diff * diff * lit(1e9), 0).cast("long")
-            }),
-            lit(0L), (acc, t) => acc + t).as("d2q"))
-        .groupBy($"vec_id")
-        .agg(min(struct($"d2q", $"cid", $"v")).as("b"))
-        .select($"vec_id", $"b.cid".as("cid"), $"b.v".as("v"))
+        .agg(sort_array(collect_list(struct($"cid", $"cvec"))).as("cs"))
+      val asg = emb.crossJoin(broadcast(centArr))
+        .select($"vec_id", $"embedding".as("v"),
+          array_min(transform($"cs", c =>
+            struct(
+              aggregate(
+                zip_with($"embedding", c.getField("cvec"), (a, cc) => {
+                  val diff = a.cast("double") - cc.cast("double")
+                  round(diff * diff * lit(1e9), 0).cast("long")
+                }),
+                lit(0L), (acc, t) => acc + t).as("d2q"),
+              c.getField("cid").as("cid")))).as("b"))
+        .select($"vec_id", $"b.cid".as("cid"), $"v")
       val nrm = asg.withColumn("nq", expr("vec_dot_q9(v, v)"))
-      val pairs = nrm.select($"vec_id".as("ida"), $"cid",
-          $"v".as("xv"), $"nq".as("naq"))
+      // broadcast the build side (r22, the dedup_semantic_embed fix):
+      // 8 distinct cluster keys cap a shuffled pair join at 8-way
+      // parallelism and AQE coalescing then serializes the dots
+      val pairs = broadcast(nrm.select($"vec_id".as("ida"), $"cid",
+          $"v".as("xv"), $"nq".as("naq")))
         .join(nrm.select($"vec_id".as("did"), $"cid".as("ycid"),
           $"v".as("yv"), $"nq".as("nbq")),
           $"cid" === $"ycid" && $"ida" < $"did")

@@ -45,11 +45,21 @@ object EntryProfile {
     // substrate.
     val shufW = new java.util.concurrent.atomic.AtomicLong()
     val shufR = new java.util.concurrent.atomic.AtomicLong()
+    // job/stage counts per rep (r22): the iterative/recovery-branch
+    // entries are BARRIER-latency-bound at bench SF, so "how many job
+    // waves does one execution schedule" is the attribution the wall
+    // number alone cannot give
+    val nJobs = new java.util.concurrent.atomic.AtomicLong()
+    val nStages = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
             : Unit = {
+          nStages.incrementAndGet()
           val m = sc.stageInfo.taskMetrics
           shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
@@ -66,9 +76,14 @@ object EntryProfile {
               yield a - b).getOrElse(-1L)
             if (dur >= 500) {
               val m = i.taskMetrics
+              // the RDD scope chain names the SQL operators this stage
+              // executes — the callsite alone is an anonymous future
+              val ops = i.rddInfos.flatMap(_.scope)
+                .flatMap(_.name.split("\n")).distinct.take(8)
+                .mkString("|")
               stageLog.add(f"  stage ${i.stageId}%5d ${dur / 1000.0}%5.1f s " +
                 f"tasks=${i.numTasks}%-3d cpu=${m.executorCpuTime / 1e9}%5.1f " +
-                f"gc=${m.jvmGCTime / 1e3}%4.1f  ${i.name.takeWhile(_ != '\n')}")
+                f"gc=${m.jvmGCTime / 1e3}%4.1f  $ops")
             }
           }
         })
@@ -82,7 +97,7 @@ object EntryProfile {
       }
       once() // warm: codegen + catalog caches, untimed
       Thread.sleep(300) // drain warm-rep stage events off the bus
-      shufW.set(0L); shufR.set(0L)
+      shufW.set(0L); shufR.set(0L); nJobs.set(0L); nStages.set(0L)
       val ts = (1 to reps).map { _ =>
         stageLog.clear()
         val t = once()
@@ -100,7 +115,9 @@ object EntryProfile {
       println(f"[profile] $name%-28s median $med%6.3f s  " +
         f"min ${ts.head}%6.3f  max ${ts.last}%6.3f  (n=$reps, $sfDir)  " +
         f"shufW ${shufW.get / 1048576.0 / reps}%8.2f MB/rep  " +
-        f"shufR ${shufR.get / 1048576.0 / reps}%8.2f MB/rep")
+        f"shufR ${shufR.get / 1048576.0 / reps}%8.2f MB/rep  " +
+        f"jobs ${nJobs.get / reps.toDouble}%5.1f/rep  " +
+        f"stages ${nStages.get / reps.toDouble}%5.1f/rep")
     }
     spark.stop()
   }
