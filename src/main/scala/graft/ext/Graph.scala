@@ -620,32 +620,36 @@ object Graph {
       .select(col("src").as("id"), col("lbl"))
       .repartition(shufN, col("id"))
       .localCheckpoint()
+    // r22 ADAPTIVE VOTE SHAPE (r21 verdict item 5, guide §2.3
+    // "aggregate before you shuffle"): rounds 2+ ship the (dst, lbl)
+    // vote stream through one pinned dst exchange. Aggregating the
+    // votes BEFORE that exchange (groupBy(dst, lbl) with map-side
+    // partial counts, then the pin) shuffles partial counts instead
+    // of raw votes — a large cut once labels CONCENTRATE (few
+    // distinct labels ⇒ many same-(dst, lbl) votes collapse per map
+    // partition) but up to ~1.5-2x MORE bytes while labels are still
+    // near-distinct (24-byte (dst, lbl, cnt) rows with no collapse,
+    // plus the aggregate's own exchange) — the r21-documented reason
+    // the split was rejected unconditionally. The shape is chosen
+    // ONCE from round 1's label concentration: one single-pass probe
+    // (count + approx_count_distinct over the node-sized checkpoint)
+    // gates the aggregate-first shape at distinct-labels <= nodes/4,
+    // where within-partition collapse has to beat the 1.5x row-width
+    // overhead. One probe, not one per round — concentration only
+    // grows as communities coarsen, and a per-round probe re-read
+    // "raw-vote" every round at the bench SF (the sf0.1 co-purchase
+    // graph never concentrates: 5052-4784 distinct labels over 5922
+    // nodes across rounds 1-4, measured via the oracle replay) while
+    // paying an extra job boundary per round. Both shapes compute
+    // identical counts (integer count commutes across any grouping
+    // order), so the result is bit-identical either way — the probe
+    // steers bytes, never semantics.
+    val probe = labels
+      .agg(count(lit(1)).as("v"),
+        approx_count_distinct(col("lbl")).as("l"))
+      .head()
+    val concentrated = probe.getLong(1) * 4L <= probe.getLong(0)
     for (_ <- 2 to rounds) {
-      // r22 ADAPTIVE VOTE SHAPE (r21 verdict item 5, guide §2.3
-      // "aggregate before you shuffle"): rounds 2+ ship the (dst, lbl)
-      // vote stream through one pinned dst exchange. Aggregating the
-      // votes BEFORE that exchange (groupBy(dst, lbl) with map-side
-      // partial counts, then the pin) shuffles partial counts instead
-      // of raw votes — a large cut once labels CONCENTRATE (few
-      // distinct labels ⇒ many same-(dst, lbl) votes collapse per map
-      // partition) but up to ~1.5-2x MORE bytes while labels are still
-      // near-distinct (24-byte (dst, lbl, cnt) rows with no collapse,
-      // plus the aggregate's own exchange) — the r21-documented reason
-      // the split was rejected unconditionally. So the shape is chosen
-      // per round from the previous round's label concentration: one
-      // cheap single-pass probe (count + approx_count_distinct over
-      // the node-sized checkpoint — partial-aggregated, no exchange of
-      // substance) gates the aggregate-first shape at distinct-labels
-      // <= nodes/4, where within-partition collapse has to beat the
-      // 1.5x row-width overhead. Both shapes compute identical counts
-      // (integer count commutes across any grouping order), so the
-      // result is bit-identical either way — the probe steers bytes,
-      // never semantics.
-      val probe = labels
-        .agg(count(lit(1)).as("v"),
-          approx_count_distinct(col("lbl")).as("l"))
-        .head()
-      val concentrated = probe.getLong(1) * 4L <= probe.getLong(0)
       val votes = adj
         .join(labels.select(col("id").as("lid"), col("lbl")),
           col("src") === col("lid"))
